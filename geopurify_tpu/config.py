@@ -1,0 +1,321 @@
+"""Typed configuration system.
+
+One dataclass tree replaces the reference's three coexisting config systems
+(CfgNode flattened YAML, OmegaConf fusion configs, X-Decoder nested-dict opt —
+see reference util/config.py:8-147, run/train.py:111-115,
+third_party/X-Decoder/xdecoder/utils/arguments.py:9-90).
+
+Presets live in ``geopurify_tpu/configs/*.yaml`` mirroring the reference's six
+dataset variants (config/geopurify_{scannet,scannet200,matterport*}.yaml) plus
+the fusion and X-Decoder model settings. CLI overrides use dotted keys
+(``data.voxel_size=0.04``) with literal-eval coercion, matching the spirit of
+the reference's ``merge_cfg_from_list`` (util/config.py:76-90).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import importlib.resources
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+def _tuple_field(*xs):
+    return field(default_factory=lambda: tuple(xs))
+
+
+@dataclass
+class DataConfig:
+    """Dataset + label-space settings (ref: config/geopurify_scannet.yaml DATA)."""
+
+    dataset: str = "scannet"              # scannet | scannet200 | matterport
+    data_root: str = "data/scannet_3d"
+    data_root_2d: str = "data/scannet_2d"
+    # Open-vocabulary class universe used at eval.
+    all_label: Tuple[str, ...] = ()
+    # Contiguous ids of base / novel / ignored classes within all_label.
+    base_category: Tuple[int, ...] = ()
+    novel_category: Tuple[int, ...] = ()
+    ignore_category: Tuple[int, ...] = ()
+    test_ignore_label: Tuple[int, ...] = ()
+    # 2D-label remap: NYU40-style raw ids -> contiguous train ids.
+    label_2d: Tuple[int, ...] = ()
+    ignore_label: int = 255
+    test_classes: int = 19
+    voxel_size: float = 0.02
+    loop: int = 16                        # epoch multiplier over the 20-scene subset
+    val_keep: int = 10_000_000
+    train_scene_list: str = "scannet_train.txt"
+    eval_scene_list: str = "scannet_evaluation.txt"
+    # Static-shape padding buckets (TPU: shapes must be compile-time constants).
+    max_points: int = 2 ** 20             # per-scene point budget
+    max_voxels: int = 2 ** 18             # per-scene voxel budget
+    max_views: int = 64                   # views per scene batch
+    max_masks: int = 201                  # X-Decoder query count upper bound
+
+
+@dataclass
+class FusionConfig:
+    """Multi-view 2D->3D projection settings (ref: config/fusion_scannet.yaml)."""
+
+    img_dim: Tuple[int, int] = _tuple_field(648, 484)   # (W, H)
+    depth_scale: float = 1000.0
+    visibility_threshold: float = 0.05
+    cut_boundary: int = 10
+    frame_stride: int = 20                # every-20th-frame rule (scannet_loader.py:34)
+    resolution_scale: float = 2.0
+    min_visible_points: int = 400
+    max_visible_points: int = 65000
+
+
+@dataclass
+class StudentConfig:
+    """Sparse-conv affinity student (ref: models/affinity_module.py:51-85)."""
+
+    input_dim: int = 518                  # 512 semantic + 6 geometric (rgb+normal)
+    hidden_dim: int = 512
+    embed_dim: int = 128
+    num_res_blocks: int = 4
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+
+
+@dataclass
+class PoolingConfig:
+    """Geometry-guided pooling (ref: models/affinity_module.py:1490-1608)."""
+
+    knn_k: int = 96
+    sharpen: float = 20.0
+    num_iterations: int = 19              # 1 + 18 sparse-mm smoothing steps
+    feature_dim: int = 512                # semantic dims kept after pooling
+
+
+@dataclass
+class ContrastiveConfig:
+    """Stage-1 sampling + InfoNCE (ref: models/affinity_module.py:277-279,1065-1136)."""
+
+    num_anchors: int = 4096
+    num_negatives: int = 63
+    num_macro_negatives: int = 48         # global least-similar
+    num_micro_negatives: int = 15         # hardest among spatial kNN
+    spatial_knn_k: int = 96
+    temperature: float = 0.07
+
+
+@dataclass
+class TextConfig:
+    """CLIP-style language encoder (ref: xdecoder_focall_lang.yaml MODEL.TEXT)."""
+
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    context_length: int = 77
+    vocab_size: int = 49408
+    dim_proj: int = 512
+    prompt_template: str = "a {} in a scene"
+    prompt_eng: bool = True               # average over ~80 imagenet-style templates
+    tokenizer_vocab: Optional[str] = None  # path to BPE vocab; stub tokenizer if None
+
+
+@dataclass
+class FocalNetConfig:
+    """FocalNet-L backbone (ref: xdecoder_focall_lang.yaml MODEL.BACKBONE.FOCAL)."""
+
+    patch_size: int = 4
+    embed_dim: int = 192
+    depths: Tuple[int, ...] = _tuple_field(2, 2, 18, 2)
+    focal_levels: Tuple[int, ...] = _tuple_field(4, 4, 4, 4)
+    focal_windows: Tuple[int, ...] = _tuple_field(3, 3, 3, 3)
+    mlp_ratio: float = 4.0
+    use_conv_embed: bool = True
+    scaling_modulator: bool = True
+    use_postln: bool = True
+    use_postln_in_modulation: bool = False
+    use_layerscale: bool = True
+    out_indices: Tuple[int, ...] = _tuple_field(0, 1, 2, 3)
+
+
+@dataclass
+class XDecoderConfig:
+    """2D VLM teacher (ref: xdecoder_focall_lang.yaml MODEL.{ENCODER,DECODER})."""
+
+    backbone: FocalNetConfig = field(default_factory=FocalNetConfig)
+    hidden_dim: int = 512
+    conv_dim: int = 512
+    mask_dim: int = 512
+    num_queries: int = 201                # 200 object + 1 latent class token
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    enc_layers: int = 6
+    pre_norm: bool = False
+    size_divisibility: int = 32
+    pixel_mean: Tuple[float, ...] = _tuple_field(123.675, 116.280, 103.530)
+    pixel_std: Tuple[float, ...] = _tuple_field(58.395, 57.120, 57.375)
+    mask_shape: Tuple[int, int] = _tuple_field(484, 648)   # (H, W)
+    scores_keep_thresh: float = 0.0
+    mask_threshold: float = 0.5
+    fusion_top_k: int = 3                 # cross-view consensus top-K
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class SonataConfig:
+    """PTv3/Sonata-style frozen 3D SSL teacher (ref: affinity_module.py:251-264).
+
+    Hierarchical point transformer: 5 encoder stages with grid pooling between
+    them; serialized (space-filling-curve) patch attention.
+    """
+
+    in_channels: int = 9                  # coord-normalized color+normal+height
+    enc_depths: Tuple[int, ...] = _tuple_field(3, 3, 3, 12, 3)
+    enc_channels: Tuple[int, ...] = _tuple_field(48, 96, 192, 384, 512)
+    enc_num_head: Tuple[int, ...] = _tuple_field(3, 6, 12, 24, 32)
+    enc_patch_size: Tuple[int, ...] = _tuple_field(1024, 1024, 1024, 1024, 1024)
+    mlp_ratio: float = 4.0
+    grid_size: float = 0.02
+    stride: Tuple[int, ...] = _tuple_field(2, 2, 2, 2)
+    upcast_levels: int = 2                # concat top-2 levels on the way back down
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class TrainConfig:
+    """Stage-1 optimization (ref: run/train.py:190-198,318-325; config Model block)."""
+
+    lr_3d: float = 1e-4
+    lr_input_mult: float = 0.1            # 3-tier differential LRs
+    lr_middle_mult: float = 1.0
+    lr_output_mult: float = 5.0
+    weight_decay: float = 1e-5
+    warmup_epochs: int = 2
+    epochs: int = 100
+    batch_size: int = 4
+    manual_seed: int = 5557
+    print_freq: int = 10
+    save_freq: int = 1
+    eval_freq: int = 2
+    save_path: str = "runs/default"
+    resume: Optional[str] = None
+    grad_clip: Optional[float] = None
+    schedule: str = "cosine"
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout. The reference is DDP-only (SURVEY §2.4); here data
+    parallelism rides the `data` mesh axis, tensor parallelism of the 2D teacher
+    rides `model`, and long scenes may shard their point dim over `model` too."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    dp: int = -1                          # -1: all devices
+    tp: int = 1
+    sync_batchnorm: bool = True           # pmean of BN moments ≙ SyncBN
+
+
+@dataclass
+class GeoPurifyConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    student: StudentConfig = field(default_factory=StudentConfig)
+    pooling: PoolingConfig = field(default_factory=PoolingConfig)
+    contrastive: ContrastiveConfig = field(default_factory=ContrastiveConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    xdecoder: XDecoderConfig = field(default_factory=XDecoderConfig)
+    sonata: SonataConfig = field(default_factory=SonataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loading / overriding
+# ---------------------------------------------------------------------------
+
+def _coerce(dc_field_type: Any, current: Any, value: Any) -> Any:
+    """Coerce a YAML/CLI value into the dataclass field's type.
+
+    Field types are strings under postponed annotations, so dispatch on the
+    type name and the current value's runtime type.
+    """
+    tname = dc_field_type if isinstance(dc_field_type, str) else str(dc_field_type)
+    if "Tuple" in tname or "tuple" in tname or isinstance(current, tuple):
+        return tuple(value) if isinstance(value, (list, tuple)) else (value,)
+    if ("float" in tname or isinstance(current, float)) and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def _apply_dict(cfg: Any, d: Dict[str, Any], path: str = "") -> Any:
+    """Recursively apply a nested dict onto a dataclass, returning a new one."""
+    if not dataclasses.is_dataclass(cfg):
+        raise TypeError(f"{path or '<root>'} is not a config section")
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    updates = {}
+    for key, value in d.items():
+        if key not in fields:
+            raise KeyError(f"Unknown config key: {path + key!r}")
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            updates[key] = _apply_dict(current, value, path + key + ".")
+        else:
+            updates[key] = _coerce(fields[key].type, current, value)
+    return dataclasses.replace(cfg, **updates)
+
+
+def _set_dotted(tree: Dict[str, Any], dotted: str, value: Any) -> None:
+    keys = dotted.split(".")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def parse_overrides(pairs: Sequence[str]) -> Dict[str, Any]:
+    """Parse ``key.path=value`` CLI override strings into a nested dict."""
+    tree: Dict[str, Any] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"Override must look like key=value, got {pair!r}")
+        key, raw = pair.split("=", 1)
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        _set_dotted(tree, key.strip(), value)
+    return tree
+
+
+def _preset_path(name: str) -> Path:
+    here = Path(__file__).parent / "configs"
+    p = here / f"{name}.yaml"
+    if not p.exists():
+        avail = sorted(q.stem for q in here.glob("*.yaml"))
+        raise FileNotFoundError(f"No preset {name!r}; available: {avail}")
+    return p
+
+
+def load_config(
+    preset: Optional[str] = None,
+    overrides: Sequence[str] = (),
+    yaml_path: Optional[str] = None,
+) -> GeoPurifyConfig:
+    """Build a config from a named preset and/or YAML file plus CLI overrides."""
+    cfg = GeoPurifyConfig()
+    if preset is not None:
+        with open(_preset_path(preset)) as f:
+            cfg = _apply_dict(cfg, yaml.safe_load(f) or {})
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            cfg = _apply_dict(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        cfg = _apply_dict(cfg, parse_overrides(overrides))
+    return cfg
+
+
+def to_dict(cfg: GeoPurifyConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,146 @@
+"""Exact brute-force k-nearest-neighbour search on TPU.
+
+Replaces the reference's CPU detours — faiss IndexFlatL2 (96-NN graph build,
+reference models/affinity_module.py:1159-1165, 1553-1557) and sklearn KDTree
+hole-filling (affinity_module.py:604-625, 687-696; run/validation.py:417-430) —
+with a tiled distance-matrix + running-top-k merge that stays on device.
+
+Strategy: queries are processed in static tiles; for each tile the database is
+scanned in chunks, computing ||q||^2 + ||d||^2 - 2 q.d on the MXU and merging
+into a running (k)-best via lax.top_k. All shapes static; invalid (padded)
+database rows are pushed to +inf so they never win.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _pad_to(x: jax.Array, n: int, axis: int = 0, value=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "query_tile", "db_chunk", "exclude_identical_index"),
+)
+def knn_search(
+    queries: jax.Array,          # [Q, D] f32
+    db: jax.Array,               # [N, D] f32
+    db_valid: jax.Array,         # [N] bool
+    k: int,
+    query_ids: Optional[jax.Array] = None,  # [Q] int32 global ids (for self-exclusion)
+    exclude_identical_index: bool = False,
+    query_tile: int = 1024,
+    db_chunk: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-NN by squared L2. Returns (dists [Q,k], idx [Q,k] int32).
+
+    With ``exclude_identical_index`` and ``query_ids`` set, a database row whose
+    index equals the query's id is skipped — the reference's search(K+1)-and-
+    drop-self pattern without the extra column.
+    """
+    Q, D = queries.shape
+    N = db.shape[0]
+    n_qt = -(-Q // query_tile)
+    n_dc = -(-N // db_chunk)
+    Np = n_dc * db_chunk
+
+    db_p = _pad_to(db, Np)
+    dbv_p = _pad_to(db_valid, Np, value=False)
+    db_sq = jnp.sum(db_p.astype(jnp.float32) ** 2, axis=-1)  # [Np]
+
+    q_p = _pad_to(queries, n_qt * query_tile)
+    qid_p = (
+        _pad_to(query_ids, n_qt * query_tile, value=-1)
+        if query_ids is not None
+        else jnp.full((n_qt * query_tile,), -1, jnp.int32)
+    )
+
+    def one_tile(args):
+        q, qid = args  # [T, D], [T]
+        q = q.astype(jnp.float32)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)  # [T,1]
+
+        def scan_chunk(carry, c):
+            best_d, best_i = carry
+            start = c * db_chunk
+            d_rows = jax.lax.dynamic_slice_in_dim(db_p, start, db_chunk)
+            d_sq = jax.lax.dynamic_slice_in_dim(db_sq, start, db_chunk)
+            v = jax.lax.dynamic_slice_in_dim(dbv_p, start, db_chunk)
+            if D <= 4:
+                # Low-dim (spatial) case: explicit per-axis outer differences on
+                # the VPU — exact f32, avoids the bf16 MXU path entirely.
+                d2 = jnp.zeros((q.shape[0], db_chunk), jnp.float32)
+                for j in range(D):
+                    diff = q[:, j : j + 1] - d_rows[None, :, j].astype(jnp.float32)
+                    d2 = d2 + diff * diff
+            else:
+                # High-dim case: MXU matmul at HIGHEST precision (f32-accurate).
+                dots = jax.lax.dot_general(
+                    q,
+                    d_rows.astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                d2 = q_sq + d_sq[None, :] - 2.0 * dots
+            idx = start + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            bad = ~v[None, :]
+            if exclude_identical_index:
+                bad = bad | (idx == qid[:, None])
+            d2 = jnp.where(bad, _INF, d2)
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate([best_i, idx], axis=1)
+            neg_top, arg = jax.lax.top_k(-cat_d, k)
+            return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+        init = (
+            jnp.full((query_tile, k), _INF),
+            jnp.full((query_tile, k), -1, jnp.int32),
+        )
+        (best_d, best_i), _ = jax.lax.scan(
+            scan_chunk, init, jnp.arange(n_dc, dtype=jnp.int32)
+        )
+        return best_d, best_i
+
+    q_tiles = q_p.reshape(n_qt, query_tile, D)
+    id_tiles = qid_p.reshape(n_qt, query_tile)
+    dists, idx = jax.lax.map(one_tile, (q_tiles, id_tiles))
+    dists = dists.reshape(-1, k)[:Q]
+    idx = idx.reshape(-1, k)[:Q]
+    return dists, jnp.maximum(idx, 0)  # clamp unfilled slots to 0 for safe gathers
+
+
+def nearest_fill(
+    features: jax.Array,     # [N, C]
+    coords: jax.Array,       # [N, D]
+    has_value: jax.Array,    # [N] bool — rows with real features
+    valid: jax.Array,        # [N] bool — padding mask
+    query_tile: int = 1024,
+    db_chunk: int = 8192,
+) -> jax.Array:
+    """Fill rows without features from their nearest (by coords) row that has one.
+
+    Device-side replacement for the per-view / global KDTree fills
+    (affinity_module.py:604-625, 687-696). All rows are treated as queries; rows
+    that already have a value keep it (select at the end), so shapes stay static.
+    """
+    db_valid = has_value & valid
+    _, idx = knn_search(
+        coords, coords, db_valid, k=1, query_tile=query_tile, db_chunk=db_chunk
+    )
+    donated = features[idx[:, 0]]
+    keep = has_value[:, None]
+    return jnp.where(keep, features, donated)

@@ -1,0 +1,119 @@
+"""kNN search vs scipy oracle; projection vs reference-mapper numpy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geopurify_tpu.ops.knn import knn_search, nearest_fill
+from geopurify_tpu.ops.projection import compute_point_image_mapping
+from geopurify_tpu.ops.segment import segment_mean, segment_sum
+
+
+def _brute_knn(q, db, k, exclude_self_ids=None):
+    d2 = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    if exclude_self_ids is not None:
+        d2[np.arange(len(q)), exclude_self_ids] = np.inf
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d2, idx, axis=1), idx
+
+
+def test_knn_exact_small(rng):
+    db = rng.uniform(size=(300, 3)).astype(np.float32)
+    q = db[:50]
+    d, i = knn_search(jnp.asarray(q), jnp.asarray(db), jnp.ones(300, bool), k=5,
+                      query_tile=64, db_chunk=128)
+    od, oi = _brute_knn(q, db, 5)
+    np.testing.assert_allclose(np.asarray(d), od, atol=1e-4)
+    # indices may differ on exact ties; distances must agree
+    gathered = ((q[:, None, :] - db[np.asarray(i)]) ** 2).sum(-1)
+    np.testing.assert_allclose(gathered, od, atol=1e-4)
+
+
+def test_knn_excludes_self(rng):
+    db = rng.uniform(size=(200, 3)).astype(np.float32)
+    ids = jnp.arange(200, dtype=jnp.int32)
+    d, i = knn_search(
+        jnp.asarray(db), jnp.asarray(db), jnp.ones(200, bool), k=4,
+        query_ids=ids, exclude_identical_index=True, query_tile=64, db_chunk=64,
+    )
+    assert not np.any(np.asarray(i) == np.arange(200)[:, None])
+    assert np.all(np.asarray(d) > 0)
+
+
+def test_knn_respects_db_validity(rng):
+    db = rng.uniform(size=(100, 3)).astype(np.float32)
+    valid = np.ones(100, bool)
+    valid[50:] = False
+    _, i = knn_search(jnp.asarray(db[:10]), jnp.asarray(db), jnp.asarray(valid), k=3,
+                      query_tile=16, db_chunk=32)
+    assert np.asarray(i).max() < 50
+
+
+def test_nearest_fill(rng):
+    coords = rng.uniform(size=(64, 3)).astype(np.float32)
+    feats = rng.uniform(size=(64, 8)).astype(np.float32)
+    has = np.ones(64, bool)
+    has[10:20] = False
+    feats_in = feats.copy()
+    feats_in[~has] = 0
+    out = nearest_fill(jnp.asarray(feats_in), jnp.asarray(coords),
+                       jnp.asarray(has), jnp.ones(64, bool),
+                       query_tile=16, db_chunk=32)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[has], feats[has])
+    # filled rows copy their nearest valid donor
+    from scipy.spatial import cKDTree
+    tree = cKDTree(coords[has])
+    _, nn = tree.query(coords[~has], k=1)
+    np.testing.assert_allclose(out[~has], feats[has][nn], atol=1e-6)
+
+
+def _ref_mapping(world_to_camera, coords, depth, intrinsic, image_dim, cut_bound, vis_thres):
+    """Numpy oracle transliterating fusion_util.py:99-147 semantics."""
+    n = coords.shape[0]
+    homo = np.concatenate([coords, np.ones((n, 1))], 1).T
+    p = world_to_camera @ homo
+    pi = np.round(np.stack([
+        p[0] * intrinsic[0, 0] / p[2] + intrinsic[0, 2],
+        p[1] * intrinsic[1, 1] / p[2] + intrinsic[1, 2],
+    ])).astype(int)
+    inside = ((pi[0] >= cut_bound) & (pi[1] >= cut_bound)
+              & (pi[0] < image_dim[0] - cut_bound) & (pi[1] < image_dim[1] - cut_bound))
+    mapping = np.zeros((3, n), int)
+    d_cur = depth[np.clip(pi[1], 0, image_dim[1]-1), np.clip(pi[0], 0, image_dim[0]-1)]
+    occl = (np.abs(d_cur - p[2]) <= vis_thres * d_cur) & (d_cur > 0)
+    visible = inside & occl
+    mapping[0][visible] = pi[1][visible]
+    mapping[1][visible] = pi[0][visible]
+    mapping[2][visible] = 1
+    return mapping.T
+
+
+def test_projection_matches_reference_oracle(rng):
+    W, H = 64, 48
+    pts = rng.uniform(-1, 1, size=(500, 3))
+    pts[:, 2] += 3.0
+    w2c = np.eye(4)
+    K = np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]])
+    depth = np.full((H, W), 3.0)
+    ref = _ref_mapping(w2c, pts, depth, K, (W, H), cut_bound=2, vis_thres=0.05)
+    out = compute_point_image_mapping(
+        jnp.asarray(pts, jnp.float32), jnp.ones(500, bool),
+        jnp.asarray(w2c, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.asarray(depth, jnp.float32), (W, H), cut_bound=2, vis_thres=0.05,
+    )
+    np.testing.assert_array_equal(np.asarray(out.visible), ref[:, 2].astype(bool))
+    vis = ref[:, 2].astype(bool)
+    np.testing.assert_array_equal(np.asarray(out.rows)[vis], ref[vis, 0])
+    np.testing.assert_array_equal(np.asarray(out.cols)[vis], ref[vis, 1])
+
+
+def test_segment_mean_drops_out_of_range(rng):
+    data = rng.uniform(size=(20, 4)).astype(np.float32)
+    ids = np.array([0] * 10 + [1] * 5 + [7] * 5)  # 7 == num_segments -> dropped
+    m = segment_mean(jnp.asarray(data), jnp.asarray(ids), num_segments=7)
+    np.testing.assert_allclose(np.asarray(m)[0], data[:10].mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m)[1], data[10:15].mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m)[2:], 0)
+    s = segment_sum(jnp.asarray(data), jnp.asarray(ids), num_segments=7)
+    np.testing.assert_allclose(np.asarray(s)[0], data[:10].sum(0), rtol=1e-5)
