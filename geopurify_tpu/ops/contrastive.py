@@ -1,0 +1,156 @@
+"""Stage-1 contrastive pair sampling + InfoNCE.
+
+TPU-native re-design of the reference's hybrid sampler
+(reference models/affinity_module.py:1065-1136, loss :1226-1237):
+
+- anchors: random valid points, statically padded to ``num_anchors`` with an
+  anchor-validity mask standing in for the dynamic min(4096, N//3);
+- positive: globally most-similar teacher feature (excluding self);
+- negatives: 48 "macro" globally least-similar + 15 "micro" hardest among the
+  anchor's 96 spatial kNN;
+- InfoNCE at T=0.07 over [pos, negs] cosine logits.
+
+The 4096xN similarity sweep is chunked over the point axis with a running
+(argmax, bottom-k) merge — the device-side analogue of the reference's full
+similarity matrix, without materializing it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+class ContrastivePairs(NamedTuple):
+    anchor_idx: jax.Array     # [A] int32
+    positive_idx: jax.Array   # [A] int32
+    negative_idx: jax.Array   # [A, num_negatives] int32
+    anchor_valid: jax.Array   # [A] bool
+
+
+def _normalize(x, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+@partial(jax.jit, static_argnames=("num_anchors", "num_macro", "num_micro", "db_chunk", "anchor_tile"))
+def sample_contrastive_pairs_hybrid(
+    rng: jax.Array,
+    teacher_feats: jax.Array,     # [N, D]
+    valid: jax.Array,             # [N] bool
+    neighbor_idx: jax.Array,      # [N, K] spatial kNN (self excluded)
+    num_anchors: int = 4096,
+    num_macro: int = 48,
+    num_micro: int = 15,
+    db_chunk: int = 8192,
+    anchor_tile: int = 512,
+) -> ContrastivePairs:
+    N, D = teacher_feats.shape
+    K = neighbor_idx.shape[1]
+    f = _normalize(teacher_feats.astype(jnp.float32))
+    f = jnp.where(valid[:, None], f, 0.0)
+
+    # --- anchor selection: random valid points, capped at floor(n_valid/3) ---
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    scores = jax.random.uniform(rng, (N,)) + (~valid).astype(jnp.float32) * 2.0
+    order = jnp.argsort(scores)
+    anchor_idx = order[:num_anchors].astype(jnp.int32)
+    cap = jnp.minimum(num_anchors, n_valid // 3)
+    anchor_valid = jnp.arange(num_anchors) < cap
+
+    n_dc = -(-N // db_chunk)
+    Np = n_dc * db_chunk
+    f_pad = jnp.pad(f, ((0, Np - N), (0, 0)))
+    valid_pad = jnp.pad(valid, (0, Np - N))
+
+    n_at = -(-num_anchors // anchor_tile)
+    Ap = n_at * anchor_tile
+    aidx_pad = jnp.pad(anchor_idx, (0, Ap - num_anchors))
+
+    def one_tile(aidx):                      # [T]
+        fa = f[aidx]                         # [T, D]
+
+        def scan_chunk(carry, c):
+            best_pos_s, best_pos_i, worst_s, worst_i = carry
+            start = c * db_chunk
+            fc = jax.lax.dynamic_slice_in_dim(f_pad, start, db_chunk)
+            vc = jax.lax.dynamic_slice_in_dim(valid_pad, start, db_chunk)
+            sims = jax.lax.dot_general(
+                fa, fc, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                # [T, C]
+            idx = start + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+            is_self = idx == aidx[:, None]
+            dead = ~vc[None, :]
+            # positive: max excluding self
+            s_pos = jnp.where(is_self | dead, _NEG_INF, sims)
+            c_best = jnp.max(s_pos, axis=1)
+            c_arg = idx[jnp.arange(fa.shape[0]), jnp.argmax(s_pos, axis=1)]
+            upd = c_best > best_pos_s
+            best_pos_s = jnp.where(upd, c_best, best_pos_s)
+            best_pos_i = jnp.where(upd, c_arg, best_pos_i)
+            # macro negatives: bottom-k excluding self (positive excluded later)
+            s_neg = jnp.where(is_self | dead, jnp.inf, sims)
+            cat_s = jnp.concatenate([worst_s, s_neg], axis=1)
+            cat_i = jnp.concatenate([worst_i, idx], axis=1)
+            top, arg = jax.lax.top_k(-cat_s, num_macro + 1)
+            worst_s = -top
+            worst_i = jnp.take_along_axis(cat_i, arg, axis=1)
+            return (best_pos_s, best_pos_i, worst_s, worst_i), None
+
+        T = fa.shape[0]
+        init = (
+            jnp.full((T,), _NEG_INF),
+            jnp.zeros((T,), jnp.int32),
+            jnp.full((T, num_macro + 1), jnp.inf),
+            jnp.zeros((T, num_macro + 1), jnp.int32),
+        )
+        (pos_s, pos_i, worst_s, worst_i), _ = jax.lax.scan(
+            scan_chunk, init, jnp.arange(n_dc, dtype=jnp.int32)
+        )
+        # exclude the positive from the bottom set (it is the argmax so it can
+        # only appear under exact-duplicate ties): stable-sort positives to the
+        # back of the (num_macro+1)-candidate list, keep the first num_macro.
+        is_pos_slot = worst_i == pos_i[:, None]
+        perm = jnp.argsort(is_pos_slot, axis=1, stable=True)
+        macro = jnp.take_along_axis(worst_i, perm, axis=1)[:, :num_macro]
+
+        # micro negatives: hardest (least similar) among spatial kNN
+        nb = neighbor_idx[aidx]              # [T, K]
+        sims_local = jnp.einsum("td,tkd->tk", fa, f[nb])
+        is_pos = nb == pos_i[:, None]
+        is_self_nb = nb == aidx[:, None]
+        sims_local = jnp.where(is_pos | is_self_nb, jnp.inf, sims_local)
+        _, hard = jax.lax.top_k(-sims_local, num_micro)
+        micro = jnp.take_along_axis(nb, hard, axis=1)
+        return pos_i, jnp.concatenate([macro, micro], axis=1)
+
+    pos_i, neg_i = jax.lax.map(one_tile, aidx_pad.reshape(n_at, anchor_tile))
+    pos_i = pos_i.reshape(Ap)[:num_anchors]
+    neg_i = neg_i.reshape(Ap, num_macro + num_micro)[:num_anchors]
+    return ContrastivePairs(anchor_idx, pos_i, neg_i, anchor_valid)
+
+
+def info_nce_loss(
+    anchor_embed: jax.Array,    # [A, E]
+    positive_embed: jax.Array,  # [A, E]
+    negative_embed: jax.Array,  # [A, n_neg, E]
+    anchor_valid: jax.Array,    # [A] bool
+    temperature: float = 0.07,
+) -> jax.Array:
+    """InfoNCE over cosine logits, label 0 = positive (affinity_module.py:1226-1237)."""
+    a = _normalize(anchor_embed.astype(jnp.float32))
+    p = _normalize(positive_embed.astype(jnp.float32))
+    n = _normalize(negative_embed.astype(jnp.float32))
+    l_pos = jnp.einsum("ae,ae->a", a, p)[:, None]
+    l_neg = jnp.einsum("ae,ane->an", a, n)
+    logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_anchor = -logp[:, 0]
+    w = anchor_valid.astype(jnp.float32)
+    return jnp.sum(per_anchor * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -1,0 +1,134 @@
+"""Sparse 3D convolution, TPU-native.
+
+Replacement for MinkowskiEngine's hash-based sparse convolution (reference
+models/affinity_module.py:33-85 uses only 3^3 and 1^3 kernels). Design:
+
+1. Voxels arrive lexicographically sorted (the ``voxelize_points`` contract).
+2. ``build_neighbor_table`` binary-searches, for each of the K=27 kernel
+   offsets, the voxel id of coord+offset — one sorted int32-key ``searchsorted``
+   per offset, all on device. Missing neighbors map to a sentinel row M.
+3. ``sparse_conv3`` computes ``out[i] = sum_k F[nbr[i,k]] @ W[k]`` as K
+   gather+matmul steps accumulated in f32 — dense, regular, MXU-shaped work;
+   the zero sentinel row makes missing neighbors contribute nothing, exactly
+   MinkowskiEngine's semantics (only existing coordinates participate).
+
+The neighbor table is built once per scene and reused by every conv layer —
+the analogue of MinkowskiEngine's cached kernel maps.
+
+Grid-extent contract: per-axis voxel extent must satisfy
+(ext_x+2)*(ext_y+2)*(ext_z+2) < 2^31 so the linearized key fits int32
+(≈ 1200 voxels per axis, 24 m at 2 cm). Larger scenes must be chunked upstream.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def kernel_offsets_3d(kernel_size: int = 3) -> np.ndarray:
+    """Kernel offset enumeration, x-major (dx slowest, dz fastest): [K, 3] int32."""
+    r = range(-(kernel_size // 2), kernel_size // 2 + 1)
+    return np.array(list(itertools.product(r, r, r)), dtype=np.int32)
+
+
+def _linear_keys(coords: jax.Array, spans: jax.Array) -> jax.Array:
+    """Linearize int coords with runtime spans; must match lexicographic order."""
+    c = coords.astype(jnp.int32)
+    return (c[:, 0] * spans[1] + c[:, 1]) * spans[2] + c[:, 2]
+
+
+@partial(jax.jit, static_argnames=("kernel_size",))
+def build_neighbor_table(
+    voxel_coords: jax.Array,  # [M, 3] int32, lexicographically sorted, >= 0
+    voxel_valid: jax.Array,   # [M] bool
+    kernel_size: int = 3,
+) -> jax.Array:
+    """Neighbor table [M, K] int32; entry == M where the neighbor is absent."""
+    M = voxel_coords.shape[0]
+    offsets = jnp.asarray(kernel_offsets_3d(kernel_size))  # [K,3]
+    K = offsets.shape[0]
+
+    maxc = jnp.max(jnp.where(voxel_valid[:, None], voxel_coords, 0), axis=0)
+    spans = maxc + 3  # room for +1 offsets and the shift below
+    keys = _linear_keys(voxel_coords + 1, spans)  # +1 shift keeps targets >= 0
+    # push padded rows beyond any real key so searchsorted never matches them
+    big = jnp.int32(2**31 - 1)
+    keys = jnp.where(voxel_valid, keys, big)
+
+    def one_offset(off):
+        target = _linear_keys(voxel_coords + 1 + off[None, :], spans)
+        pos = jnp.searchsorted(keys, target)
+        pos_c = jnp.clip(pos, 0, M - 1)
+        hit = (keys[pos_c] == target) & voxel_valid & (pos < M)
+        return jnp.where(hit, pos_c, M).astype(jnp.int32)
+
+    table = jax.vmap(one_offset)(offsets)  # [K, M]
+    return table.T  # [M, K]
+
+
+def sparse_conv3(
+    features: jax.Array,      # [M, Cin]
+    neighbor_idx: jax.Array,  # [M, K] int32, sentinel == M
+    weights: jax.Array,       # [K, Cin, Cout]
+    valid: jax.Array,         # [M] bool
+    bias: Optional[jax.Array] = None,  # [Cout]
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """out[i] = sum_k F[nbr[i,k]] @ W[k]  (+ bias), zeros beyond valid rows."""
+    M, Cin = features.shape
+    K, _, Cout = weights.shape
+    f_pad = jnp.concatenate(
+        [features, jnp.zeros((1, Cin), features.dtype)], axis=0
+    )  # sentinel zero row
+
+    def step(acc, k):
+        gathered = f_pad[neighbor_idx[:, k]]  # [M, Cin]
+        acc = acc + jnp.dot(
+            gathered, weights[k], preferred_element_type=accum_dtype
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((M, Cout), accum_dtype)
+    out, _ = jax.lax.scan(step, acc0, jnp.arange(K))
+    if bias is not None:
+        out = out + bias[None, :].astype(accum_dtype)
+    out = jnp.where(valid[:, None], out, 0)
+    return out.astype(features.dtype)
+
+
+def sparse_conv1(
+    features: jax.Array,   # [M, Cin]
+    weight: jax.Array,     # [Cin, Cout]
+    valid: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """1x1x1 sparse conv == plain per-voxel matmul."""
+    out = jnp.dot(features, weight, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias[None, :]
+    return jnp.where(valid[:, None], out, 0).astype(features.dtype)
+
+
+def masked_batch_stats(
+    x: jax.Array, valid: jax.Array, axis_name: Optional[str] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Mean/var over valid rows only; with ``axis_name``, moments are averaged
+    across the mesh axis — the TPU-native SyncBN (reference run/train.py:212-213)."""
+    v = valid[:, None].astype(jnp.float32)
+    count = jnp.sum(v)
+    s1 = jnp.sum(x.astype(jnp.float32) * v, axis=0)
+    s2 = jnp.sum((x.astype(jnp.float32) ** 2) * v, axis=0)
+    if axis_name is not None:
+        count = jax.lax.psum(count, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    count = jnp.maximum(count, 1.0)
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean**2, 0.0)
+    return mean, var

@@ -1,0 +1,140 @@
+"""Geometry-guided pooling vs numpy oracle; contrastive sampler vs reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geopurify_tpu.ops.contrastive import (
+    info_nce_loss,
+    sample_contrastive_pairs_hybrid,
+)
+from geopurify_tpu.ops.pooling import (
+    build_affinity_graph,
+    fixed_degree_spmm,
+    geometry_guided_pooling,
+)
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_affinity_graph_matches_oracle(rng):
+    M, E = 80, 16
+    coords = rng.uniform(size=(M, 3)).astype(np.float32)
+    emb = rng.normal(size=(M, E)).astype(np.float32)
+    k = 8
+    nbr, w = build_affinity_graph(
+        jnp.asarray(emb), jnp.asarray(coords), jnp.ones(M, bool),
+        k=k, sharpen=20.0, query_tile=32, db_chunk=32,
+    )
+    nbr, w = np.asarray(nbr), np.asarray(w)
+    # oracle
+    d2 = ((coords[:, None] - coords[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    o_nbr = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for i in range(M):
+        assert set(nbr[i]) == set(o_nbr[i])
+        aff = e[i] @ e[nbr[i]].T
+        np.testing.assert_allclose(w[i], _softmax(aff * 20.0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(w.sum(1), 1.0, rtol=1e-5)
+
+
+def test_fixed_degree_spmm(rng):
+    M, K, C = 50, 4, 7
+    w = rng.uniform(size=(M, K)).astype(np.float32)
+    nbr = rng.integers(0, M, size=(M, K)).astype(np.int32)
+    f = rng.normal(size=(M, C)).astype(np.float32)
+    out = np.asarray(fixed_degree_spmm(jnp.asarray(w), jnp.asarray(nbr), jnp.asarray(f), row_tile=16))
+    oracle = np.einsum("mk,mkc->mc", w, f[nbr])
+    np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_geometry_guided_pooling_converges_to_smooth(rng):
+    """Pooling over a two-cluster scene sharpens within-cluster agreement."""
+    M = 64
+    coords = np.concatenate([rng.uniform(0, 1, (32, 3)), rng.uniform(5, 6, (32, 3))]).astype(np.float32)
+    emb = np.concatenate([np.tile([1.0, 0.0], (32, 1)), np.tile([0.0, 1.0], (32, 1))])
+    emb += rng.normal(scale=0.01, size=emb.shape)
+    feats = rng.normal(size=(M, 8)).astype(np.float32)
+    out = np.asarray(
+        geometry_guided_pooling(
+            jnp.asarray(emb, jnp.float32), jnp.asarray(feats), jnp.asarray(coords),
+            jnp.ones(M, bool), k=8, sharpen=20.0, num_iterations=19,
+        )
+    )
+    # within-cluster variance shrinks dramatically
+    for sl in (slice(0, 32), slice(32, 64)):
+        assert out[sl].std(0).mean() < 0.25 * feats[sl].std(0).mean()
+
+
+def test_contrastive_sampler_semantics(rng):
+    N, D, K = 600, 12, 16
+    feats = rng.normal(size=(N, D)).astype(np.float32)
+    coords = rng.uniform(size=(N, 3)).astype(np.float32)
+    valid = np.ones(N, bool)
+    valid[-40:] = False
+    d2 = ((coords[:, None] - coords[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    d2[:, ~valid] = np.inf
+    nbr = np.argsort(d2, 1)[:, :K].astype(np.int32)
+
+    A, n_macro, n_micro = 64, 6, 3
+    pairs = sample_contrastive_pairs_hybrid(
+        jax.random.key(0), jnp.asarray(feats), jnp.asarray(valid), jnp.asarray(nbr),
+        num_anchors=A, num_macro=n_macro, num_micro=n_micro,
+        db_chunk=128, anchor_tile=32,
+    )
+    ai = np.asarray(pairs.anchor_idx)
+    pi = np.asarray(pairs.positive_idx)
+    ni = np.asarray(pairs.negative_idx)
+    av = np.asarray(pairs.anchor_valid)
+    assert av.sum() == min(A, valid.sum() // 3)
+    assert valid[ai[av]].all()
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sims = f @ f.T
+    sims[:, ~valid] = -np.inf
+    for j in np.where(av)[0][:16]:
+        a = ai[j]
+        s = sims[a].copy()
+        s[a] = -np.inf
+        assert pi[j] == np.argmax(s), "positive = globally most similar"
+        # macro negatives are the globally least similar (excluding self/pos)
+        s2 = sims[a].copy()
+        s2[a] = np.inf
+        s2[~valid] = np.inf
+        want = set(np.argsort(s2, kind="stable")[:n_macro])
+        got = set(ni[j][:n_macro])
+        # ties can swap order; require large overlap and correct similarity range
+        assert len(want & got) >= n_macro - 1
+        # micro negatives come from the anchor's spatial neighborhood
+        assert set(ni[j][n_macro:]) <= set(nbr[a])
+        assert a not in set(ni[j]) and pi[j] not in set(ni[j])
+
+
+def test_info_nce_matches_cross_entropy(rng):
+    A, E, n_neg = 16, 8, 5
+    a = rng.normal(size=(A, E)).astype(np.float32)
+    p = rng.normal(size=(A, E)).astype(np.float32)
+    n = rng.normal(size=(A, n_neg, E)).astype(np.float32)
+    valid = np.ones(A, bool)
+    loss = float(info_nce_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n), jnp.asarray(valid), 0.07))
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    an, pn, nn_ = norm(a), norm(p), norm(n)
+    logits = np.concatenate(
+        [np.einsum("ae,ae->a", an, pn)[:, None], np.einsum("ae,ane->an", an, nn_)], 1
+    ) / 0.07
+    ce = -(logits[:, 0] - np.log(np.exp(logits).sum(1))).mean()
+    np.testing.assert_allclose(loss, ce, rtol=1e-5)
+
+    # anchor validity masks the mean
+    valid2 = valid.copy()
+    valid2[8:] = False
+    loss2 = float(info_nce_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n), jnp.asarray(valid2), 0.07))
+    ce2 = -(logits[:8, 0] - np.log(np.exp(logits[:8]).sum(1))).mean()
+    np.testing.assert_allclose(loss2, ce2, rtol=1e-5)
