@@ -1,0 +1,177 @@
+"""FocalNet-Large backbone (NHWC, bf16).
+
+TPU-native rebuild of the reference's FocalNet
+(reference third_party/X-Decoder/xdecoder/modeling/backbone/focal.py:44-598,
+config xdecoder_focall_lang.yaml MODEL.BACKBONE.FOCAL): conv patch embed
+(7x7 s4 stem), 4 stages of depths [2,2,18,2] FocalModulation blocks with
+focal_level 4 (depthwise kernels 3/5/7/9 + gated global context),
+LayerScale + PostLN, conv downsampling (3x3 s2) between stages. Outputs
+res2..res5 feature maps at strides 4/8/16/32.
+
+Inference-only: DropPath/Dropout are identity (the teacher is frozen).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geopurify_tpu.models.layers import Mlp
+
+Dtype = Any
+
+
+class PatchEmbed(nn.Module):
+    """Overlapped conv patch embedding: stem 7x7/4 pad2, else 3x3/2 pad1 (+LN)."""
+
+    embed_dim: int
+    is_stem: bool = False
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        if self.is_stem:
+            kernel, stride, pad = (7, 7), (4, 4), ((2, 2), (2, 2))
+        else:
+            kernel, stride, pad = (3, 3), (2, 2), ((1, 1), (1, 1))
+        x = nn.Conv(
+            self.embed_dim, kernel, strides=stride, padding=pad,
+            dtype=self.dtype, name="proj",
+        )(x)
+        if self.use_norm:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return x
+
+
+class FocalModulation(nn.Module):
+    """Hierarchical gated context aggregation (focal.py:44-117)."""
+
+    dim: int
+    focal_level: int = 4
+    focal_window: int = 3
+    focal_factor: int = 2
+    scaling_modulator: bool = True
+    use_postln_in_modulation: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        C = self.dim
+        y = nn.Dense(2 * C + self.focal_level + 1, dtype=self.dtype, name="f")(x)
+        q, ctx, gates = jnp.split(y, [C, 2 * C], axis=-1)
+
+        ctx_all = jnp.zeros_like(ctx)
+        for level in range(self.focal_level):
+            k = self.focal_factor * level + self.focal_window
+            ctx = nn.Conv(
+                C, (k, k), padding="SAME", feature_group_count=C, use_bias=False,
+                dtype=self.dtype, name=f"focal_layers{level}",
+            )(ctx)
+            ctx = nn.gelu(ctx)
+            ctx_all = ctx_all + ctx * gates[..., level : level + 1]
+        ctx_global = nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True))
+        ctx_all = ctx_all + ctx_global * gates[..., self.focal_level :]
+        if self.scaling_modulator:
+            ctx_all = ctx_all / (self.focal_level + 1)
+
+        modulator = nn.Conv(C, (1, 1), dtype=self.dtype, name="h")(ctx_all)
+        out = q * modulator
+        if self.use_postln_in_modulation:
+            out = nn.LayerNorm(dtype=jnp.float32, name="ln")(out).astype(self.dtype)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class FocalModulationBlock(nn.Module):
+    """PostLN + LayerScale block (focal.py:118-195)."""
+
+    dim: int
+    mlp_ratio: float = 4.0
+    focal_level: int = 4
+    focal_window: int = 3
+    use_postln: bool = True
+    use_postln_in_modulation: bool = False
+    scaling_modulator: bool = True
+    use_layerscale: bool = True
+    layerscale_value: float = 1e-4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        gamma_1 = gamma_2 = 1.0
+        if self.use_layerscale:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.layerscale_value), (self.dim,)
+            )
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(self.layerscale_value), (self.dim,)
+            )
+        shortcut = x
+        if not self.use_postln:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = FocalModulation(
+            self.dim, self.focal_level, self.focal_window,
+            scaling_modulator=self.scaling_modulator,
+            use_postln_in_modulation=self.use_postln_in_modulation,
+            dtype=self.dtype, name="modulation",
+        )(x)
+        if self.use_postln:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = shortcut + gamma_1 * x
+
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")
+        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        if self.use_postln:
+            x = x + gamma_2 * norm2(mlp(x)).astype(self.dtype)
+        else:
+            x = x + gamma_2 * mlp(norm2(x).astype(self.dtype))
+        return x
+
+
+class FocalNet(nn.Module):
+    """4-stage FocalNet emitting {"res2".."res5"} NHWC maps (focal.py:340-598)."""
+
+    embed_dim: int = 192
+    depths: Sequence[int] = (2, 2, 18, 2)
+    focal_levels: Sequence[int] = (4, 4, 4, 4)
+    focal_windows: Sequence[int] = (3, 3, 3, 3)
+    mlp_ratio: float = 4.0
+    use_conv_embed: bool = True
+    use_postln: bool = True
+    use_postln_in_modulation: bool = False
+    scaling_modulator: bool = True
+    use_layerscale: bool = True
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:  # [B,H,W,3]
+        x = PatchEmbed(self.embed_dim, is_stem=True, dtype=self.dtype, name="patch_embed")(x)
+        outs: Dict[str, jax.Array] = {}
+        num_layers = len(self.depths)
+        for i in range(num_layers):
+            dim = self.embed_dim * (2 ** i)
+            for b in range(self.depths[i]):
+                x = FocalModulationBlock(
+                    dim,
+                    mlp_ratio=self.mlp_ratio,
+                    focal_level=self.focal_levels[i],
+                    focal_window=self.focal_windows[i],
+                    use_postln=self.use_postln,
+                    use_postln_in_modulation=self.use_postln_in_modulation,
+                    scaling_modulator=self.scaling_modulator,
+                    use_layerscale=self.use_layerscale,
+                    dtype=self.dtype,
+                    name=f"layers{i}_blocks{b}",
+                )(x)
+            if i in self.out_indices:
+                out = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(x)
+                outs[f"res{i + 2}"] = out.astype(self.dtype)
+            if i < num_layers - 1:
+                x = PatchEmbed(
+                    2 * dim, is_stem=False, dtype=self.dtype, name=f"layers{i}_downsample"
+                )(x)
+        return outs

@@ -1,0 +1,253 @@
+"""Shared transformer / conv building blocks (NHWC, bf16-friendly).
+
+Covers the primitives the reference composes from torch.nn + detectron2:
+sine position embeddings, DETR-style pre/post-norm attention layers, MLPs,
+GroupNorm'd convs. All modules take an optional ``dtype`` for bf16 compute
+with f32 params.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def position_embedding_sine(
+    h: int, w: int, num_pos_feats: int, temperature: float = 10000.0,
+    normalize: bool = True, scale: Optional[float] = None, dtype=jnp.float32,
+) -> jax.Array:
+    """2D sine positional encoding, [H, W, 2*num_pos_feats] (DETR PositionEmbeddingSine)."""
+    if scale is None:
+        scale = 2 * math.pi
+    y_embed = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=0)
+    x_embed = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=1)
+    if normalize:
+        eps = 1e-6
+        y_embed = y_embed / (y_embed[-1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_x = x_embed[:, :, None] / dim_t
+    pos_y = y_embed[:, :, None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[:, :, 0::2]), jnp.cos(pos_x[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[:, :, 0::2]), jnp.cos(pos_y[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    act: Callable = nn.gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class MLPHead(nn.Module):
+    """num_layers-deep ReLU MLP (the reference's MLP prediction head)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layers{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name=f"layers{self.num_layers - 1}")(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Explicit MHA with additive or boolean masks.
+
+    Boolean mask semantics follow torch: True = BLOCKED. Softmax runs in f32.
+    """
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask: Optional[jax.Array] = None):
+        """q [B,Lq,C], k/v [B,Lk,C]; mask broadcastable to [B,H,Lq,Lk] bool (True=block)."""
+        d = self.dim // self.num_heads
+        wq = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(q)
+        wk = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(k)
+        wv = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(v)
+
+        def split(x):
+            b, l, _ = x.shape
+            return x.reshape(b, l, self.num_heads, d).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(wq), split(wk), split(wv)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / math.sqrt(d)
+        if mask is not None:
+            logits = jnp.where(mask, -jnp.inf, logits)
+        attn = jax.nn.softmax(logits, axis=-1)
+        # fully-masked rows produce NaN; zero them (torch returns NaN too but the
+        # reference unmasks such rows upstream — we stay safe regardless)
+        attn = jnp.nan_to_num(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.dtype), vh)
+        out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[1], self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class SelfAttentionLayer(nn.Module):
+    """DETR-style self-attention layer; pos added to q,k only (interface/modules)."""
+
+    dim: int
+    num_heads: int
+    pre_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos=None, tgt_mask=None):
+        def attn_block(x):
+            q = k = x if query_pos is None else x + query_pos
+            return MultiHeadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(
+                q, k, x, mask=tgt_mask
+            )
+
+        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        if self.pre_norm:
+            return tgt + attn_block(norm(tgt))
+        return norm(tgt + attn_block(tgt)).astype(self.dtype)
+
+
+class CrossAttentionLayer(nn.Module):
+    dim: int
+    num_heads: int
+    pre_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask=None, pos=None, query_pos=None):
+        def attn_block(x):
+            q = x if query_pos is None else x + query_pos
+            k = memory if pos is None else memory + pos
+            return MultiHeadAttention(self.dim, self.num_heads, self.dtype, name="multihead_attn")(
+                q, k, memory, mask=memory_mask
+            )
+
+        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        if self.pre_norm:
+            return tgt + attn_block(norm(tgt))
+        return norm(tgt + attn_block(tgt)).astype(self.dtype)
+
+
+class FFNLayer(nn.Module):
+    dim: int
+    hidden_dim: int
+    pre_norm: bool = False
+    act: Callable = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def ffn(y):
+            y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear1")(y)
+            y = self.act(y)
+            return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
+
+        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        if self.pre_norm:
+            return x + ffn(norm(x))
+        return norm(x + ffn(x)).astype(self.dtype)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm DETR encoder layer: q=k=src+pos, v=src, then FFN."""
+
+    dim: int
+    num_heads: int
+    hidden_dim: int
+    pre_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos=None):
+        def attn_block(x):
+            q = k = x if pos is None else x + pos
+            return MultiHeadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(q, k, x)
+
+        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+
+        def ffn(y):
+            y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear1")(y)
+            y = nn.relu(y)
+            return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
+
+        if self.pre_norm:
+            src = src + attn_block(norm1(src))
+            src = src + ffn(norm2(src))
+            return src
+        src = norm1(src + attn_block(src)).astype(self.dtype)
+        src = norm2(src + ffn(src)).astype(self.dtype)
+        return src
+
+
+class ConvGN(nn.Module):
+    """Conv2D (NHWC) + optional GroupNorm(32) + optional ReLU — detectron2's Conv2d."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    use_gn: bool = True
+    relu: bool = False
+    use_bias: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bias = (not self.use_gn) if self.use_bias is None else self.use_bias
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.stride, padding="SAME",
+            use_bias=bias, dtype=self.dtype, name="conv",
+        )(x)
+        if self.use_gn:
+            x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """NHWC nearest-neighbor resize (FPN upsampling)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="nearest")
+
+
+def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear")
+
+
+def resize_bicubic_antialias(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bicubic resize with antialiasing on downscale — the semantics of the
+    reference's F.interpolate(mode='bicubic', antialias=True)
+    (affinity_module.py:527-533, interface/xdecoder.py:448-452).
+
+    jax.image.resize('cubic') uses the Keys kernel (a=-0.5) vs torch's a=-0.75;
+    the resulting masks agree after the 0.5-sigmoid threshold (validated in
+    tests against scipy oracles).
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(
+        x.astype(jnp.float32), (b, out_hw[0], out_hw[1], c), method="cubic", antialias=True
+    ).astype(x.dtype)

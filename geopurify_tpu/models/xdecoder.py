@@ -1,0 +1,242 @@
+"""X-Decoder query decoder + assembled 2D teacher (seg inference path).
+
+TPU-native rebuild of the reference's XDecoder interface and
+GeneralizedXdecoder.forward_seg_all (reference third_party/X-Decoder/xdecoder/
+modeling/interface/xdecoder.py:25-533, architectures/xdecoder_model.py:374-453):
+
+- 201 learned queries (200 object + 1 latent class token), learned query PE,
+  3-level memory with level embeddings and sine PE;
+- 9 rounds of masked cross-attention (rotating scales) -> self-attention with a
+  structured mask isolating the class token -> FFN;
+- prediction heads each round: LayerNorm'd queries; class token re-aggregated as
+  a similarity-weighted sum over object tokens; class embedding projected to the
+  512-d joint space and scored against text embeddings by scaled cosine;
+  mask embeddings via 3-layer MLP einsum'd with stride-4 mask features; the
+  next round's attention mask is the bicubic-antialias-resized sigmoid mask
+  thresholded at 0.5 (rows that mask everything are unmasked).
+
+Everything is static-shape and jit-compiled once per image resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geopurify_tpu.config import XDecoderConfig
+from geopurify_tpu.models.focalnet import FocalNet
+from geopurify_tpu.models.layers import (
+    CrossAttentionLayer,
+    FFNLayer,
+    MLPHead,
+    SelfAttentionLayer,
+    position_embedding_sine,
+    resize_bicubic_antialias,
+)
+from geopurify_tpu.models.pixel_decoder import TransformerEncoderPixelDecoder
+
+Dtype = Any
+
+
+def _structured_self_attn_mask(num_queries: int) -> np.ndarray:
+    """[Q,Q] bool, True=blocked: object queries and the class token are mutually
+    isolated (interface/xdecoder.py:147-152)."""
+    m = np.zeros((num_queries, num_queries), bool)
+    m[: num_queries - 1, num_queries - 1 :] = True
+    m[num_queries - 1 :, : num_queries - 1] = True
+    return m
+
+
+class XDecoderHead(nn.Module):
+    """Query decoder over pixel-decoder outputs (seg task only)."""
+
+    hidden_dim: int = 512
+    dim_proj: int = 512
+    num_queries: int = 201
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    mask_dim: int = 512
+    pre_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        multi_scale: List[jax.Array],     # 3 NHWC maps, lowest-res first
+        mask_features: jax.Array,         # [B, H4, W4, mask_dim]
+        text_embeddings: jax.Array,       # [n_cls(+1), dim_proj] L2-normalized
+        logit_scale: jax.Array,           # [] (already exp'd)
+    ) -> Dict[str, jax.Array]:
+        B = mask_features.shape[0]
+        Q = self.num_queries
+        C = self.hidden_dim
+        num_levels = len(multi_scale)
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (num_levels, C)
+        )
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (Q, C)
+        )
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (Q, C)
+        )
+        class_proj = self.param(
+            "class_embed", nn.initializers.truncated_normal(0.02),
+            (C, self.dim_proj),
+        )
+        mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        decoder_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
+
+        srcs, poss, sizes = [], [], []
+        for i, x in enumerate(multi_scale):
+            b, h, w, c = x.shape
+            sizes.append((h, w))
+            pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
+            poss.append(jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C))
+            srcs.append(x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype))
+
+        self_mask = jnp.asarray(_structured_self_attn_mask(Q))[None, None]  # [1,1,Q,Q]
+
+        mf = mask_features.astype(jnp.float32)
+        text_t = text_embeddings.astype(jnp.float32)
+
+        def prediction_heads(output: jax.Array, target_size: Tuple[int, int]):
+            dec = decoder_norm(output).astype(jnp.float32)          # [B,Q,C]
+            ndec = dec / (jnp.linalg.norm(dec, axis=-1, keepdims=True) + 1e-7)
+            obj_tok = ndec[:, : Q - 1]
+            cls_tok = ndec[:, Q - 1 : Q]
+            sim = jax.nn.softmax(
+                jnp.einsum("bic,bqc->biq", cls_tok, obj_tok), axis=-1
+            )[:, 0, :, None]
+            cls_re = jnp.sum(sim * dec[:, : Q - 1], axis=1, keepdims=True)
+            dec_out = jnp.concatenate([dec[:, : Q - 1], cls_re], axis=1)  # [B,Q,C]
+
+            class_embed = dec_out @ class_proj                        # [B,Q,dim_proj]
+            v = class_embed / (jnp.linalg.norm(class_embed, axis=-1, keepdims=True) + 1e-7)
+            outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
+
+            m_emb = mask_mlp(dec_out.astype(self.dtype)).astype(jnp.float32)
+            outputs_mask = jnp.einsum("bqc,bhwc->bqhw", m_emb, mf)    # stride-4 masks
+
+            # next-round attention mask at the target scale
+            am = resize_bicubic_antialias(
+                outputs_mask.transpose(0, 2, 3, 1), target_size
+            ).transpose(0, 3, 1, 2)                                   # [B,Q,h,w]
+            am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5           # True=block
+            # unmask rows that block everything (xdecoder.py:262)
+            all_blocked = jnp.all(am, axis=-1, keepdims=True)
+            am = am & ~all_blocked
+            # class token attends everywhere (xdecoder.py:460)
+            q_is_cls = (jnp.arange(Q) == Q - 1)[None, :, None]
+            am = am & ~q_is_cls
+            attn_mask = am[:, None]                                   # [B,1,Q,HW]
+            return outputs_class, outputs_mask, class_embed, attn_mask
+
+        output = jnp.broadcast_to(query_feat[None], (B, Q, C)).astype(self.dtype)
+        qpe = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
+
+        outputs_class, outputs_mask, class_embed, attn_mask = prediction_heads(
+            output, sizes[0]
+        )
+        for i in range(self.dec_layers):
+            level = i % num_levels
+            output = CrossAttentionLayer(
+                C, self.nheads, self.pre_norm, self.dtype,
+                name=f"cross_attn{i}",
+            )(output, srcs[level], memory_mask=attn_mask, pos=poss[level], query_pos=qpe)
+            output = SelfAttentionLayer(
+                C, self.nheads, self.pre_norm, self.dtype, name=f"self_attn{i}"
+            )(output, query_pos=qpe, tgt_mask=self_mask)
+            output = FFNLayer(
+                C, self.dim_feedforward, self.pre_norm, dtype=self.dtype,
+                name=f"ffn{i}",
+            )(output)
+            outputs_class, outputs_mask, class_embed, attn_mask = prediction_heads(
+                output, sizes[(i + 1) % num_levels]
+            )
+
+        # slice 201 -> 200 object queries (xdecoder_model.py:408-453)
+        return {
+            "pred_logits": outputs_class[:, : Q - 1],
+            "pred_masks": outputs_mask[:, : Q - 1],
+            "mask_embed": class_embed[:, : Q - 1],
+            "cls_logits": outputs_class[:, Q - 1],
+        }
+
+
+class XDecoderSegModel(nn.Module):
+    """Backbone + pixel decoder + query decoder — forward_seg_all equivalent.
+
+    Text embeddings are precomputed offline (see models/lang.embed_class_names)
+    and passed as an argument: the frozen text tower never rides the per-view
+    hot loop, which is the TPU-friendly restructuring of the reference's cached
+    ``default_text_embeddings`` buffer.
+    """
+
+    cfg: XDecoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,            # [B,H,W,3] raw RGB (0..255 scale)
+        text_embeddings: jax.Array,   # [n_cls+1, dim_proj], background last
+        logit_scale: jax.Array,       # [] already exp'd
+    ) -> Dict[str, jax.Array]:
+        c = self.cfg
+        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        mean = jnp.asarray(c.pixel_mean, jnp.float32)
+        std = jnp.asarray(c.pixel_std, jnp.float32)
+        x = (images.astype(jnp.float32) - mean) / std
+
+        # pad to size_divisibility (ImageList.from_tensors, xdecoder_model.py:375-377)
+        H, W = x.shape[1:3]
+        div = c.size_divisibility
+        Hp = -(-H // div) * div
+        Wp = -(-W // div) * div
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+
+        feats = FocalNet(
+            embed_dim=c.backbone.embed_dim,
+            depths=tuple(c.backbone.depths),
+            focal_levels=tuple(c.backbone.focal_levels),
+            focal_windows=tuple(c.backbone.focal_windows),
+            mlp_ratio=c.backbone.mlp_ratio,
+            use_postln=c.backbone.use_postln,
+            use_postln_in_modulation=c.backbone.use_postln_in_modulation,
+            scaling_modulator=c.backbone.scaling_modulator,
+            use_layerscale=c.backbone.use_layerscale,
+            dtype=dtype,
+            name="backbone",
+        )(x.astype(dtype))
+
+        mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
+            conv_dim=c.conv_dim,
+            mask_dim=c.mask_dim,
+            num_enc_layers=c.enc_layers,
+            num_heads=c.nheads,
+            dim_feedforward=c.dim_feedforward,
+            pre_norm=c.pre_norm,
+            dtype=dtype,
+            name="pixel_decoder",
+        )(feats)
+
+        out = XDecoderHead(
+            hidden_dim=c.hidden_dim,
+            dim_proj=c.hidden_dim,
+            num_queries=c.num_queries,
+            nheads=c.nheads,
+            dim_feedforward=c.dim_feedforward,
+            dec_layers=c.dec_layers,
+            mask_dim=c.mask_dim,
+            pre_norm=c.pre_norm,
+            dtype=dtype,
+            name="predictor",
+        )(multi_scale, mask_features, text_embeddings, logit_scale)
+        out["padded_hw"] = jnp.asarray([Hp, Wp])
+        return out
