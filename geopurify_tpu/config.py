@@ -171,7 +171,7 @@ class SonataConfig:
     them; serialized (space-filling-curve) patch attention.
     """
 
-    in_channels: int = 9                  # coord-normalized color+normal+height
+    in_channels: int = 6                  # color || normal (sonata.transform.default)
     enc_depths: Tuple[int, ...] = _tuple_field(3, 3, 3, 12, 3)
     enc_channels: Tuple[int, ...] = _tuple_field(48, 96, 192, 384, 512)
     enc_num_head: Tuple[int, ...] = _tuple_field(3, 6, 12, 24, 32)

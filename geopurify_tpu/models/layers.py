@@ -221,7 +221,8 @@ class ConvGN(nn.Module):
             use_bias=bias, dtype=self.dtype, name="conv",
         )(x)
         if self.use_gn:
-            x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            groups = math.gcd(32, self.features)  # 32 in production; tiny test dims divide down
+            x = nn.GroupNorm(num_groups=groups, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         if self.relu:
             x = nn.relu(x)
         return x

@@ -1,0 +1,152 @@
+"""Multi-view 2D->3D feature lifting + cross-view consensus fusion.
+
+TPU-native re-design of the reference's lift_xdecoder_features
+(reference models/affinity_module.py:455-714). Key restructurings:
+
+- The reference's per-query python loop over kept masks collapses to a single
+  gather: because mask-id assignment is an argmax over queries, every pixel is
+  covered by at most ONE query (affinity_module.py:560-593), so the per-point
+  feature is ``mask_embed[mask_ids[px]]`` gated by its sigmoid >= 0.5. The
+  mask_area/original_area keep-filters are implied (empty masks never win an
+  argmax).
+- The per-point python dict of view records (point_info) becomes two fixed
+  passes over a [V, Pv, C] feature buffer: (1) scatter-add view logits into
+  per-scene-point sums to get the consensus class, (2) a running top-3
+  agreement merge producing softmax-weighted fused features — identical math
+  to the reference's chunked padded fusion (affinity_module.py:647-685).
+- KDTree hole-fills become on-device brute-force nearest_fill (ops/knn.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from geopurify_tpu.ops.knn import nearest_fill
+from geopurify_tpu.ops.segment import segment_sum
+from geopurify_tpu.models.layers import resize_bicubic_antialias
+
+
+class ViewLift(NamedTuple):
+    features: jax.Array   # [Pv, C] L2-normalized per-point features (0 if unseen)
+    logits: jax.Array     # [Pv, n_cls] scaled cosine logits vs text
+
+
+@partial(jax.jit, static_argnames=("mask_shape",))
+def lift_view_features(
+    pred_masks: jax.Array,     # [Q, h, w] stride-4 mask logits (padded-image grid)
+    mask_embed: jax.Array,     # [Q, C]
+    pred_logits: jax.Array,    # [Q, n_cls+1]
+    rows: jax.Array,           # [Pv] pixel row of each view point (mask_shape space)
+    cols: jax.Array,           # [Pv]
+    pv_valid: jax.Array,       # [Pv] bool
+    view_coords: jax.Array,    # [Pv, 3] coords for the hole fill
+    text_embeddings: jax.Array,  # [n_cls, C] L2-normalized (background excluded)
+    logit_scale: jax.Array,    # []
+    mask_shape: Tuple[int, int],  # (H, W)
+) -> ViewLift:
+    """Single-view mask assembly -> per-point features -> hole fill -> logits."""
+    H, W = mask_shape
+    # straight resize of the padded-grid masks to mask_shape — the reference
+    # interpolates without un-padding (affinity_module.py:527-533); parity kept.
+    masks = resize_bicubic_antialias(
+        pred_masks.transpose(1, 2, 0)[None], (H, W)
+    )[0].transpose(2, 0, 1)                                   # [Q, H, W] f32
+
+    probs = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    scores = jnp.max(probs[..., :-1], axis=-1)                # [Q]
+    sig = jax.nn.sigmoid(masks)                               # [Q, H, W]
+    prob_masks = scores[:, None, None] * sig
+    mask_ids = jnp.argmax(prob_masks, axis=0)                 # [H, W]
+
+    r = jnp.clip(rows, 0, H - 1)
+    c = jnp.clip(cols, 0, W - 1)
+    winner = mask_ids[r, c]                                   # [Pv]
+    covered = (sig[winner, r, c] >= 0.5) & pv_valid
+    feats = jnp.where(
+        covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0
+    )                                                         # [Pv, C]
+
+    # per-view nearest fill for visible-but-uncovered points (ref :604-625)
+    feats = nearest_fill(feats, view_coords.astype(jnp.float32), covered, pv_valid)
+    feats = jnp.where(pv_valid[:, None], feats, 0.0)
+
+    norm = jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+    feats = feats / norm
+    logits = logit_scale * feats @ text_embeddings.astype(jnp.float32).T
+    return ViewLift(feats, logits)
+
+
+@partial(jax.jit, static_argnames=("num_points", "top_k"))
+def fuse_views(
+    view_feats: jax.Array,       # [V, Pv, C]
+    view_logits: jax.Array,      # [V, Pv, n_cls]
+    view_point_ids: jax.Array,   # [V, Pv] int32 scene-point id, == num_points pad
+    view_point_valid: jax.Array, # [V, Pv] bool
+    num_points: int,
+    top_k: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-view consensus fusion (ref :647-685).
+
+    Returns (fused_features [P, C], view_count [P]).
+    """
+    V, Pv, C = view_feats.shape
+    n_cls = view_logits.shape[-1]
+    flat_ids = jnp.where(view_point_valid, view_point_ids, num_points).reshape(-1)
+
+    sum_logits = segment_sum(
+        view_logits.reshape(-1, n_cls).astype(jnp.float32), flat_ids, num_points
+    )
+    count = segment_sum(
+        view_point_valid.reshape(-1, 1).astype(jnp.float32), flat_ids, num_points
+    )[:, 0]
+    consensus = jnp.argmax(sum_logits / jnp.maximum(count, 1.0)[:, None], axis=-1)
+
+    # running top-k agreement merge over views
+    top_scores0 = jnp.full((num_points + 1, top_k), -jnp.inf)
+    top_feats0 = jnp.zeros((num_points + 1, top_k, C), jnp.float32)
+    consensus_pad = jnp.concatenate([consensus, jnp.zeros((1,), consensus.dtype)])
+
+    def merge_view(carry, v):
+        ts, tf = carry
+        ids = jnp.where(view_point_valid[v], view_point_ids[v], num_points)
+        agree = view_logits[v][jnp.arange(Pv), consensus_pad[ids]]
+        agree = jnp.where(view_point_valid[v], agree, -jnp.inf)     # [Pv]
+        cur_s = ts[ids]                                             # [Pv, k]
+        cur_f = tf[ids]                                             # [Pv, k, C]
+        cat_s = jnp.concatenate([cur_s, agree[:, None]], axis=1)    # [Pv, k+1]
+        cat_f = jnp.concatenate(
+            [cur_f, view_feats[v].astype(jnp.float32)[:, None]], axis=1
+        )
+        new_s, arg = jax.lax.top_k(cat_s, top_k)
+        new_f = jnp.take_along_axis(cat_f, arg[:, :, None], axis=1)
+        ts = ts.at[ids].set(new_s, mode="drop")
+        tf = tf.at[ids].set(new_f, mode="drop")
+        return (ts, tf), None
+
+    (top_scores, top_feats), _ = jax.lax.scan(
+        merge_view, (top_scores0, top_feats0), jnp.arange(V)
+    )
+    top_scores = top_scores[:num_points]
+    top_feats = top_feats[:num_points]
+
+    w = jax.nn.softmax(
+        jnp.where(jnp.isfinite(top_scores), top_scores, -jnp.inf), axis=-1
+    )
+    w = jnp.where(jnp.isfinite(top_scores), w, 0.0)
+    fused = jnp.einsum("pk,pkc->pc", w, top_feats)
+    fused = jnp.where(count[:, None] > 0, fused, 0.0)
+    return fused, count
+
+
+def fill_unseen_points(
+    fused: jax.Array,        # [P, C]
+    points: jax.Array,       # [P, 3]
+    count: jax.Array,        # [P] views per point
+    point_valid: jax.Array,  # [P] bool
+) -> jax.Array:
+    """Global nearest fill for never-seen points (ref :687-696)."""
+    return nearest_fill(fused, points.astype(jnp.float32), count > 0, point_valid)

@@ -18,7 +18,7 @@ similarity matrix, without materializing it.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,20 +37,25 @@ def _normalize(x, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
-@partial(jax.jit, static_argnames=("num_anchors", "num_macro", "num_micro", "db_chunk", "anchor_tile"))
+@partial(jax.jit, static_argnames=("num_anchors", "num_macro", "num_micro", "spatial_k", "db_chunk", "anchor_tile"))
 def sample_contrastive_pairs_hybrid(
     rng: jax.Array,
     teacher_feats: jax.Array,     # [N, D]
     valid: jax.Array,             # [N] bool
-    neighbor_idx: jax.Array,      # [N, K] spatial kNN (self excluded)
+    neighbor_idx: Optional[jax.Array] = None,  # [N, K] spatial kNN (self excluded)
+    coords: Optional[jax.Array] = None,        # [N, 3]; kNN computed for anchors only
     num_anchors: int = 4096,
     num_macro: int = 48,
     num_micro: int = 15,
+    spatial_k: int = 96,
     db_chunk: int = 8192,
     anchor_tile: int = 512,
 ) -> ContrastivePairs:
+    """Either pass a precomputed full-N ``neighbor_idx`` (the reference's faiss
+    pattern, affinity_module.py:1159-1165) or raw ``coords`` — in which case the
+    spatial kNN is computed for the anchors only, an O(A*N) instead of O(N^2)
+    restructuring with identical sampling semantics."""
     N, D = teacher_feats.shape
-    K = neighbor_idx.shape[1]
     f = _normalize(teacher_feats.astype(jnp.float32))
     f = jnp.where(valid[:, None], f, 0.0)
 
@@ -62,6 +67,19 @@ def sample_contrastive_pairs_hybrid(
     cap = jnp.minimum(num_anchors, n_valid // 3)
     anchor_valid = jnp.arange(num_anchors) < cap
 
+    if neighbor_idx is None:
+        if coords is None:
+            raise ValueError("pass either neighbor_idx or coords")
+        from geopurify_tpu.ops.knn import knn_search
+
+        _, anchor_nbr_full = knn_search(
+            coords.astype(jnp.float32)[anchor_idx], coords.astype(jnp.float32),
+            valid, k=spatial_k, query_ids=anchor_idx,
+            exclude_identical_index=True, db_chunk=db_chunk,
+        )  # [A, K]
+    else:
+        anchor_nbr_full = neighbor_idx[anchor_idx]
+
     n_dc = -(-N // db_chunk)
     Np = n_dc * db_chunk
     f_pad = jnp.pad(f, ((0, Np - N), (0, 0)))
@@ -70,8 +88,10 @@ def sample_contrastive_pairs_hybrid(
     n_at = -(-num_anchors // anchor_tile)
     Ap = n_at * anchor_tile
     aidx_pad = jnp.pad(anchor_idx, (0, Ap - num_anchors))
+    anbr_pad = jnp.pad(anchor_nbr_full, ((0, Ap - num_anchors), (0, 0)))
 
-    def one_tile(aidx):                      # [T]
+    def one_tile(args):                      # ([T], [T, K])
+        aidx, nb = args
         fa = f[aidx]                         # [T, D]
 
         def scan_chunk(carry, c):
@@ -121,7 +141,6 @@ def sample_contrastive_pairs_hybrid(
         macro = jnp.take_along_axis(worst_i, perm, axis=1)[:, :num_macro]
 
         # micro negatives: hardest (least similar) among spatial kNN
-        nb = neighbor_idx[aidx]              # [T, K]
         sims_local = jnp.einsum("td,tkd->tk", fa, f[nb])
         is_pos = nb == pos_i[:, None]
         is_self_nb = nb == aidx[:, None]
@@ -130,7 +149,11 @@ def sample_contrastive_pairs_hybrid(
         micro = jnp.take_along_axis(nb, hard, axis=1)
         return pos_i, jnp.concatenate([macro, micro], axis=1)
 
-    pos_i, neg_i = jax.lax.map(one_tile, aidx_pad.reshape(n_at, anchor_tile))
+    pos_i, neg_i = jax.lax.map(
+        one_tile,
+        (aidx_pad.reshape(n_at, anchor_tile),
+         anbr_pad.reshape(n_at, anchor_tile, -1)),
+    )
     pos_i = pos_i.reshape(Ap)[:num_anchors]
     neg_i = neg_i.reshape(Ap, num_macro + num_micro)[:num_anchors]
     return ContrastivePairs(anchor_idx, pos_i, neg_i, anchor_valid)
