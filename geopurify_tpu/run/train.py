@@ -1,0 +1,270 @@
+"""Stage-1 training entry — geometric distillation of the student.
+
+TPU-native re-design of the reference trainer (reference run/train.py:65-399):
+- data parallelism over the `data` mesh axis via shard_map: one scene per
+  device per step, grads pmean'd (≙ DDP allreduce, run/train.py:206-208), BN
+  moments psum'd in-layer (≙ the two SyncBN conversions :212-213);
+- AdamW with 3-tier LRs + warmup-cosine (run/optim.py);
+- orbax checkpoint/resume of student params, batch stats, optimizer state,
+  step and RNG (≙ run/train.py:215-263, 371-391);
+- teacher features (X-Decoder lift + Sonata) are computed outside the
+  differentiated step — they are frozen inputs, exactly the reference's
+  torch.no_grad blocks (affinity_module.py:1139-1167).
+
+Usage:
+  python -m geopurify_tpu.run.train --preset scannet --data-root ... [k=v ...]
+  python -m geopurify_tpu.run.train --synthetic --epochs 2   # smoke mode
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from geopurify_tpu.config import GeoPurifyConfig, load_config
+from geopurify_tpu.data.batch import SceneBatch
+from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+from geopurify_tpu.parallel.mesh import make_mesh
+from geopurify_tpu.run.optim import make_optimizer
+from geopurify_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+log = logging.getLogger("geopurify.train")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(pipeline: GeoPurifyPipeline, tx, mesh: Mesh, data_axis: str):
+    """Returns a jitted shard_map step: scenes sharded over `data`, state replicated."""
+
+    def device_step(state: TrainState, scene: SceneBatch, f2d, f_teacher, rng):
+        # leading per-device dim of 1 -> squeeze
+        scene = jax.tree_util.tree_map(lambda x: x[0], scene)
+        f2d = f2d[0]
+        f_teacher = f_teacher[0]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, updates = pipeline.stage1_loss(
+                variables, rng, scene, f2d, f_teacher, train=True
+            )
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        new_stats = jax.lax.pmean(new_stats, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_stats, opt_state, state.step + 1), loss
+
+    mapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def stack_scenes(scenes) -> Any:
+    """Stack a list of SceneBatch pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+# ---------------------------------------------------------------------------
+# Entry
+# ---------------------------------------------------------------------------
+
+def build_pipeline(cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True):
+    """Construct the pipeline with (randomly initialized or converted) frozen
+    teachers and text embeddings for the configured label space."""
+    from geopurify_tpu.models.lang import (
+        HashTokenizer,
+        LanguageEncoder,
+        build_tokenizer,
+        embed_class_names,
+    )
+    from geopurify_tpu.models.sonata import SonataTeacher
+    from geopurify_tpu.models.xdecoder import XDecoderSegModel
+
+    n_cls = len(cfg.data.all_label)
+    tk = build_tokenizer(cfg.text.tokenizer_vocab, cfg.text.context_length)
+    lang = LanguageEncoder(
+        vocab_size=cfg.text.vocab_size, width=cfg.text.width,
+        layers=cfg.text.layers, heads=cfg.text.heads,
+        context_length=cfg.text.context_length, dim_proj=cfg.text.dim_proj,
+    )
+    ids, _ = tk(["init"])
+    lang_vars = lang.init(rng_key, jnp.asarray(ids))
+    text = jnp.asarray(
+        embed_class_names(
+            lambda v, i: lang.apply(v, i), lang_vars, tk,
+            list(cfg.data.all_label), use_templates=cfg.text.prompt_eng,
+        )
+    )
+    logit_scale = jnp.exp(lang.apply(lang_vars, method=lambda m: m.logit_scale))
+
+    model = XDecoderSegModel(cfg.xdecoder)
+    H, W = cfg.xdecoder.mask_shape
+    dummy = jnp.zeros((1, H, W, 3))
+    tparams = model.init(rng_key, dummy, text, logit_scale)
+
+    sc = cfg.sonata
+    sonata = SonataTeacher(
+        in_channels=sc.in_channels, enc_depths=tuple(sc.enc_depths),
+        enc_channels=tuple(sc.enc_channels), enc_num_head=tuple(sc.enc_num_head),
+        enc_patch_size=tuple(sc.enc_patch_size), upcast_levels=sc.upcast_levels,
+    )
+    # init sonata with a dummy scene (param shapes are size-independent);
+    # converted weights overwrite these when a released checkpoint is supplied
+    n_d = 64
+    dcoords = jnp.stack(
+        [jnp.arange(n_d, dtype=jnp.int32)] * 3, axis=1
+    ) % 8
+    order = jnp.lexsort((dcoords[:, 2], dcoords[:, 1], dcoords[:, 0]))
+    sparams = sonata.init(
+        rng_key,
+        jnp.zeros((n_d, sc.in_channels)),
+        dcoords[order],
+        jnp.ones((n_d,), bool),
+        jnp.arange(n_d, dtype=jnp.int32),
+        jnp.ones((n_d,), bool),
+    )
+    return GeoPurifyPipeline(
+        cfg=cfg, teacher_params=tparams, text_embeddings=text,
+        logit_scale=logit_scale, sonata_params=sparams,
+    ), sonata
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="scannet")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s",
+    )
+    cfg = load_config(args.preset, overrides=args.overrides, yaml_path=args.config)
+    if args.epochs:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+
+    key = jax.random.key(cfg.train.manual_seed)
+    mesh = make_mesh(dp=cfg.parallel.dp, tp=cfg.parallel.tp)
+    n_dp = mesh.shape[cfg.parallel.data_axis]
+    log.info("mesh: %s (dp=%d)", mesh, n_dp)
+
+    pipeline, sonata = build_pipeline(cfg, key)
+
+    # data
+    if args.synthetic:
+        from geopurify_tpu.data.synthetic import make_scene_batch
+
+        scenes = [
+            make_scene_batch(seed=i, n_points=1500, n_views=2)
+            for i in range(max(2, n_dp))
+        ]
+    else:
+        from geopurify_tpu.data.loaders import SceneDataset
+
+        ds = SceneDataset(cfg, split="train")
+        scenes = None  # streamed below
+
+    # student init
+    s = cfg.student
+    dummy_feats = jnp.zeros((8, s.input_dim))
+    dummy_nbr = jnp.full((8, 27), 8, jnp.int32)
+    student_vars = pipeline.student.init(
+        key, dummy_feats, dummy_nbr, jnp.ones(8, bool), train=False
+    )
+    steps_per_epoch = args.steps_per_epoch or (
+        len(scenes) if scenes is not None else len(ds)
+    ) * cfg.data.loop // max(n_dp, 1)
+    tx, schedule = make_optimizer(cfg.train, student_vars["params"], steps_per_epoch)
+    state = TrainState(
+        params=student_vars["params"],
+        batch_stats=student_vars["batch_stats"],
+        opt_state=tx.init(student_vars["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    ckpt_dir = os.path.join(cfg.train.save_path, "ckpt")
+    if cfg.train.resume:
+        restored, step = restore_checkpoint(cfg.train.resume, state._asdict())
+        if restored is not None:
+            state = TrainState(**restored)
+            log.info("resumed from step %d", step)
+
+    train_step = make_train_step(pipeline, tx, mesh, cfg.parallel.data_axis)
+    metrics_path = os.path.join(cfg.train.save_path, "metrics.jsonl")
+    os.makedirs(cfg.train.save_path, exist_ok=True)
+
+    t0 = time.time()
+    step_count = int(state.step)
+    for epoch in range(cfg.train.epochs):
+        for it in range(steps_per_epoch):
+            # assemble one scene per data-parallel device
+            batch_scenes = []
+            f2ds, fts = [], []
+            for d in range(n_dp):
+                sc_batch = (
+                    scenes[(it * n_dp + d) % len(scenes)]
+                    if scenes is not None
+                    else ds.next_scene()
+                )
+                f2d = pipeline.lift_scene(sc_batch).features
+                ft = pipeline.teacher_point_features(sc_batch)
+                batch_scenes.append(sc_batch)
+                f2ds.append(f2d)
+                fts.append(ft)
+            stacked = stack_scenes(batch_scenes)
+            key, sub = jax.random.split(key)
+            state, loss = train_step(
+                state, stacked, jnp.stack(f2ds), jnp.stack(fts), sub
+            )
+            step_count += 1
+            if step_count % cfg.train.print_freq == 0:
+                lr = float(schedule(step_count))
+                rec = {
+                    "step": step_count, "epoch": epoch, "loss": float(loss),
+                    "lr": lr, "elapsed_s": time.time() - t0,
+                }
+                log.info("%s", rec)
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+        if (epoch + 1) % cfg.train.save_freq == 0:
+            save_checkpoint(ckpt_dir, state._asdict(), step_count)
+            log.info("checkpointed at step %d", step_count)
+    save_checkpoint(ckpt_dir, state._asdict(), step_count)
+    log.info("done: %d steps in %.1fs", step_count, time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

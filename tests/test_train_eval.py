@@ -1,0 +1,152 @@
+"""Training step (multi-device DP), metrics, optimizer, checkpoint round-trip."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from geopurify_tpu.config import TrainConfig
+from geopurify_tpu.utils.metrics import AverageMeter, SegMeter, intersection_and_union
+from geopurify_tpu.run.optim import label_params, make_optimizer, make_schedule
+
+
+def test_intersection_and_union_oracle(rng):
+    n, k = 500, 5
+    pred = rng.integers(0, k, n)
+    target = rng.integers(0, k + 2, n)  # includes ignore ids k, k+1
+    valid = np.ones(n, bool)
+    valid[-50:] = False
+    i, u, t = intersection_and_union(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(valid), k, (k, k + 1)
+    )
+    i, u, t = np.asarray(i), np.asarray(u), np.asarray(t)
+    keep = valid & (target < k)
+    for c in range(k):
+        inter = ((pred == c) & (target == c) & keep).sum()
+        assert i[c] == inter
+        assert t[c] == ((target == c) & keep).sum()
+        assert u[c] == ((pred == c) & keep).sum() + t[c] - inter
+
+
+def test_seg_meter_groups():
+    m = SegMeter(num_classes=4, base_category=[0, 1], novel_category=[2, 3])
+    m.update(np.array([5, 0, 2, 1]), np.array([10, 1, 4, 1]), np.array([5, 1, 2, 2]))
+    s = m.summary()
+    assert s["base"]["mIoU"] == pytest.approx((0.5 + 0.0) / 2)
+    assert s["novel"]["mIoU"] == pytest.approx((0.5 + 1.0) / 2)
+    assert s["all"]["allAcc"] == pytest.approx(8 / 10)
+
+
+def test_schedule_warmup_cosine():
+    cfg = TrainConfig(lr_3d=1e-4, warmup_epochs=2, epochs=10)
+    sched = make_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) < 1e-5
+    assert float(sched(20)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(99)) < 1e-5
+
+
+def test_three_tier_optimizer_lrs():
+    params = {
+        "input_conv": {"kernel": jnp.ones((4, 4))},
+        "res0": {"conv1": {"kernel": jnp.ones((4, 4))}},
+        "output_conv": {"kernel": jnp.ones((4, 4))},
+    }
+    labels = label_params(params)
+    assert labels["input_conv"]["kernel"] == "input"
+    assert labels["res0"]["conv1"]["kernel"] == "middle"
+    assert labels["output_conv"]["kernel"] == "output"
+
+    cfg = TrainConfig(lr_3d=1e-3, warmup_epochs=0, epochs=1, weight_decay=0.0)
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # equal grads -> update magnitudes scale with group multiplier
+    u_in = float(jnp.abs(updates["input_conv"]["kernel"]).mean())
+    u_mid = float(jnp.abs(updates["res0"]["conv1"]["kernel"]).mean())
+    u_out = float(jnp.abs(updates["output_conv"]["kernel"]).mean())
+    assert u_in < u_mid < u_out
+    assert u_out / u_in == pytest.approx(50.0, rel=0.05)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert m.avg == pytest.approx(3.5)
+
+
+def test_multi_device_train_step_runs():
+    """DP train step over the 8-device CPU mesh with a tiny pipeline."""
+    assert jax.device_count() == 8
+    from tests.test_pipeline import tiny_cfg
+    from geopurify_tpu.data.synthetic import make_scene_batch
+    from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+    from geopurify_tpu.models.xdecoder import XDecoderSegModel
+    from geopurify_tpu.parallel.mesh import make_mesh
+    from geopurify_tpu.run.train import TrainState, make_train_step, stack_scenes
+
+    cfg = tiny_cfg()
+    key = jax.random.key(0)
+    n_cls = len(cfg.data.all_label)
+    text = jax.random.normal(key, (n_cls + 1, cfg.xdecoder.hidden_dim))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    batches = [
+        make_scene_batch(seed=i, n_points=300, n_views=1, image_hw=(48, 64),
+                         max_points=512, max_voxels=512, max_views=1,
+                         max_view_points=256)
+        for i in range(2)
+    ]
+    model = XDecoderSegModel(cfg.xdecoder)
+    tparams = model.init(key, batches[0].images[:1], text, jnp.float32(20.0))
+    pipe = GeoPurifyPipeline(cfg=cfg, teacher_params=tparams,
+                             text_embeddings=text, logit_scale=jnp.float32(20.0))
+
+    student_vars = pipe.student.init(
+        key, jnp.zeros((8, cfg.student.input_dim)),
+        jnp.full((8, 27), 8, jnp.int32), jnp.ones(8, bool), train=False,
+    )
+    tx, _ = make_optimizer(cfg.train, student_vars["params"], steps_per_epoch=10)
+    state = TrainState(
+        params=student_vars["params"], batch_stats=student_vars["batch_stats"],
+        opt_state=tx.init(student_vars["params"]), step=jnp.zeros((), jnp.int32),
+    )
+    mesh = make_mesh(dp=8)
+    step_fn = make_train_step(pipe, tx, mesh, "data")
+
+    # one scene per device (repeat the two fixtures)
+    scenes = [batches[i % 2] for i in range(8)]
+    f2ds = [pipe.lift_scene(s).features for s in batches]
+    fts = [jax.random.normal(jax.random.key(i), (512, 16)) for i in range(2)]
+    stacked = stack_scenes(scenes)
+    f2d = jnp.stack([f2ds[i % 2] for i in range(8)])
+    ft = jnp.stack([fts[i % 2] for i in range(8)])
+
+    state2, loss = step_fn(state, stacked, f2d, ft, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    # params actually moved
+    delta = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, state2.params, state.params),
+        0.0,
+    )
+    assert delta > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from geopurify_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    state = {
+        "params": {"w": jnp.arange(4.0)},
+        "step": jnp.int32(7),
+    }
+    save_checkpoint(str(tmp_path / "ck"), state, step=7)
+    template = {"params": {"w": jnp.zeros(4)}, "step": jnp.int32(0)}
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), template)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(4.0))
