@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""End-to-end Stage-2 inference benchmark — the north-star scenes/sec metric.
+
+Measures the full GeoPurify inference pipeline on one chip at a realistic
+ScanNet-scale scene:
+
+  per-view X-Decoder-L forward (484x648, bf16)  -> per-view feature lift
+  -> cross-view consensus fusion -> nearest-neighbor fill
+  -> voxel scatter-mean (518-d) -> sparse-conv student -> exact kNN-96 graph
+  -> 1+18 rounds of affinity-weighted aggregation -> open-vocab logits.
+
+Scene spec (fixed so rounds are comparable): 131072 points, 65536 voxels,
+8 views at 484x648, 16384 visible points per view, 19 ScanNet classes.
+
+Baseline: the reference (tj12323/GeoPurify) publishes no throughput numbers
+(BASELINE.md). `vs_baseline` is measured against a documented engineering
+estimate of the reference stack on one A100 at the same scene spec:
+~8 X-Decoder-L fp32/TF32 view forwards (~0.1-0.2 s), CPU faiss IndexFlatL2
+kNN-96 over 65k voxels plus three sklearn-KDTree hole-fills over 131k points
+(several seconds, the dominant cost — reference models/affinity_module.py:
+1159-1165, 1553-1557, 604-625, 687-696), and 19 cuSPARSE spmm calls.
+Estimate: ~2 s/scene => 0.5 scenes/sec. We intentionally round the estimate
+in the reference's favor.
+
+Prints ONE JSON line:
+  {"metric": "stage2_scenes_per_sec", "value": N, "unit": "scenes/sec",
+   "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SCENES_PER_SEC = 0.5  # estimated reference-on-A100 (see module docstring)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
+    """Synthesize a scene batch at bench scale directly (numpy, no renderer)."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.data.batch import SceneBatch
+
+    rng = np.random.default_rng(seed)
+    H, W = hw
+    # distinct sorted voxel coords on a 200^3 grid (2 cm voxels over a 4 m room)
+    cand = rng.integers(0, 200, (2 * M, 3), dtype=np.int32)
+    vox = np.unique(cand, axis=0)
+    assert vox.shape[0] >= M, "increase candidate count"
+    vox = vox[:M]
+    pts_per_vox = P // M
+    points = (
+        np.repeat(vox, pts_per_vox, axis=0).astype(np.float32) * 0.02
+        + rng.uniform(0, 0.02, (M * pts_per_vox, 3)).astype(np.float32)
+    )
+    point2voxel = np.repeat(np.arange(M, dtype=np.int32), pts_per_vox)
+    geom = rng.uniform(-1, 1, (P, 6)).astype(np.float32)
+    labels = rng.integers(0, 19, P, dtype=np.int32)
+
+    images = rng.uniform(0, 255, (V, H, W, 3)).astype(np.float32)
+    ids = rng.integers(0, P, (V, Pv), dtype=np.int32)
+    rows = rng.integers(0, H, (V, Pv), dtype=np.int32)
+    cols = rng.integers(0, W, (V, Pv), dtype=np.int32)
+
+    return SceneBatch(
+        points=jnp.asarray(points),
+        point_valid=jnp.ones(P, bool),
+        geom_feats=jnp.asarray(geom),
+        labels=jnp.asarray(labels),
+        voxel_coords=jnp.asarray(vox),
+        voxel_valid=jnp.ones(M, bool),
+        point2voxel=jnp.asarray(point2voxel),
+        images=jnp.asarray(images),
+        view_valid=jnp.ones(V, bool),
+        view_point_ids=jnp.asarray(ids),
+        view_point_valid=jnp.ones((V, Pv), bool),
+        view_rows=jnp.asarray(rows),
+        view_cols=jnp.asarray(cols),
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
+    parser.add_argument("--scenes", type=int, default=4)
+    args = parser.parse_args()
+
+    if args.smoke:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from geopurify_tpu.config import (
+        FocalNetConfig, GeoPurifyConfig, PoolingConfig, StudentConfig,
+        XDecoderConfig, load_config,
+    )
+    from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+    from geopurify_tpu.models.xdecoder import XDecoderSegModel
+
+    if args.smoke:
+        cfg = GeoPurifyConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(cfg.data, all_label=tuple(f"c{i}" for i in range(4))),
+            student=StudentConfig(input_dim=22, hidden_dim=16, embed_dim=8, num_res_blocks=1),
+            pooling=PoolingConfig(knn_k=8, num_iterations=3, feature_dim=16),
+            xdecoder=XDecoderConfig(
+                backbone=FocalNetConfig(embed_dim=8, depths=(1, 1, 1, 1)),
+                hidden_dim=16, conv_dim=16, mask_dim=16, num_queries=5, nheads=2,
+                dim_feedforward=32, dec_layers=2, enc_layers=1,
+                mask_shape=(48, 64), dtype="float32",
+            ),
+        )
+        P, M, V, Pv = 512, 256, 2, 128
+    else:
+        cfg = load_config("scannet")
+        P, M, V, Pv = 131072, 65536, 8, 16384
+
+    hw = tuple(cfg.xdecoder.mask_shape)
+    n_cls = len(cfg.data.all_label)
+    key = jax.random.key(0)
+
+    log(f"bench: devices={jax.devices()} scene P={P} M={M} V={V} hw={hw}")
+
+    # teacher params from shapes only (random weights don't change throughput)
+    model = XDecoderSegModel(cfg.xdecoder)
+    text = jax.random.normal(key, (n_cls + 1, cfg.xdecoder.hidden_dim), jnp.float32)
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    dummy_img = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, key, dummy_img, text, jnp.float32(20.0))
+    k0 = jax.random.key(1)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(k0, len(leaves))
+    tparams = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            jax.random.normal(k, s.shape, s.dtype) * 0.02
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+            for k, s in zip(keys, leaves)
+        ],
+    )
+    pipe = GeoPurifyPipeline(
+        cfg=cfg, teacher_params=tparams, text_embeddings=text,
+        logit_scale=jnp.float32(20.0),
+    )
+    student_vars = pipe.student.init(
+        key, jnp.zeros((8, cfg.student.input_dim)),
+        jnp.full((8, 27), 8, jnp.int32), jnp.ones(8, bool), train=False,
+    )
+
+    # warmup / compile
+    t0 = time.time()
+    scene = build_scene(0, P, M, V, Pv, hw)
+    out = pipe.evaluate_scene(student_vars, scene)
+    jax.block_until_ready(out["pred"])
+    log(f"warmup (compile + run): {time.time() - t0:.1f}s")
+
+    # timed scenes (fresh data per scene, same shapes -> cached executables)
+    scenes = [build_scene(i + 1, P, M, V, Pv, hw) for i in range(args.scenes)]
+    t0 = time.time()
+    for sc in scenes:
+        out = pipe.evaluate_scene(student_vars, sc)
+        jax.block_until_ready(out["pred"])
+    dt = time.time() - t0
+    sps = args.scenes / dt
+    log(f"{args.scenes} scenes in {dt:.2f}s -> {sps:.3f} scenes/sec")
+
+    print(json.dumps({
+        "metric": "stage2_scenes_per_sec",
+        "value": round(sps, 4),
+        "unit": "scenes/sec",
+        "vs_baseline": round(sps / BASELINE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,7 +83,7 @@ def make_train_step(pipeline: GeoPurifyPipeline, tx, mesh: Mesh, data_axis: str)
         mesh=mesh,
         in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 
