@@ -104,6 +104,10 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
 
+    from geopurify_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import dataclasses
 
     from geopurify_tpu.config import (

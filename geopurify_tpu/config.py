@@ -55,6 +55,7 @@ class DataConfig:
     max_points: int = 2 ** 20             # per-scene point budget
     max_voxels: int = 2 ** 18             # per-scene voxel budget
     max_views: int = 64                   # views per scene batch
+    max_view_points: int = 2 ** 16        # visible points per view
     max_masks: int = 201                  # X-Decoder query count upper bound
 
 

@@ -87,8 +87,11 @@ class GeoPurifyPipeline:
             upcast_levels=sc.upcast_levels,
             dtype=jnp.bfloat16 if sc.dtype == "bfloat16" else jnp.float32,
         )
-        # jit bound methods: `self` lives in the closure (configs are static,
-        # frozen teacher arrays become baked-in constants), arguments trace.
+        # jit bound methods: `self` lives in the closure (configs are static);
+        # all ARRAYS — including the frozen teacher params — must be traced
+        # arguments, never closure captures: captured arrays become literal
+        # constants in the jaxpr and XLA constant-folds/embeds hundreds of MB,
+        # blowing compile time up from seconds to tens of minutes.
         self._view_step = jax.jit(self._view_step_impl)
         self._pool_scene = jax.jit(self._pool_scene_impl)
 
@@ -96,18 +99,21 @@ class GeoPurifyPipeline:
     # Stage-2: lift + pooling
     # ------------------------------------------------------------------
 
-    def _view_step_impl(self, image, rows, cols, pv_valid, view_coords):
+    def _view_step_impl(
+        self, teacher_params, text_embeddings, logit_scale,
+        image, rows, cols, pv_valid, view_coords,
+    ):
         """One view: X-Decoder forward + per-view lift. jit-cached per shape."""
         out = self.xdecoder.apply(
-            self.teacher_params, image[None], self.text_embeddings, self.logit_scale
+            teacher_params, image[None], text_embeddings, logit_scale
         )
-        text_no_bg = self.text_embeddings[:-1]
+        text_no_bg = text_embeddings[:-1]
         return lift_view_features(
             out["pred_masks"][0],
             out["mask_embed"][0],
             out["pred_logits"][0],
             rows, cols, pv_valid, view_coords,
-            text_no_bg, self.logit_scale,
+            text_no_bg, logit_scale,
             tuple(self.cfg.xdecoder.mask_shape),
         )
 
@@ -130,6 +136,7 @@ class GeoPurifyPipeline:
                 continue
             view_coords = batch.points[batch.view_point_ids[v] % P]
             lift = self._view_step(
+                self.teacher_params, self.text_embeddings, self.logit_scale,
                 batch.images[v], batch.view_rows[v], batch.view_cols[v],
                 batch.view_point_valid[v], view_coords,
             )

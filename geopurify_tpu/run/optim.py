@@ -28,11 +28,11 @@ def label_params(params: Any) -> Any:
 def make_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
     warmup = cfg.warmup_epochs * steps_per_epoch
     total = cfg.epochs * steps_per_epoch
+    cosine = optax.cosine_decay_schedule(cfg.lr_3d, max(total - warmup, 1))
+    if warmup <= 0:
+        return cosine
     return optax.join_schedules(
-        [
-            optax.linear_schedule(cfg.lr_3d * 0.01, cfg.lr_3d, warmup),
-            optax.cosine_decay_schedule(cfg.lr_3d, max(total - warmup, 1)),
-        ],
+        [optax.linear_schedule(cfg.lr_3d * 0.01, cfg.lr_3d, warmup), cosine],
         [warmup],
     )
 

@@ -126,10 +126,20 @@ def build_pipeline(cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True):
     )
     logit_scale = jnp.exp(lang.apply(lang_vars, method=lambda m: m.logit_scale))
 
+    def zeros_from_shapes(tree):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree
+        )
+
+    # Frozen teachers: materialize params from shapes only (no init-time
+    # compile) — real runs overwrite them with converted released checkpoints
+    # (utils/checkpoint.py); values are irrelevant until then.
     model = XDecoderSegModel(cfg.xdecoder)
     H, W = cfg.xdecoder.mask_shape
     dummy = jnp.zeros((1, H, W, 3))
-    tparams = model.init(rng_key, dummy, text, logit_scale)
+    tparams = zeros_from_shapes(
+        jax.eval_shape(model.init, rng_key, dummy, text, logit_scale)
+    )
 
     sc = cfg.sonata
     sonata = SonataTeacher(
@@ -137,20 +147,22 @@ def build_pipeline(cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True):
         enc_channels=tuple(sc.enc_channels), enc_num_head=tuple(sc.enc_num_head),
         enc_patch_size=tuple(sc.enc_patch_size), upcast_levels=sc.upcast_levels,
     )
-    # init sonata with a dummy scene (param shapes are size-independent);
-    # converted weights overwrite these when a released checkpoint is supplied
+    # sonata param shapes are size-independent of the dummy scene
     n_d = 64
     dcoords = jnp.stack(
         [jnp.arange(n_d, dtype=jnp.int32)] * 3, axis=1
     ) % 8
     order = jnp.lexsort((dcoords[:, 2], dcoords[:, 1], dcoords[:, 0]))
-    sparams = sonata.init(
-        rng_key,
-        jnp.zeros((n_d, sc.in_channels)),
-        dcoords[order],
-        jnp.ones((n_d,), bool),
-        jnp.arange(n_d, dtype=jnp.int32),
-        jnp.ones((n_d,), bool),
+    sparams = zeros_from_shapes(
+        jax.eval_shape(
+            sonata.init,
+            rng_key,
+            jnp.zeros((n_d, sc.in_channels)),
+            dcoords[order],
+            jnp.ones((n_d,), bool),
+            jnp.arange(n_d, dtype=jnp.int32),
+            jnp.ones((n_d,), bool),
+        )
     )
     return GeoPurifyPipeline(
         cfg=cfg, teacher_params=tparams, text_embeddings=text,
@@ -172,6 +184,9 @@ def main(argv=None):
         level=logging.INFO,
         format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s",
     )
+    from geopurify_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = load_config(args.preset, overrides=args.overrides, yaml_path=args.config)
     if args.epochs:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))

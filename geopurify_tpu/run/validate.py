@@ -76,6 +76,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s")
+    from geopurify_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = load_config(args.preset, overrides=args.overrides, yaml_path=args.config)
     key = jax.random.key(cfg.train.manual_seed)

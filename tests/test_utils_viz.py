@@ -1,0 +1,85 @@
+"""Visualization + profiling utilities."""
+
+import os
+
+import numpy as np
+
+from geopurify_tpu.utils.profiling import StageTimer
+from geopurify_tpu.utils.visualization import (
+    affinity_entropy_stats,
+    class_palette,
+    kmeans_color,
+    overlay_2d_semantic,
+    pca_color,
+    save_feature_pca_ply,
+    save_semantic_ply,
+)
+
+
+def test_palette_sizes():
+    assert class_palette(5).shape == (5, 3)
+    assert class_palette(50).shape == (50, 3)
+
+
+def test_pca_color_separates_clusters(rng):
+    a = rng.normal(size=(100, 16)) + 5
+    b = rng.normal(size=(100, 16)) - 5
+    rgb = pca_color(np.concatenate([a, b]))
+    assert rgb.shape == (200, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    # the two clusters should get distinct mean colors
+    assert np.abs(rgb[:100].mean(0) - rgb[100:].mean(0)).max() > 0.3
+
+
+def test_kmeans_color(rng):
+    f = rng.normal(size=(120, 8))
+    rgb = kmeans_color(f, k=4)
+    assert rgb.shape == (120, 3)
+
+
+def test_semantic_ply_dump(tmp_path, rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    lab = rng.integers(0, 4, 50)
+    p = str(tmp_path / "sem.ply")
+    save_semantic_ply(p, pts, lab, num_classes=4)
+    assert os.path.getsize(p) > 0
+    p2 = str(tmp_path / "pca.ply")
+    save_feature_pca_ply(p2, pts, rng.normal(size=(50, 16)))
+    assert os.path.getsize(p2) > 0
+
+
+def test_affinity_entropy_stats():
+    # perfectly uniform weights -> normalized entropy 1
+    w = np.full((10, 8), 1 / 8)
+    s = affinity_entropy_stats(w)
+    assert abs(s["normalized_mean"] - 1.0) < 1e-6
+    # one-hot weights -> entropy 0, all rows peaked
+    w = np.zeros((10, 8))
+    w[:, 0] = 1
+    s = affinity_entropy_stats(w)
+    assert s["mean_entropy"] < 1e-9
+    assert s["frac_peaked"] == 1.0
+
+
+def test_overlay_2d(rng):
+    img = rng.integers(0, 255, (8, 10, 3)).astype(np.float32)
+    lab = rng.integers(0, 3, (8, 10))
+    lab[0, 0] = 255
+    out = overlay_2d_semantic(img, lab, num_classes=3)
+    assert out.shape == (8, 10, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[0, 0], img[0, 0].astype(np.uint8))
+
+
+def test_stage_timer(tmp_path):
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    t.observe("b", 0.5)
+    s = t.summary()
+    assert s["b"]["total_s"] == 0.5 and s["b"]["count"] == 1
+    assert "a" in s
+    rep = t.report()
+    assert "a" in rep and "b" in rep
+    p = str(tmp_path / "t.jsonl")
+    t.dump_jsonl(p, step=3)
+    assert os.path.getsize(p) > 0
