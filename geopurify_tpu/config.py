@@ -161,6 +161,10 @@ class XDecoderConfig:
     scores_keep_thresh: float = 0.0
     mask_threshold: float = 0.5
     fusion_top_k: int = 3                 # cross-view consensus top-K
+    # Views per teacher forward. Measured on v5e at 484x648: B=1 runs 36 ms/view
+    # while B=4 is ~5x slower per view (the [B,Q,H,W] mask-resize/argmax
+    # intermediates blow past useful HBM working set) — keep 1 unless re-measured.
+    view_batch: int = 1
     dtype: str = "bfloat16"
 
 

@@ -102,6 +102,16 @@ def compute_mapping_np(
     """Occlusion-tested pinhole projection, host path (mirrors
     ops/projection.compute_point_image_mapping; reference
     models/utils/fusion_util.py:99-147). Returns (rows, cols, visible)."""
+    try:  # native multithreaded path (identical semantics, tests pin it)
+        from geopurify_tpu import native
+
+        if native.available():
+            return native.compute_mapping(
+                points, world_to_camera, intrinsic, depth, image_dim,
+                cut_bound, vis_thres,
+            )
+    except Exception:
+        pass
     W, H = image_dim
     n = len(points)
     homo = np.hstack([points, np.ones((n, 1), np.float64)])

@@ -1,0 +1,190 @@
+// geopurify_native — C++ host-side preprocessing kernels.
+//
+// Native equivalents of the data-pipeline hot loops, replacing the
+// reference's native dependencies on the host path (MinkowskiEngine's
+// coordinate hashing, SharedArray caching, sklearn KDTree fills — see
+// SURVEY.md §2.3): FNV-1a voxel dedup, occlusion-tested point->pixel
+// projection, face-normal accumulation, and a brute-force top-1 neighbor
+// fill. Exposed through a plain C ABI and loaded via ctypes
+// (geopurify_tpu/native/__init__.py); every function has a numpy fallback
+// with identical semantics, pinned by tests/test_native.py.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t kFnvOffset = 14695981039346656037ull;
+constexpr uint64_t kFnvPrime = 1099511628211ull;
+
+inline uint64_t fnv1a_row(const int64_t* row, int d) {
+  uint64_t h = kFnvOffset;
+  for (int j = 0; j < d; ++j) {
+    h *= kFnvPrime;             // matches the numpy reference: mul THEN xor
+    h ^= static_cast<uint64_t>(row[j]);
+  }
+  return h;
+}
+
+void parallel_for(int64_t n, int64_t grain,
+                  const std::function<void(int64_t, int64_t)>& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw, n / grain));
+  if (n_threads <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// FNV-1a 64-bit hash of floored int coordinates, one per row.
+void fnv_hash_rows(const int64_t* coords, int64_t n, int32_t d, uint64_t* out) {
+  parallel_for(n, 1 << 14, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) out[i] = fnv1a_row(coords + i * d, d);
+  });
+}
+
+// Dedup rows by FNV hash with np.unique semantics:
+//   voxel ids ordered by ASCENDING hash key;
+//   inds[v]        = first-occurrence row index of voxel v;
+//   inds_reverse[i] = voxel id of row i.
+// Returns the number of unique voxels m (<= n).
+int64_t fnv_voxelize(const int64_t* coords, int64_t n, int32_t d,
+                     int64_t* inds, int64_t* inds_reverse) {
+  std::vector<uint64_t> keys(n);
+  fnv_hash_rows(coords, n, d, keys.data());
+
+  std::unordered_map<uint64_t, int64_t> first;  // key -> first row idx
+  first.reserve(static_cast<size_t>(n * 1.3));
+  for (int64_t i = 0; i < n; ++i) {
+    auto it = first.find(keys[i]);
+    if (it == first.end()) first.emplace(keys[i], i);
+  }
+  int64_t m = static_cast<int64_t>(first.size());
+
+  std::vector<std::pair<uint64_t, int64_t>> uniq(first.begin(), first.end());
+  std::sort(uniq.begin(), uniq.end());
+  std::unordered_map<uint64_t, int64_t> rank;
+  rank.reserve(uniq.size() * 2);
+  for (int64_t v = 0; v < m; ++v) {
+    inds[v] = uniq[v].second;
+    rank.emplace(uniq[v].first, v);
+  }
+  parallel_for(n, 1 << 14, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) inds_reverse[i] = rank.at(keys[i]);
+  });
+  return m;
+}
+
+// Occlusion-tested pinhole projection (fusion_util.py:99-147 semantics;
+// identical to loaders.compute_mapping_np).
+//   points [n,3] f32 (world), w2c [4,4] f64 row-major, K [3,3] f64,
+//   depth [H,W] f32 in metres or nullptr, outputs rows/cols int32 + vis u8.
+void compute_mapping(const float* points, int64_t n, const double* w2c,
+                     const double* K, const float* depth, int32_t W, int32_t H,
+                     int32_t cut, double vis_thres, int32_t* rows,
+                     int32_t* cols, uint8_t* visible) {
+  const double fx = K[0], cx = K[2], fy = K[4], cy = K[5];
+  parallel_for(n, 1 << 13, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const double x = points[i * 3], y = points[i * 3 + 1], z0 = points[i * 3 + 2];
+      const double px = w2c[0] * x + w2c[1] * y + w2c[2] * z0 + w2c[3];
+      const double py = w2c[4] * x + w2c[5] * y + w2c[6] * z0 + w2c[7];
+      const double pz = w2c[8] * x + w2c[9] * y + w2c[10] * z0 + w2c[11];
+      const double sz = std::abs(pz) < 1e-8 ? 1e-8 : pz;
+      const int64_t u = llround(px * fx / sz + cx);
+      const int64_t v = llround(py * fy / sz + cy);
+      bool ok = u >= cut && v >= cut && u < W - cut && v < H - cut && pz > 0;
+      if (ok && depth != nullptr) {
+        const double d = depth[v * W + u];
+        ok = d > 0 && std::abs(d - pz) <= vis_thres * d;
+      }
+      visible[i] = ok ? 1 : 0;
+      rows[i] = ok ? static_cast<int32_t>(v) : 0;
+      cols[i] = ok ? static_cast<int32_t>(u) : 0;
+    }
+  });
+}
+
+// Accumulate unnormalized (area-weighted) face normals onto vertices.
+// xyz [nv,3] f32, faces [nf,3] i64, out [nv,3] f64 (pre-zeroed by caller).
+void accumulate_face_normals(const float* xyz, int64_t nv, const int64_t* faces,
+                             int64_t nf, double* out) {
+  (void)nv;
+  for (int64_t f = 0; f < nf; ++f) {
+    const int64_t i0 = faces[f * 3], i1 = faces[f * 3 + 1], i2 = faces[f * 3 + 2];
+    double ax = xyz[i1 * 3] - xyz[i0 * 3];
+    double ay = xyz[i1 * 3 + 1] - xyz[i0 * 3 + 1];
+    double az = xyz[i1 * 3 + 2] - xyz[i0 * 3 + 2];
+    double bx = xyz[i2 * 3] - xyz[i0 * 3];
+    double by = xyz[i2 * 3 + 1] - xyz[i0 * 3 + 1];
+    double bz = xyz[i2 * 3 + 2] - xyz[i0 * 3 + 2];
+    const double nx = ay * bz - az * by;
+    const double ny = az * bx - ax * bz;
+    const double nz = ax * by - ay * bx;
+    for (int64_t k : {i0, i1, i2}) {
+      out[k * 3] += nx;
+      out[k * 3 + 1] += ny;
+      out[k * 3 + 2] += nz;
+    }
+  }
+}
+
+// Brute-force nearest valid donor (top-1 by squared L2 over 3-d coords):
+// for every query i with has_value[i]==0, find argmin_j ||c_i - c_j|| over
+// donors (has_value[j]==1) and write donor index; donors map to themselves.
+void nearest_donor(const float* coords, int64_t n, const uint8_t* has_value,
+                   int64_t* donor_idx) {
+  std::vector<int64_t> donors;
+  donors.reserve(n);
+  for (int64_t j = 0; j < n; ++j)
+    if (has_value[j]) donors.push_back(j);
+  if (donors.empty()) {
+    for (int64_t i = 0; i < n; ++i) donor_idx[i] = i;
+    return;
+  }
+  parallel_for(n, 1 << 9, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (has_value[i]) {
+        donor_idx[i] = i;
+        continue;
+      }
+      const float qx = coords[i * 3], qy = coords[i * 3 + 1], qz = coords[i * 3 + 2];
+      double best = 1e300;
+      int64_t arg = donors[0];
+      for (int64_t j : donors) {
+        const double dx = coords[j * 3] - qx;
+        const double dy = coords[j * 3 + 1] - qy;
+        const double dz = coords[j * 3 + 2] - qz;
+        const double d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < best) {
+          best = d2;
+          arg = j;
+        }
+      }
+      donor_idx[i] = arg;
+    }
+  });
+}
+
+}  // extern "C"

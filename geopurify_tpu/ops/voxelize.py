@@ -67,6 +67,17 @@ def sparse_quantize_np(
     (voxelization_utils.py:38-103).
     """
     discrete = np.floor(coords / quantization_size)
+    if hash_type == "fnv" and discrete.min() >= 0:
+        # native fast path (same semantics on the non-negative coords the
+        # voxelizer produces; tests pin equivalence). Negative coords keep the
+        # numpy path: float->uint64 wrap there differs from int64 casting.
+        try:
+            from geopurify_tpu import native
+
+            if native.available():
+                return native.fnv_voxelize(discrete.astype(np.int64))
+        except Exception:
+            pass
     key = fnv_hash_vec(discrete) if hash_type == "fnv" else ravel_hash_vec(discrete)
     _, inds, inds_reverse = np.unique(key, return_index=True, return_inverse=True)
     return inds, inds_reverse

@@ -175,6 +175,8 @@ def main(argv=None):
     parser.add_argument("--preset", default="scannet")
     parser.add_argument("--config", default=None)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--teacher-cache", default=None,
+                        help="dir of precomputed teacher features (run/precompute.py)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("overrides", nargs="*")
@@ -209,7 +211,12 @@ def main(argv=None):
     else:
         from geopurify_tpu.data.loaders import SceneDataset
 
-        ds = SceneDataset(cfg, split="train")
+        # teacher-cache mode replays frozen teacher features precomputed by
+        # run/precompute.py; geometric augmentation must then stay off (the
+        # cached features are tied to the unaugmented geometry)
+        ds = SceneDataset(
+            cfg, split="train", augment=False if args.teacher_cache else None
+        )
         scenes = None  # streamed below
 
     # student init
@@ -232,8 +239,13 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(cfg.train.save_path, "ckpt")
     if cfg.train.resume:
-        restored, step = restore_checkpoint(cfg.train.resume, state._asdict())
+        # RNG key rides the checkpoint (≙ the reference trainer's per-rank RNG
+        # state save, trainer/utils_trainer.py:76-194)
+        restored, step = restore_checkpoint(
+            cfg.train.resume, {**state._asdict(), "rng": jax.random.key_data(key)}
+        )
         if restored is not None:
+            key = jax.random.wrap_key_data(restored.pop("rng"))
             state = TrainState(**restored)
             log.info("resumed from step %d", step)
 
@@ -249,16 +261,33 @@ def main(argv=None):
             batch_scenes = []
             f2ds, fts = [], []
             for d in range(n_dp):
-                sc_batch = (
-                    scenes[(it * n_dp + d) % len(scenes)]
-                    if scenes is not None
-                    else ds.next_scene()
-                )
-                f2d = pipeline.lift_scene(sc_batch).features
-                ft = pipeline.teacher_point_features(sc_batch)
+                if scenes is not None:
+                    sc_batch = scenes[(it * n_dp + d) % len(scenes)]
+                    sid = None
+                elif args.teacher_cache:
+                    sid = ds._next_sid()
+                    sc_batch = ds.make_scene_batch(sid)
+                    if sc_batch is None:
+                        continue
+                else:
+                    sc_batch = ds.next_scene()
+                    sid = None
+                cache_hit = False
+                if args.teacher_cache and sid is not None:
+                    npz_path = os.path.join(args.teacher_cache, f"{sid}.npz")
+                    if os.path.exists(npz_path):
+                        data = np.load(npz_path)
+                        f2d = jnp.asarray(data["f2d"])
+                        ft = jnp.asarray(data["f_teacher"])
+                        cache_hit = True
+                if not cache_hit:
+                    f2d = pipeline.lift_scene(sc_batch).features
+                    ft = pipeline.teacher_point_features(sc_batch)
                 batch_scenes.append(sc_batch)
                 f2ds.append(f2d)
                 fts.append(ft)
+            if len(batch_scenes) < n_dp:
+                continue  # an unusable scene left the device batch short
             stacked = stack_scenes(batch_scenes)
             key, sub = jax.random.split(key)
             state, loss = train_step(
@@ -275,9 +304,9 @@ def main(argv=None):
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
         if (epoch + 1) % cfg.train.save_freq == 0:
-            save_checkpoint(ckpt_dir, state._asdict(), step_count)
+            save_checkpoint(ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)}, step_count)
             log.info("checkpointed at step %d", step_count)
-    save_checkpoint(ckpt_dir, state._asdict(), step_count)
+    save_checkpoint(ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)}, step_count)
     log.info("done: %d steps in %.1fs", step_count, time.time() - t0)
 
 

@@ -130,7 +130,9 @@ def main(argv=None):
         ids = ids[jax.process_index() :: jax.process_count()]
         if args.max_scenes:
             ids = ids[: args.max_scenes]
-        scene_iter = (ds.load_scene(sid) for sid in ids)
+        scene_iter = (
+            b for b in (ds.make_scene_batch(sid) for sid in ids) if b is not None
+        )
 
     meter, times = evaluate_scenes(pipeline, student_vars, scene_iter, cfg)
     summary = meter.summary()
