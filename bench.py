@@ -51,11 +51,34 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
 
     rng = np.random.default_rng(seed)
     H, W = hw
-    # distinct sorted voxel coords on a 200^3 grid (2 cm voxels over a 4 m room)
-    cand = rng.integers(0, 200, (2 * M, 3), dtype=np.int32)
+    # Surface-like voxel set on a 200^3 grid (2 cm voxels over a 4 m room):
+    # floor + two walls + scattered object blobs, mirroring real indoor scans'
+    # 2D-manifold occupancy (a uniform random 3D fill would give the kNN an
+    # unrealistically adversarial neighbor structure).
+    n_draw = 3 * M
+    quarters = n_draw // 4
+    floor = np.stack([
+        rng.integers(0, 200, quarters), rng.integers(0, 200, quarters),
+        rng.integers(0, 3, quarters),
+    ], 1)
+    wall1 = np.stack([
+        rng.integers(0, 3, quarters), rng.integers(0, 200, quarters),
+        rng.integers(0, 120, quarters),
+    ], 1)
+    wall2 = np.stack([
+        rng.integers(0, 200, quarters), rng.integers(0, 3, quarters),
+        rng.integers(0, 120, quarters),
+    ], 1)
+    centers = rng.integers(20, 180, (24, 3)) * np.array([1, 1, 0])
+    blob_pts = (
+        centers[rng.integers(0, 24, n_draw - 3 * quarters)]
+        + rng.normal(scale=8.0, size=(n_draw - 3 * quarters, 3))
+    ).clip(0, 199)
+    cand = np.concatenate([floor, wall1, wall2, blob_pts]).astype(np.int32)
     vox = np.unique(cand, axis=0)
-    assert vox.shape[0] >= M, "increase candidate count"
-    vox = vox[:M]
+    assert vox.shape[0] >= M, f"only {vox.shape[0]} unique voxels; increase draws"
+    keep = np.sort(rng.choice(vox.shape[0], M, replace=False))
+    vox = vox[keep]
     pts_per_vox = P // M
     points = (
         np.repeat(vox, pts_per_vox, axis=0).astype(np.float32) * 0.02

@@ -93,6 +93,8 @@ class PoolingConfig:
     sharpen: float = 20.0
     num_iterations: int = 19              # 1 + 18 sparse-mm smoothing steps
     feature_dim: int = 512                # semantic dims kept after pooling
+    spmm_mode: str = "banded"             # banded (MXU) | gather (fixed-degree)
+    band: int = 12288                     # banded-operator window width (rows)
 
 
 @dataclass

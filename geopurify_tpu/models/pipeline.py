@@ -95,6 +95,8 @@ class GeoPurifyPipeline:
         # blowing compile time up from seconds to tens of minutes.
         self._view_step = jax.jit(self._view_step_impl)
         self._pool_scene = jax.jit(self._pool_scene_impl)
+        self._sonata_fwd = jax.jit(self._sonata_fwd_impl)
+        self._classify = jax.jit(self._classify_impl)
 
     # ------------------------------------------------------------------
     # Stage-2: lift + pooling
@@ -214,6 +216,7 @@ class GeoPurifyPipeline:
         refined = geometry_guided_pooling(
             embed, voxel_in, batch.voxel_coords, batch.voxel_valid,
             k=pc.knn_k, sharpen=pc.sharpen, num_iterations=pc.num_iterations,
+            spmm_mode=pc.spmm_mode, band=pc.band,
         )
         refined = jnp.concatenate(
             [refined, jnp.zeros((1, refined.shape[1]), refined.dtype)], axis=0
@@ -227,19 +230,33 @@ class GeoPurifyPipeline:
         """Full Stage-2: returns refined per-point features + open-vocab logits."""
         lifted = self.lift_scene(batch, n_valid=n_valid_views)
         refined = self._pool_scene(student_vars, lifted.features, batch)
-        f = refined / jnp.maximum(jnp.linalg.norm(refined, axis=-1, keepdims=True), 1e-12)
-        text = self.text_embeddings[:-1].astype(jnp.float32)
-        logits = self.logit_scale * f @ text.T
+        logits, pred = self._classify(refined, self.text_embeddings, self.logit_scale)
         return {
             "scene_features": refined,
             "logits": logits,
-            "pred": jnp.argmax(logits, axis=-1),
+            "pred": pred,
             "view_count": lifted.view_count,
         }
+
+    def _classify_impl(self, refined, text_embeddings, logit_scale):
+        f = refined / jnp.maximum(jnp.linalg.norm(refined, axis=-1, keepdims=True), 1e-12)
+        text = text_embeddings[:-1].astype(jnp.float32)
+        logits = logit_scale * f @ text.T
+        return logits, jnp.argmax(logits, axis=-1)
 
     # ------------------------------------------------------------------
     # Stage-1: distillation loss
     # ------------------------------------------------------------------
+
+    def _sonata_fwd_impl(self, sonata_params, batch: SceneBatch) -> jax.Array:
+        return self.sonata.apply(
+            sonata_params,
+            batch.geom_feats,
+            batch.voxel_coords,
+            batch.voxel_valid,
+            jnp.where(batch.point_valid, batch.point2voxel, batch.voxel_coords.shape[0]),
+            batch.point_valid,
+        )
 
     def teacher_point_features(self, batch: SceneBatch) -> jax.Array:
         """Frozen Sonata features per point (affinity_module.py:995-1063)."""
@@ -247,14 +264,7 @@ class GeoPurifyPipeline:
             raise ValueError(
                 "No sonata params; pass precomputed teacher features instead."
             )
-        return self.sonata.apply(
-            self.sonata_params,
-            batch.geom_feats,
-            batch.voxel_coords,
-            batch.voxel_valid,
-            jnp.where(batch.point_valid, batch.point2voxel, batch.voxel_coords.shape[0]),
-            batch.point_valid,
-        )
+        return self._sonata_fwd(self.sonata_params, batch)
 
     def stage1_loss(
         self,

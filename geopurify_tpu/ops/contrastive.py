@@ -63,8 +63,13 @@ def sample_contrastive_pairs_hybrid(
     n_valid = jnp.sum(valid.astype(jnp.int32))
     scores = jax.random.uniform(rng, (N,)) + (~valid).astype(jnp.float32) * 2.0
     order = jnp.argsort(scores)
-    anchor_idx = order[:num_anchors].astype(jnp.int32)
-    cap = jnp.minimum(num_anchors, n_valid // 3)
+    # scenes smaller than the anchor budget: pad the index list (padded slots
+    # are masked off by anchor_valid, which is also capped at n_valid//3)
+    take = min(num_anchors, N)
+    anchor_idx = jnp.zeros((num_anchors,), jnp.int32).at[:take].set(
+        order[:take].astype(jnp.int32)
+    )
+    cap = jnp.minimum(jnp.int32(take), n_valid // 3)
     anchor_valid = jnp.arange(num_anchors) < cap
 
     if neighbor_idx is None:

@@ -138,3 +138,70 @@ def test_info_nce_matches_cross_entropy(rng):
     loss2 = float(info_nce_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n), jnp.asarray(valid2), 0.07))
     ce2 = -(logits[:8, 0] - np.log(np.exp(logits[:8]).sum(1))).mean()
     np.testing.assert_allclose(loss2, ce2, rtol=1e-5)
+
+
+def test_banded_spmm_matches_gather(rng):
+    """Banded-dense MXU operator must equal the fixed-degree gather spmm."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.pooling import (
+        build_banded_operator,
+        iterate_pooling,
+        iterate_pooling_banded,
+    )
+
+    M, K, C = 512, 8, 24
+    # spatially-sorted-ish neighbor structure with a few far edges
+    nbr = (np.arange(M)[:, None] + rng.integers(-40, 40, (M, K))) % M
+    w = rng.random((M, K)).astype(np.float32)
+    w /= w.sum(1, keepdims=True)
+    feats = rng.normal(size=(M, C)).astype(np.float32)
+
+    ref = iterate_pooling(
+        jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)), jnp.asarray(feats),
+        num_iterations=3, row_tile=128,
+    )
+    S, rr, rc, rw = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
+        band=128, row_tile=64, max_residual=M * K,
+    )
+    out = iterate_pooling_banded(
+        S, rr, rc, rw, jnp.asarray(feats),
+        num_iterations=3, band=128, row_tile=64,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.1, atol=0.05)
+    # and with full-width band (no residual) it's the same too
+    S2, rr2, rc2, rw2 = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
+        band=M, row_tile=64, max_residual=8,
+    )
+    assert float(jnp.sum(rw2)) == 0.0  # nothing out of band
+    out2 = iterate_pooling_banded(
+        S2, rr2, rc2, rw2, jnp.asarray(feats),
+        num_iterations=3, band=M, row_tile=64,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=0.1, atol=0.05)
+
+
+def test_contrastive_sampler_small_scene(rng):
+    """Anchor budget larger than the scene point count must not break."""
+    import jax
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.contrastive import sample_contrastive_pairs_hybrid
+
+    N, D = 64, 8
+    f = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    valid = jnp.asarray(rng.random(N) < 0.9)
+    coords = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    pairs = sample_contrastive_pairs_hybrid(
+        jax.random.key(0), f, valid, coords=coords,
+        num_anchors=256, num_macro=5, num_micro=2, spatial_k=8,
+    )
+    assert pairs.anchor_idx.shape == (256,)
+    av = np.asarray(pairs.anchor_valid)
+    assert av.sum() <= int(np.asarray(valid).sum()) // 3
+    assert av.sum() > 0
+    # valid anchors point at valid scene points
+    ai = np.asarray(pairs.anchor_idx)[av]
+    assert np.asarray(valid)[ai].all()
