@@ -263,3 +263,70 @@ def test_selector(tmp_path, rng):
     chosen = select_training_subset(paths, num_classes=8, subset_size=4, num_clusters=2)
     assert len(chosen) == 4
     assert all(c in paths for c in chosen)
+
+
+def _make_matterport_scene_dir(tmp_path, sid="region0", n_frames=3, w=64, h=48):
+    from PIL import Image
+
+    d = tmp_path / "2d" / sid
+    for sub in ("matterport_camera_poses", "matterport_camera_intrinsics",
+                "matterport_color_images", "matterport_depth_images"):
+        os.makedirs(d / sub, exist_ok=True)
+    for i in range(n_frames):
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 0.1, 0.0, -3.0]
+        np.savetxt(d / "matterport_camera_poses" / f"cam{i}_pose_0_0.txt", pose)
+        np.savetxt(
+            d / "matterport_camera_intrinsics" / f"cam{i}_intrinsics_0.txt",
+            np.array([w, h, 50.0, 50.0, w / 2, h / 2, 0, 0, 0, 0, 0]),
+        )
+        Image.new("RGB", (w, h), (90, 90, 90)).save(
+            d / "matterport_color_images" / f"cam{i}_i0_0.jpg"
+        )
+        depth = np.full((h, w), 12000, np.uint16)  # 3m at depth_scale 4000
+        Image.fromarray(depth).save(d / "matterport_depth_images" / f"cam{i}_d0_0.png")
+    return str(d)
+
+
+def test_matterport_dataset_batch(tmp_path, rng):
+    import dataclasses
+    import torch
+
+    from geopurify_tpu.config import GeoPurifyConfig
+    from geopurify_tpu.data.loaders import SceneDataset
+
+    sid = "region0"
+    n = 300
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    normals = rng.normal(size=(n, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int64)
+    os.makedirs(tmp_path / "3d")
+    # matterport 4-tuple convention (SURVEY §2.1 #14)
+    torch.save((xyz, colors, normals, labels), tmp_path / "3d" / f"{sid}.pth")
+    _make_matterport_scene_dir(tmp_path, sid)
+    with open(tmp_path / "list.txt", "w") as f:
+        f.write(sid + "\n")
+
+    cfg = GeoPurifyConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, dataset="matterport",
+            data_root=str(tmp_path / "3d"), data_root_2d=str(tmp_path / "2d"),
+            train_scene_list=str(tmp_path / "list.txt"),
+            max_points=512, max_voxels=512, max_views=4, max_view_points=256,
+            voxel_size=0.1,
+        ),
+        fusion=dataclasses.replace(
+            cfg.fusion, img_dim=(64, 48), min_visible_points=1,
+            max_visible_points=10 ** 6, cut_boundary=0,
+        ),
+    )
+    ds = SceneDataset(cfg, split="train", augment=False, seed=0)
+    batch = ds.make_scene_batch(sid)
+    assert batch is not None
+    assert bool(batch.view_valid.any())
+    # normals came through the 4-tuple (nonzero geom channels 3:6)
+    g = np.asarray(batch.geom_feats)[np.asarray(batch.point_valid)]
+    assert np.abs(g[:, 3:6]).sum() > 0
