@@ -304,6 +304,8 @@ def load_blender_cameras(scene_dir: str, split: str = "train") -> List[Camera]:
 
 def load_scene_cameras(scene_dir: str, **kwargs) -> List[Camera]:
     if os.path.isdir(os.path.join(scene_dir, "matterport_camera_poses")):
+        kwargs.pop("frame_stride", None)   # ScanNet-only knob
+        kwargs.pop("resolution_scale", None)
         return load_matterport_cameras(scene_dir, **kwargs)
     if os.path.isdir(os.path.join(scene_dir, "pose")):
         kwargs.pop("points", None)
