@@ -196,6 +196,11 @@ class SceneDataset:
             cfg.data.train_scene_list if split == "train" else cfg.data.eval_scene_list
         )
         self.scene_ids = self._read_scene_list(list_name)
+        # in-process scene cache (≙ the reference's /dev/shm SharedArray cache,
+        # dataset/point_loader.py:167-179): the 20-scene training subset loops
+        # 16x per epoch, so re-reading pth/ply every visit is pure waste
+        self._scene_cache: Dict[str, ScenePoints] = {}
+        self._scene_cache_max = 32
         idx, total = shard
         if total > 1:  # per-host scene sharding (ref run/val.sh split_idx/total)
             self.scene_ids = self.scene_ids[idx::total]
@@ -243,10 +248,15 @@ class SceneDataset:
         cfg = self.cfg
         fus = cfg.fusion
         W, H = tuple(fus.img_dim)
-        sp = load_scene_any(
-            self.scene_3d_path(sid),
-            normals_ply=os.path.join(self.scene_2d_dir(sid), "points3d.labels.ply"),
-        )
+        sp = self._scene_cache.get(sid)
+        if sp is None:
+            sp = load_scene_any(
+                self.scene_3d_path(sid),
+                normals_ply=os.path.join(self.scene_2d_dir(sid), "points3d.labels.ply"),
+            )
+            if len(self._scene_cache) >= self._scene_cache_max:
+                self._scene_cache.pop(next(iter(self._scene_cache)))
+            self._scene_cache[sid] = sp
         xyz, rgb, normal, label = sp.xyz, sp.rgb, sp.normal, sp.label
 
         if self.augment is not None:
