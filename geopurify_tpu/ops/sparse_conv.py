@@ -72,6 +72,30 @@ def build_neighbor_table(
     return table.T  # [M, K]
 
 
+@jax.checkpoint
+def _conv_taps(f_pad: jax.Array, neighbor_idx: jax.Array, weights: jax.Array):
+    """sum_k gather_k(f) @ W[k] via a scan over taps.
+
+    Rematerialized (jax.checkpoint): without it, scan's backward saves every
+    per-tap gather — K x [M, Cin] residuals (3.4 GB at 65k voxels x 512 ch),
+    which OOMs the training step; recomputing the K gathers in the backward
+    costs a few ms."""
+    K = weights.shape[0]
+    M = neighbor_idx.shape[0]
+    Cout = weights.shape[2]
+
+    def step(acc, k):
+        gathered = f_pad[neighbor_idx[:, k]]  # [M, Cin]
+        acc = acc + jnp.dot(
+            gathered, weights[k], preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((M, Cout), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, jnp.arange(K))
+    return out
+
+
 def sparse_conv3(
     features: jax.Array,      # [M, Cin]
     neighbor_idx: jax.Array,  # [M, K] int32, sentinel == M
@@ -82,20 +106,10 @@ def sparse_conv3(
 ) -> jax.Array:
     """out[i] = sum_k F[nbr[i,k]] @ W[k]  (+ bias), zeros beyond valid rows."""
     M, Cin = features.shape
-    K, _, Cout = weights.shape
     f_pad = jnp.concatenate(
         [features, jnp.zeros((1, Cin), features.dtype)], axis=0
     )  # sentinel zero row
-
-    def step(acc, k):
-        gathered = f_pad[neighbor_idx[:, k]]  # [M, Cin]
-        acc = acc + jnp.dot(
-            gathered, weights[k], preferred_element_type=accum_dtype
-        )
-        return acc, None
-
-    acc0 = jnp.zeros((M, Cout), accum_dtype)
-    out, _ = jax.lax.scan(step, acc0, jnp.arange(K))
+    out = _conv_taps(f_pad, neighbor_idx, weights).astype(accum_dtype)
     if bias is not None:
         out = out + bias[None, :].astype(accum_dtype)
     out = jnp.where(valid[:, None], out, 0)
