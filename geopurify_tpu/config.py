@@ -163,9 +163,9 @@ class XDecoderConfig:
     scores_keep_thresh: float = 0.0
     mask_threshold: float = 0.5
     fusion_top_k: int = 3                 # cross-view consensus top-K
-    # Views per teacher forward. Measured on v5e at 484x648: B=1 runs 36 ms/view
-    # while B=4 is ~5x slower per view (the [B,Q,H,W] mask-resize/argmax
-    # intermediates blow past useful HBM working set) — keep 1 unless re-measured.
+    # Views per teacher forward. Measured on v5e at 484x648 (unrolled lift):
+    # B=4 == B=1 within noise (0.68 vs 0.66 s per 8-view scene) — the forward
+    # is bandwidth-bound at this resolution, so batching buys nothing; keep 1.
     view_batch: int = 1
     dtype: str = "bfloat16"
 
@@ -209,6 +209,7 @@ class TrainConfig:
     save_path: str = "runs/default"
     resume: Optional[str] = None
     grad_clip: Optional[float] = None
+    grad_accum_steps: int = 1             # ≙ X-Decoder trainer GRADIENT_ACCUMULATE_STEP
     schedule: str = "cosine"
 
 

@@ -57,4 +57,8 @@ def make_optimizer(cfg: TrainConfig, params: Any, steps_per_epoch: int):
     tx = optax.multi_transform(
         {k: group(m) for k, m in mults.items()}, label_params(params)
     )
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # ≙ the X-Decoder trainer's gradient accumulation
+        # (reference trainer/default_trainer.py:116-167)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx, base

@@ -150,3 +150,17 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, step = restore_checkpoint(str(tmp_path / "ck"), template)
     assert step == 7
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(4.0))
+
+
+def test_grad_accumulation():
+    """optax.MultiSteps wrapping: params move only every k-th step."""
+    cfg = TrainConfig(lr_3d=1e-2, warmup_epochs=0, epochs=1,
+                      weight_decay=0.0, grad_accum_steps=2)
+    params = {"res0": {"conv1": {"kernel": jnp.ones((4, 4))}}}
+    tx, _ = make_optimizer(cfg, params, steps_per_epoch=100)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    up1, state = tx.update(grads, state, params)
+    assert float(jnp.abs(up1["res0"]["conv1"]["kernel"]).sum()) == 0.0  # accumulating
+    up2, state = tx.update(grads, state, params)
+    assert float(jnp.abs(up2["res0"]["conv1"]["kernel"]).sum()) > 0.0   # applied
