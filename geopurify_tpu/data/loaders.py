@@ -219,7 +219,10 @@ class SceneDataset:
         for c in candidates:
             if os.path.exists(c):
                 with open(c) as f:
-                    return [ln.strip() for ln in f if ln.strip()]
+                    return [
+                        ln.strip() for ln in f
+                        if ln.strip() and not ln.lstrip().startswith("#")
+                    ]
         raise FileNotFoundError(f"scene list {name!r}; tried {candidates}")
 
     def scene_3d_path(self, sid: str) -> str:

