@@ -203,12 +203,13 @@ def main():
     jax.block_until_ready(out["pred"])
     log(f"warmup (compile + run): {time.time() - t0:.1f}s")
 
-    # timed scenes (fresh data per scene, same shapes -> cached executables)
+    # timed scenes (fresh data per scene, same shapes -> cached executables);
+    # dispatch is async: scenes are enqueued back-to-back and only the last
+    # result is blocked on, hiding host/dispatch latency behind device work
     scenes = [build_scene(i + 1, P, M, V, Pv, hw) for i in range(args.scenes)]
     t0 = time.time()
-    for sc in scenes:
-        out = pipe.evaluate_scene(student_vars, sc)
-        jax.block_until_ready(out["pred"])
+    outs = [pipe.evaluate_scene(student_vars, sc, n_valid_views=V) for sc in scenes]
+    jax.block_until_ready([o["pred"] for o in outs])
     dt = time.time() - t0
     sps = args.scenes / dt
     log(f"{args.scenes} scenes in {dt:.2f}s -> {sps:.3f} scenes/sec")

@@ -1,0 +1,111 @@
+"""Numpy oracles for the 2D->3D lift — pinning the reference algorithm's
+semantics (mask assembly affinity_module.py:544-593, consensus fusion
+:647-685) rather than just shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from geopurify_tpu.models.lift import fuse_views, lift_view_features
+
+
+def np_lift_oracle(pred_masks, mask_embed, pred_logits, rows, cols, pv_valid,
+                   text, logit_scale, mask_shape):
+    """Direct transcription of the reference per-view lift:
+    bicubic-resized masks -> score-weighted argmax mask id per pixel ->
+    per-point feature = winner's embed where sigmoid >= 0.5."""
+    from scipy.ndimage import zoom
+
+    Q, h, w = pred_masks.shape
+    H, W = mask_shape
+    masks = np.stack([
+        zoom(pred_masks[q], (H / h, W / w), order=1)  # order-1: resize-kernel
+        for q in range(Q)                              # differences don't move
+    ])                                                 # the >=0.5 decision here
+    probs = np.exp(pred_logits - pred_logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    scores = probs[:, :-1].max(-1)
+    sig = 1 / (1 + np.exp(-masks))
+    mask_ids = (scores[:, None, None] * sig).argmax(0)
+
+    r = np.clip(rows, 0, H - 1)
+    c = np.clip(cols, 0, W - 1)
+    winner = mask_ids[r, c]
+    covered = (sig[winner, r, c] >= 0.5) & pv_valid
+    feats = np.where(covered[:, None], mask_embed[winner], 0.0)
+    return feats, covered
+
+
+def test_lift_matches_oracle_on_coarse_masks(rng):
+    """With masks that are constant over large regions, resize-kernel detail
+    is irrelevant and the jax lift must agree with the oracle exactly."""
+    Q, h, w = 5, 12, 16
+    H, W = 48, 64
+    Pv = 200
+    n_cls = 4
+    # piecewise-constant mask logits: one query strongly claims each quadrant
+    pred_masks = np.full((Q, h, w), -8.0, np.float32)
+    pred_masks[0, : h // 2, : w // 2] = 8.0
+    pred_masks[1, : h // 2, w // 2:] = 8.0
+    pred_masks[2, h // 2:, : w // 2] = 8.0
+    pred_masks[3, h // 2:, w // 2:] = 8.0
+    # query 4 claims nothing
+    mask_embed = rng.normal(size=(Q, 8)).astype(np.float32)
+    pred_logits = rng.normal(size=(Q, n_cls + 1)).astype(np.float32)
+    # keep points away from quadrant boundaries (resize transition bands)
+    rows = rng.choice(np.r_[4:20, 28:44], Pv).astype(np.int32)
+    cols = rng.choice(np.r_[4:28, 36:60], Pv).astype(np.int32)
+    pv_valid = np.ones(Pv, bool)
+    coords = rng.normal(size=(Pv, 3)).astype(np.float32)
+    text = rng.normal(size=(n_cls, 8)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+
+    ref_feats, covered = np_lift_oracle(
+        pred_masks, mask_embed, pred_logits, rows, cols, pv_valid,
+        text, 10.0, (H, W),
+    )
+    out = lift_view_features(
+        jnp.asarray(pred_masks), jnp.asarray(mask_embed), jnp.asarray(pred_logits),
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(pv_valid),
+        jnp.asarray(coords), jnp.asarray(text), jnp.float32(10.0), (H, W),
+    )
+    got = np.asarray(out.features)
+    # covered points: normalized winner embed
+    ref_n = ref_feats[covered]
+    ref_n = ref_n / np.linalg.norm(ref_n, axis=1, keepdims=True)
+    np.testing.assert_allclose(got[covered], ref_n, rtol=1e-4, atol=1e-5)
+    assert covered.sum() > Pv * 0.8  # the quadrant masks cover most points
+
+
+def test_fuse_views_oracle(rng):
+    """Top-3 consensus fusion against a direct numpy transcription."""
+    V, Pv, C, n_cls, P = 4, 8, 6, 3, 12
+    feats = rng.normal(size=(V, Pv, C)).astype(np.float32)
+    logits = rng.normal(size=(V, Pv, n_cls)).astype(np.float32)
+    # a view sees each scene point at most once (the projection invariant)
+    ids = np.stack([
+        rng.choice(P, Pv, replace=False) for _ in range(V)
+    ]).astype(np.int32)
+    valid = rng.random((V, Pv)) < 0.8
+
+    fused, count = fuse_views(
+        jnp.asarray(feats), jnp.asarray(logits), jnp.asarray(ids),
+        jnp.asarray(valid), num_points=P, top_k=3,
+    )
+    fused, count = np.asarray(fused), np.asarray(count)
+
+    for p in range(P):
+        recs = [(v, i) for v in range(V) for i in range(Pv)
+                if valid[v, i] and ids[v, i] == p]
+        assert count[p] == len(recs)
+        if not recs:
+            np.testing.assert_allclose(fused[p], 0.0)
+            continue
+        mean_logits = np.mean([logits[v, i] for v, i in recs], axis=0)
+        consensus = int(mean_logits.argmax())
+        agree = np.array([logits[v, i][consensus] for v, i in recs])
+        order = np.argsort(-agree)[:3]
+        w = np.exp(agree[order] - agree[order].max())
+        w = w / w.sum()
+        ref = sum(wi * feats[recs[j][0], recs[j][1]] for wi, j in zip(w, order))
+        np.testing.assert_allclose(fused[p], ref, rtol=1e-3, atol=1e-4)
