@@ -78,6 +78,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.accumulate_face_normals.restype = None
     lib.nearest_donor.argtypes = [f32p, ctypes.c_int64, u8p, i64p]
     lib.nearest_donor.restype = None
+    lib.grid_knn.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p, f32p]
+    lib.grid_knn.restype = None
 
 
 def available() -> bool:
@@ -144,6 +146,24 @@ def vertex_normals(xyz: np.ndarray, faces: np.ndarray) -> np.ndarray:
     )
     norm = np.linalg.norm(out, axis=1, keepdims=True)
     return (out / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def grid_knn(coords: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN over unique integer grid cells (Chebyshev-shell expansion).
+
+    Returns (idx [m, k] int64 with -1 padding, d2 [m, k] f32 ascending).
+    """
+    lib = _get()
+    assert lib is not None
+    c = np.ascontiguousarray(coords, np.int32)
+    m = len(c)
+    idx = np.empty((m, k), np.int64)
+    d2 = np.empty((m, k), np.float32)
+    lib.grid_knn(
+        _ptr(c, ctypes.c_int32), m, k,
+        _ptr(idx, ctypes.c_int64), _ptr(d2, ctypes.c_float),
+    )
+    return idx, d2
 
 
 def nearest_donor(coords: np.ndarray, has_value: np.ndarray) -> np.ndarray:

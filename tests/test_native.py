@@ -94,3 +94,33 @@ def test_voxelizer_uses_native_consistently(rng):
     m = len(np.unique(key))
     assert len(res.voxel_coords) == m
     assert res.inds_reverse.max() == m - 1
+
+
+def test_grid_knn_exact_vs_scipy(rng):
+    from scipy.spatial import cKDTree
+
+    n = 3000
+    floor = np.stack([rng.integers(0, 40, n // 2), rng.integers(0, 40, n // 2),
+                      rng.integers(0, 2, n // 2)], 1)
+    wall = np.stack([rng.integers(0, 2, n - n // 2), rng.integers(0, 40, n - n // 2),
+                     rng.integers(0, 30, n - n // 2)], 1)
+    vox = np.unique(np.concatenate([floor, wall]), axis=0).astype(np.int32)
+    m = len(vox)
+    k = 16
+    idx, d2 = native.grid_knn(vox, k)
+    tree = cKDTree(vox.astype(np.float64))
+    d_ref, i_ref = tree.query(vox.astype(np.float64), k=k + 1)
+    d_ref = d_ref[:, 1:] ** 2  # drop self
+    np.testing.assert_allclose(d2, d_ref, rtol=1e-5)
+    assert (idx >= 0).all() and (idx != np.arange(m)[:, None]).all()
+    # reported distances consistent with reported indices
+    true_d = ((vox[:, None, :].astype(np.int64) - vox[idx]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, true_d)
+
+
+def test_grid_knn_small_scene():
+    vox = np.array([[0, 0, 0], [3, 0, 0], [6, 0, 0]], np.int32)
+    idx, d2 = native.grid_knn(vox, 4)
+    assert (idx[:, 2:] == -1).all()       # only 2 real neighbors each
+    assert np.isinf(d2[:, 2:]).all()
+    np.testing.assert_allclose(d2[0, :2], [9, 36])
