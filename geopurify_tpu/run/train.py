@@ -253,6 +253,9 @@ def main(argv=None):
     metrics_path = os.path.join(cfg.train.save_path, "metrics.jsonl")
     os.makedirs(cfg.train.save_path, exist_ok=True)
 
+    from geopurify_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     t0 = time.time()
     step_count = int(state.step)
     for epoch in range(cfg.train.epochs):
@@ -281,8 +284,10 @@ def main(argv=None):
                         ft = jnp.asarray(data["f_teacher"])
                         cache_hit = True
                 if not cache_hit:
-                    f2d = pipeline.lift_scene(sc_batch).features
-                    ft = pipeline.teacher_point_features(sc_batch)
+                    with timer.stage("lift_2d"):
+                        f2d = pipeline.lift_scene(sc_batch).features
+                    with timer.stage("teacher_3d"):
+                        ft = pipeline.teacher_point_features(sc_batch)
                 batch_scenes.append(sc_batch)
                 f2ds.append(f2d)
                 fts.append(ft)
@@ -290,15 +295,18 @@ def main(argv=None):
                 continue  # an unusable scene left the device batch short
             stacked = stack_scenes(batch_scenes)
             key, sub = jax.random.split(key)
-            state, loss = train_step(
-                state, stacked, jnp.stack(f2ds), jnp.stack(fts), sub
-            )
+            with timer.stage("train_step", block_on=None):
+                state, loss = train_step(
+                    state, stacked, jnp.stack(f2ds), jnp.stack(fts), sub
+                )
             step_count += 1
             if step_count % cfg.train.print_freq == 0:
                 lr = float(schedule(step_count))
                 rec = {
                     "step": step_count, "epoch": epoch, "loss": float(loss),
                     "lr": lr, "elapsed_s": time.time() - t0,
+                    "scenes_per_sec": step_count * n_dp / max(time.time() - t0, 1e-9),
+                    "stages": timer.summary(),
                 }
                 log.info("%s", rec)
                 with open(metrics_path, "a") as f:
