@@ -146,12 +146,25 @@ def build_banded_operator(
     S = jnp.zeros((M, band), jnp.float32)
     S = S.at[flat_rows, flat_cols].add(flat_w).astype(dtype)
 
-    # residual COO (padded static size; valid entries first after sort)
-    out_w = jnp.where(~in_band, weights, 0.0).reshape(-1)
-    order = jnp.argsort(-out_w)[:max_residual]
-    res_w = out_w[order]
-    res_row = flat_rows[order]
-    res_col = nbr.reshape(-1)[order]
+    # residual COO: sort-free fixed-capacity compaction — stable cumsum rank
+    # over out-of-band entries (an argsort over M*K elements costs more per
+    # scene than the residual pass it feeds). Overflow beyond max_residual
+    # drops edges (log-worthy upstream); capacity is sized ~4x the typical
+    # out-of-band tail.
+    out_mask = ~in_band
+    out_w = jnp.where(out_mask, weights, 0.0).reshape(-1)
+    rank = jnp.cumsum(out_mask.reshape(-1).astype(jnp.int32)) - 1
+    keep = out_mask.reshape(-1) & (rank < max_residual)
+    slot = jnp.where(keep, rank, max_residual)      # trash slot, sliced off
+    res_w = jnp.zeros((max_residual + 1,), jnp.float32).at[slot].set(
+        out_w, mode="drop"
+    )[:max_residual]
+    res_row = jnp.zeros((max_residual + 1,), jnp.int32).at[slot].set(
+        flat_rows, mode="drop"
+    )[:max_residual]
+    res_col = jnp.zeros((max_residual + 1,), jnp.int32).at[slot].set(
+        nbr.reshape(-1), mode="drop"
+    )[:max_residual]
     return S, res_row, res_col, res_w
 
 

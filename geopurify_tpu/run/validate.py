@@ -37,7 +37,7 @@ def shard_scene_list(scene_ids: List[str], shard_idx: int, shard_total: int) -> 
 
 
 def evaluate_scenes(pipeline, student_vars, scene_iter, cfg: GeoPurifyConfig,
-                    log_every: int = 1):
+                    log_every: int = 1, save_preds: Optional[str] = None):
     meter = SegMeter(
         num_classes=cfg.data.test_classes,
         base_category=cfg.data.base_category,
@@ -54,6 +54,21 @@ def evaluate_scenes(pipeline, student_vars, scene_iter, cfg: GeoPurifyConfig,
         jax.block_until_ready(inter)
         times.append(time.time() - t0)
         meter.update(inter, union, target)
+        if save_preds:
+            from geopurify_tpu.utils.visualization import save_semantic_ply
+
+            valid = np.asarray(batch.point_valid)
+            pts = np.asarray(batch.points)
+            save_semantic_ply(
+                os.path.join(save_preds, f"scene{i:04d}_pred.ply"),
+                pts, np.asarray(out["pred"]),
+                num_classes=cfg.data.test_classes, valid=valid,
+            )
+            save_semantic_ply(
+                os.path.join(save_preds, f"scene{i:04d}_gt.ply"),
+                pts, np.asarray(batch.labels).clip(0, cfg.data.test_classes - 1),
+                num_classes=cfg.data.test_classes, valid=valid,
+            )
         if (i + 1) % log_every == 0:
             s = meter.summary()["all"]
             log.info(
@@ -72,6 +87,8 @@ def main(argv=None):
     parser.add_argument("--shard-total", type=int, default=1)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--max-scenes", type=int, default=None)
+    parser.add_argument("--save-preds", default=None,
+                        help="dir for per-scene pred/gt PLY dumps")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -134,7 +151,11 @@ def main(argv=None):
             b for b in (ds.make_scene_batch(sid) for sid in ids) if b is not None
         )
 
-    meter, times = evaluate_scenes(pipeline, student_vars, scene_iter, cfg)
+    if args.save_preds:
+        os.makedirs(args.save_preds, exist_ok=True)
+    meter, times = evaluate_scenes(
+        pipeline, student_vars, scene_iter, cfg, save_preds=args.save_preds
+    )
     summary = meter.summary()
     result = {
         "summary": summary,
