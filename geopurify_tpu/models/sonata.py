@@ -198,9 +198,14 @@ class SonataEncoder(nn.Module):
             levels.append(StageLevel(x, cur_coords, cur_valid, pooling_inverse))
 
             if s < len(self.enc_depths) - 1:
-                # grid pool: halve the voxel grid
+                # grid pool: halve the voxel grid. The PARENT budget must be
+                # the full child count — unique parent cells only shrink
+                # data-dependently (a sparse cloud can keep ~every cell
+                # distinct after halving), and an overflowing budget silently
+                # drops cells (caught by test_encoder_grid_pool_hierarchy).
+                # The VALID count still shrinks; only padding is carried.
                 parent_coords_all = cur_coords // 2
-                M_next = max(cur_coords.shape[0] // 2, 1)
+                M_next = cur_coords.shape[0]
                 dv = voxelize_points(parent_coords_all, cur_valid, max_voxels=M_next)
                 inv = dv.point2voxel                      # [Mi] -> parent id (==M_next pad)
                 pooled = segment_mean(
