@@ -174,6 +174,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="scannet")
     parser.add_argument("--config", default=None)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() from env")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--teacher-cache", default=None,
                         help="dir of precomputed teacher features (run/precompute.py)")
@@ -186,6 +188,11 @@ def main(argv=None):
         level=logging.INFO,
         format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s",
     )
+    if args.distributed:
+        # multi-host rendezvous (TPU pods auto-discover the coordinator from
+        # the environment); per-host data sharding + psum'd grads follow
+        jax.distributed.initialize()
+        log.info("distributed: process %d/%d", jax.process_index(), jax.process_count())
     from geopurify_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -85,6 +85,8 @@ def main(argv=None):
     parser.add_argument("--student-ckpt", default=None)
     parser.add_argument("--shard-idx", type=int, default=0)
     parser.add_argument("--shard-total", type=int, default=1)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() from env")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--max-scenes", type=int, default=None)
     parser.add_argument("--save-preds", default=None,
@@ -93,6 +95,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s")
+    if args.distributed:
+        jax.distributed.initialize()
+        log.info("distributed: process %d/%d", jax.process_index(), jax.process_count())
     from geopurify_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
