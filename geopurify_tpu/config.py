@@ -107,6 +107,11 @@ class ContrastiveConfig:
     num_micro_negatives: int = 15         # hardest among spatial kNN
     spatial_knn_k: int = 96
     temperature: float = 0.07
+    # Pallas-fused InfoNCE (ops/pallas_infonce.py): numerically exact
+    # (grad err ~1e-10 vs XLA) but measured SLOWER on v5e at 4096x63x128
+    # (fwd 3.4 vs 2.7 ms, grad 5.1 vs 2.5 ms — the streamed-negatives loop
+    # serializes what XLA runs as one batched matmul). Kept as opt-in.
+    fused_loss: bool = False
 
 
 @dataclass

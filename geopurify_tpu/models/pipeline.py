@@ -317,5 +317,16 @@ class GeoPurifyPipeline:
         n = sample_embed(pairs.negative_idx.reshape(-1)).reshape(
             cc.num_anchors, cc.num_negatives, -1
         )
-        loss = info_nce_loss(a, p, n, pairs.anchor_valid, cc.temperature)
+        use_fused = (
+            cc.fused_loss
+            and jax.default_backend() == "tpu"
+            and cc.num_anchors % min(128, cc.num_anchors) == 0
+            and cc.num_anchors % min(64, cc.num_anchors) == 0
+        )
+        if use_fused:
+            from geopurify_tpu.ops.pallas_infonce import info_nce_loss_fused
+
+            loss = info_nce_loss_fused(a, p, n, pairs.anchor_valid, cc.temperature)
+        else:
+            loss = info_nce_loss(a, p, n, pairs.anchor_valid, cc.temperature)
         return loss, updates
