@@ -117,7 +117,7 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
-    parser.add_argument("--scenes", type=int, default=4)
+    parser.add_argument("--scenes", type=int, default=8)  # amortizes tunnel timing variance
     args = parser.parse_args()
 
     if args.smoke:

@@ -168,6 +168,12 @@ def main(argv=None):
         "per_class_iou": meter.per_class_iou().tolist(),
     }
     print(json.dumps(result))
+    # append-mode result log (≙ the reference's eval_result.log appender,
+    # models/utils/metric.py:88-104)
+    os.makedirs("runs", exist_ok=True)
+    with open(os.path.join("runs", "eval_results.jsonl"), "a") as f:
+        f.write(json.dumps({"preset": args.preset, "shard": [args.shard_idx,
+                args.shard_total], **result}) + "\n")
     return result
 
 
