@@ -268,10 +268,19 @@ class SceneDataset:
             rgb = feats255[:, :3] / 255.0
             normal = feats255[:, 3:6]
 
-        # cap points (static bucket)
+        # cap points (static bucket). Without augmentation the subsample must
+        # be DETERMINISTIC per scene: precomputed teacher features (.npz cache,
+        # run/precompute.py) are keyed by scene id and row-aligned to this
+        # exact point set.
         P = cfg.data.max_points
         if len(xyz) > P:
-            keep = self.rng.choice(len(xyz), P, replace=False)
+            if self.augment is not None:
+                keep = self.rng.choice(len(xyz), P, replace=False)
+            else:
+                import zlib
+
+                sub_rng = np.random.default_rng(zlib.crc32(sid.encode()))
+                keep = sub_rng.choice(len(xyz), P, replace=False)
             keep.sort()
             xyz, rgb, normal, label = xyz[keep], rgb[keep], normal[keep], label[keep]
         n_pts = len(xyz)
@@ -280,8 +289,12 @@ class SceneDataset:
         cams = load_scene_cameras(
             self.scene_2d_dir(sid),
             frame_stride=fus.frame_stride,
+            resolution_scale=fus.resolution_scale,
             points=xyz,
         ) if os.path.isdir(self.scene_2d_dir(sid)) else []
+        if cfg.data.dataset != "matterport":
+            for cam in cams:  # config-driven depth scale (ScanNet-style data)
+                cam.depth_scale = fus.depth_scale
         views = []
         for cam in cams:
             if cam.image_path is None:

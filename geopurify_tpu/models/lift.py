@@ -35,7 +35,7 @@ class ViewLift(NamedTuple):
     logits: jax.Array     # [Pv, n_cls] scaled cosine logits vs text
 
 
-@partial(jax.jit, static_argnames=("mask_shape",))
+@partial(jax.jit, static_argnames=("mask_shape", "mask_threshold"))
 def lift_view_features(
     pred_masks: jax.Array,     # [Q, h, w] stride-4 mask logits (padded-image grid)
     mask_embed: jax.Array,     # [Q, C]
@@ -47,6 +47,7 @@ def lift_view_features(
     text_embeddings: jax.Array,  # [n_cls, C] L2-normalized (background excluded)
     logit_scale: jax.Array,    # []
     mask_shape: Tuple[int, int],  # (H, W)
+    mask_threshold: float = 0.5,
 ) -> ViewLift:
     """Single-view mask assembly -> per-point features -> hole fill -> logits."""
     H, W = mask_shape
@@ -65,7 +66,7 @@ def lift_view_features(
     r = jnp.clip(rows, 0, H - 1)
     c = jnp.clip(cols, 0, W - 1)
     winner = mask_ids[r, c]                                   # [Pv]
-    covered = (sig[winner, r, c] >= 0.5) & pv_valid
+    covered = (sig[winner, r, c] >= mask_threshold) & pv_valid
     feats = jnp.where(
         covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0
     )                                                         # [Pv, C]

@@ -136,6 +136,7 @@ class GeoPurifyPipeline:
                 rows[b], cols[b], pv_valid[b], view_coords[b],
                 text_no_bg, logit_scale,
                 tuple(self.cfg.xdecoder.mask_shape),
+                mask_threshold=self.cfg.xdecoder.mask_threshold,
             )
             for b in range(images.shape[0])
         ]

@@ -37,7 +37,7 @@ def build_affinity_graph(
     M = embeddings.shape[0]
     coords_f = voxel_coords.astype(jnp.float32)
     ids = jnp.arange(M, dtype=jnp.int32)
-    _, nbr = knn_search(
+    dists, nbr = knn_search(
         coords_f, coords_f, valid, k=k,
         query_ids=ids, exclude_identical_index=True,
         query_tile=query_tile, db_chunk=db_chunk,
@@ -45,10 +45,14 @@ def build_affinity_graph(
     e = embeddings.astype(jnp.float32)
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
     aff = jnp.einsum("md,mkd->mk", e, e[nbr])          # cosine, [M,k]
-    # neighbors of invalid rows / invalid neighbors: never selected since
-    # knn masks them; still, guard the softmax numerically.
+    # unfilled kNN slots (scenes with < k+1 valid voxels) carry dist=inf and a
+    # clamped index — mask them out of the softmax or padding features leak
+    # into every short row across the smoothing iterations
+    filled = jnp.isfinite(dists)
+    aff = jnp.where(filled, aff, -jnp.inf)
     w = jax.nn.softmax(aff * sharpen, axis=-1)
-    w = jnp.where(valid[:, None], w, 0.0)
+    w = jnp.nan_to_num(w)                              # all-unfilled rows -> 0
+    w = jnp.where(valid[:, None] & filled, w, 0.0)
     return nbr, w
 
 

@@ -46,17 +46,18 @@ def make_optimizer(cfg: TrainConfig, params: Any, steps_per_epoch: int):
     }
 
     def group(mult: float):
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip else optax.identity(),
-            optax.adamw(
-                learning_rate=lambda s: base(s) * mult,
-                weight_decay=cfg.weight_decay,
-            ),
+        return optax.adamw(
+            learning_rate=lambda s: base(s) * mult,
+            weight_decay=cfg.weight_decay,
         )
 
     tx = optax.multi_transform(
         {k: group(m) for k, m in mults.items()}, label_params(params)
     )
+    if cfg.grad_clip:
+        # clip by the GLOBAL norm across all parameter groups (inside
+        # multi_transform each group would be clipped by its own norm)
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     if getattr(cfg, "grad_accum_steps", 1) > 1:
         # ≙ the X-Decoder trainer's gradient accumulation
         # (reference trainer/default_trainer.py:116-167)

@@ -53,6 +53,22 @@ class TrainState(NamedTuple):
 
 def make_train_step(pipeline: GeoPurifyPipeline, tx, mesh: Mesh, data_axis: str):
     """Returns a jitted shard_map step: scenes sharded over `data`, state replicated."""
+    if pipeline.cfg.parallel.sync_batchnorm and mesh.shape[data_axis] > 1:
+        # SyncBN: the student used INSIDE the sharded step psums its batch
+        # moments over `data` (≙ the reference's double SyncBN conversion,
+        # run/train.py:212-213). A separate module instance is needed — the
+        # pipeline's own student also runs outside any mesh context (eval).
+        import copy
+
+        from geopurify_tpu.models.student import AffinityPredictor
+
+        s = pipeline.cfg.student
+        pipeline = copy.copy(pipeline)
+        pipeline.student = AffinityPredictor(
+            input_dim=s.input_dim, hidden_dim=s.hidden_dim,
+            embed_dim=s.embed_dim, num_res_blocks=s.num_res_blocks,
+            bn_momentum=s.bn_momentum, axis_name=data_axis,
+        )
 
     def device_step(state: TrainState, scene: SceneBatch, f2d, f_teacher, rng):
         # leading per-device dim of 1 -> squeeze
@@ -308,7 +324,8 @@ def main(argv=None):
                 )
             step_count += 1
             if step_count % cfg.train.print_freq == 0:
-                lr = float(schedule(step_count))
+                # MultiSteps advances the inner schedule once per k raw steps
+                lr = float(schedule(step_count // max(cfg.train.grad_accum_steps, 1)))
                 rec = {
                     "step": step_count, "epoch": epoch, "loss": float(loss),
                     "lr": lr, "elapsed_s": time.time() - t0,

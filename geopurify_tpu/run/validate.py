@@ -64,9 +64,13 @@ def evaluate_scenes(pipeline, student_vars, scene_iter, cfg: GeoPurifyConfig,
                 pts, np.asarray(out["pred"]),
                 num_classes=cfg.data.test_classes, valid=valid,
             )
+            gt = np.asarray(batch.labels)
+            ignore = (gt >= cfg.data.test_classes) | np.isin(
+                gt, np.asarray(cfg.data.test_ignore_label, dtype=gt.dtype)
+            )
             save_semantic_ply(
                 os.path.join(save_preds, f"scene{i:04d}_gt.ply"),
-                pts, np.asarray(batch.labels).clip(0, cfg.data.test_classes - 1),
+                pts, np.where(ignore, -1, gt),   # ignore regions render black
                 num_classes=cfg.data.test_classes, valid=valid,
             )
         if (i + 1) % log_every == 0:

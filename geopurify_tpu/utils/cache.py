@@ -61,5 +61,5 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    warm_transfer_channel()
+    # deliberately NO warm_transfer_channel() here — see module docstring
     return cache_dir
