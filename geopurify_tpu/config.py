@@ -165,6 +165,11 @@ class XDecoderConfig:
     pixel_mean: Tuple[float, ...] = _tuple_field(123.675, 116.280, 103.530)
     pixel_std: Tuple[float, ...] = _tuple_field(58.395, 57.120, 57.375)
     mask_shape: Tuple[int, int] = _tuple_field(484, 648)   # (H, W)
+    # Released teacher checkpoint (xdecoder_focall_last.pt). When set,
+    # build_pipeline converts it (utils/convert_xdecoder.py) into the frozen
+    # teacher + language-tower params; when unset, teachers stay zero-
+    # initialized and real-data runs warn loudly (they would produce garbage).
+    ckpt: Optional[str] = None
     scores_keep_thresh: float = 0.0
     mask_threshold: float = 0.5
     fusion_top_k: int = 3                 # cross-view consensus top-K
@@ -193,6 +198,9 @@ class SonataConfig:
     stride: Tuple[int, ...] = _tuple_field(2, 2, 2, 2)
     upcast_levels: int = 2                # concat top-2 levels on the way back down
     dtype: str = "bfloat16"
+    # Released frozen teacher weights (facebook/sonata). Converted by
+    # utils/convert_sonata.py when set; see XDecoderConfig.ckpt for semantics.
+    ckpt: Optional[str] = None
 
 
 @dataclass

@@ -318,6 +318,25 @@ class LanguageEncoder(nn.Module):
         return jnp.exp(self.logit_scale)
 
 
+def class_name_prompts(
+    class_names: Sequence[str],
+    template: Optional[str] = None,
+    add_background: bool = True,
+) -> List[str]:
+    """The exact label strings fed to text embedding.
+
+    The reference wraps every class name in the scene prompt before embedding
+    and appends a literal "background" class
+    (reference models/affinity_module.py:242-245:
+    ``labelset = ["a " + label + " in a scene" for label in cfg.all_label];
+    labelset.append('background')``). The background name is NOT wrapped.
+    """
+    names = [template.format(n) if template else n for n in class_names]
+    if add_background:
+        names.append("background")
+    return names
+
+
 def embed_class_names(
     apply_fn,
     variables,
@@ -325,11 +344,15 @@ def embed_class_names(
     class_names: Sequence[str],
     use_templates: bool = True,
     add_background: bool = True,
+    template: Optional[str] = None,
     batch_size: int = 80,
 ) -> np.ndarray:
     """Per-class prompt-template-averaged, L2-normalized text embeddings
-    (vlpencoder.py:102-126). Returns [n_cls(+1), dim_proj] f32, background last."""
-    names = list(class_names) + (["background"] if add_background else [])
+    (vlpencoder.py:102-126). Returns [n_cls(+1), dim_proj] f32, background last.
+
+    ``template`` (e.g. ``"a {} in a scene"``) wraps each class name BEFORE the
+    80-template averaging, matching affinity_module.py:242-245."""
+    names = class_name_prompts(class_names, template, add_background)
     out = []
     for cls in names:
         clean = cls.replace("-other", "").replace("-merged", "").replace("-stuff", "")

@@ -214,7 +214,7 @@ class GeoPurifyPipeline:
             student_vars, voxel_in, nbr, batch.voxel_valid, train=False
         )
         pc = self.cfg.pooling
-        refined = geometry_guided_pooling(
+        refined, band_overflow = geometry_guided_pooling(
             embed, voxel_in, batch.voxel_coords, batch.voxel_valid,
             k=pc.knn_k, sharpen=pc.sharpen, num_iterations=pc.num_iterations,
             spmm_mode=pc.spmm_mode, band=pc.band,
@@ -223,20 +223,23 @@ class GeoPurifyPipeline:
             [refined, jnp.zeros((1, refined.shape[1]), refined.dtype)], axis=0
         )
         out = refined[jnp.minimum(p2v, M)][:, : pc.feature_dim]
-        return jnp.where(batch.point_valid[:, None], out, 0)
+        return jnp.where(batch.point_valid[:, None], out, 0), band_overflow
 
     def evaluate_scene(
         self, student_vars, batch: SceneBatch, n_valid_views: Optional[int] = None
     ) -> Dict[str, jax.Array]:
         """Full Stage-2: returns refined per-point features + open-vocab logits."""
         lifted = self.lift_scene(batch, n_valid=n_valid_views)
-        refined = self._pool_scene(student_vars, lifted.features, batch)
+        refined, band_overflow = self._pool_scene(student_vars, lifted.features, batch)
         logits, pred = self._classify(refined, self.text_embeddings, self.logit_scale)
         return {
             "scene_features": refined,
             "logits": logits,
             "pred": pred,
             "view_count": lifted.view_count,
+            # >0: the banded pooling operator overflowed and the exact gather
+            # fallback ran for this scene (log-worthy — see ops/pooling.py)
+            "band_overflow": band_overflow,
         }
 
     def _classify_impl(self, refined, text_embeddings, logit_scale):

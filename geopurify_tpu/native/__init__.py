@@ -27,13 +27,14 @@ _lock = threading.Lock()
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return ctypes.CDLL(_SO)
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _SO,
-    ]
     try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            # a stale/foreign-ABI cached .so must degrade to numpy, not raise
+            return ctypes.CDLL(_SO)
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            _SRC, "-o", _SO,
+        ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return ctypes.CDLL(_SO)
     except (OSError, subprocess.SubprocessError):
@@ -156,6 +157,12 @@ def grid_knn(coords: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     lib = _get()
     assert lib is not None
     c = np.ascontiguousarray(coords, np.int32)
+    # the packed 21-bit/field hash key is collision-free only in this range
+    if len(c) and (c.min() < -16384 or c.max() >= 2080768):
+        raise ValueError(
+            f"grid_knn coords out of packed-key range [-16384, 2080768): "
+            f"[{c.min()}, {c.max()}]"
+        )
     m = len(c)
     idx = np.empty((m, k), np.int64)
     d2 = np.empty((m, k), np.float32)

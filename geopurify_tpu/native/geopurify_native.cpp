@@ -113,8 +113,11 @@ void compute_mapping(const float* points, int64_t n, const double* w2c,
       const double py = w2c[4] * x + w2c[5] * y + w2c[6] * z0 + w2c[7];
       const double pz = w2c[8] * x + w2c[9] * y + w2c[10] * z0 + w2c[11];
       const double sz = std::abs(pz) < 1e-8 ? 1e-8 : pz;
-      const int64_t u = llround(px * fx / sz + cx);
-      const int64_t v = llround(py * fy / sz + cy);
+      // round-half-even (numpy np.round semantics; llround would differ on
+      // exact .5 pixel coordinates). nearbyint honours the default FE mode,
+      // which is round-to-nearest-even.
+      const int64_t u = static_cast<int64_t>(std::nearbyint(px * fx / sz + cx));
+      const int64_t v = static_cast<int64_t>(std::nearbyint(py * fy / sz + cy));
       bool ok = u >= cut && v >= cut && u < W - cut && v < H - cut && pz > 0;
       if (ok && depth != nullptr) {
         const double d = depth[v * W + u];
@@ -198,19 +201,22 @@ void nearest_donor(const float* coords, int64_t n, const uint8_t* has_value,
 void grid_knn(const int32_t* coords, int64_t m, int32_t k, int64_t* out_idx,
               float* out_d2) {
   // collision-free packed key; +2^14 offset keeps shell probes (which go
-  // below 0 at the grid boundary) non-negative within each 21-bit field
+  // below 0 at the grid boundary) non-negative within each 21-bit field.
+  // Valid input range: x,y,z in [-16384, 2080768) — asserted by the python
+  // wrapper; the top bit (63) of a key is never set, so ~0 is a free sentinel.
   auto key_of = [](int32_t x, int32_t y, int32_t z) -> uint64_t {
     const uint64_t ox = static_cast<uint64_t>(x + 16384) & 0x1FFFFF;
     const uint64_t oy = static_cast<uint64_t>(y + 16384) & 0x1FFFFF;
     const uint64_t oz = static_cast<uint64_t>(z + 16384) & 0x1FFFFF;
     return (ox << 42) | (oy << 21) | oz;
   };
+  constexpr uint64_t kEmpty = ~0ull;  // unreachable: bit 63 never set by key_of
   // flat open-addressing table (linear probing): the probe loop is the whole
   // cost of this algorithm and std::unordered_map is ~5x slower per lookup
   size_t cap = 64;
   while (cap < static_cast<size_t>(m) * 4) cap <<= 1;
   const size_t mask = cap - 1;
-  std::vector<uint64_t> tab_key(cap, 0);   // 0 == empty (unreachable key)
+  std::vector<uint64_t> tab_key(cap, kEmpty);
   std::vector<int64_t> tab_val(cap);
   auto slot_of = [&](uint64_t key) -> size_t {
     uint64_t h = key * 0x9E3779B97F4A7C15ull;
@@ -219,7 +225,7 @@ void grid_knn(const int32_t* coords, int64_t m, int32_t k, int64_t* out_idx,
   for (int64_t i = 0; i < m; ++i) {
     const uint64_t key = key_of(coords[i * 3], coords[i * 3 + 1], coords[i * 3 + 2]);
     size_t s = slot_of(key);
-    while (tab_key[s] != 0) s = (s + 1) & mask;
+    while (tab_key[s] != kEmpty) s = (s + 1) & mask;
     tab_key[s] = key;
     tab_val[s] = i;
   }
@@ -228,7 +234,7 @@ void grid_knn(const int32_t* coords, int64_t m, int32_t k, int64_t* out_idx,
     while (true) {
       const uint64_t kk = tab_key[s];
       if (kk == key) return tab_val[s];
-      if (kk == 0) return -1;
+      if (kk == kEmpty) return -1;
       s = (s + 1) & mask;
     }
   };

@@ -132,7 +132,10 @@ def build_banded_operator(
     (tail of the band distribution) go to a COO residual list applied with
     segment-sum per round, keeping the result exact.
 
-    Returns (S [M, band] dtype, res_row [R], res_col [R], res_w [R]).
+    Returns (S [M, band] dtype, res_row [R], res_col [R], res_w [R],
+    n_dropped [] int32 — out-of-band edges beyond ``max_residual`` capacity;
+    when > 0 the operator is INEXACT and callers must fall back to the gather
+    path or surface the count).
     """
     M, K = weights.shape
     n_t = -(-M // row_tile)
@@ -152,12 +155,14 @@ def build_banded_operator(
 
     # residual COO: sort-free fixed-capacity compaction — stable cumsum rank
     # over out-of-band entries (an argsort over M*K elements costs more per
-    # scene than the residual pass it feeds). Overflow beyond max_residual
-    # drops edges (log-worthy upstream); capacity is sized ~4x the typical
-    # out-of-band tail.
+    # scene than the residual pass it feeds). Capacity is sized ~4x the
+    # typical out-of-band tail; the returned n_dropped counts any overflow so
+    # callers can fall back to the exact gather path.
     out_mask = ~in_band
     out_w = jnp.where(out_mask, weights, 0.0).reshape(-1)
     rank = jnp.cumsum(out_mask.reshape(-1).astype(jnp.int32)) - 1
+    n_out = jnp.sum(out_mask.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_out - max_residual, 0)
     keep = out_mask.reshape(-1) & (rank < max_residual)
     slot = jnp.where(keep, rank, max_residual)      # trash slot, sliced off
     res_w = jnp.zeros((max_residual + 1,), jnp.float32).at[slot].set(
@@ -169,7 +174,7 @@ def build_banded_operator(
     res_col = jnp.zeros((max_residual + 1,), jnp.int32).at[slot].set(
         nbr.reshape(-1), mode="drop"
     )[:max_residual]
-    return S, res_row, res_col, res_w
+    return S, res_row, res_col, res_w, n_dropped
 
 
 @partial(jax.jit, static_argnames=("num_iterations", "band", "row_tile"))
@@ -226,18 +231,29 @@ def geometry_guided_pooling(
     num_iterations: int = 19,
     spmm_mode: str = "banded",
     band: int = 12288,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Full Stage-2 smoothing: graph build + iterated aggregation.
 
     spmm_mode 'banded' (default) rides the MXU via the banded-dense operator;
     'gather' is the straight fixed-degree gather (reference-exact f32 weights).
-    Both are exact over the same graph; banded carries weights in bf16.
+    Both are exact over the same graph; banded carries weights in bf16. If a
+    scene's out-of-band residual overflows the banded operator's capacity, a
+    runtime lax.cond falls back to the gather path so the result stays exact.
+
+    Returns (smoothed feats [M, C], n_residual_overflow [] int32 — >0 means
+    the banded capacity was exceeded and the gather fallback ran).
     """
     nbr, w = build_affinity_graph(embeddings, voxel_coords, valid, k=k, sharpen=sharpen)
     M = feats.shape[0]
     if spmm_mode == "banded" and M > band:
-        S, rr, rc, rw = build_banded_operator(w, nbr, band=band)
-        return iterate_pooling_banded(
-            S, rr, rc, rw, feats, num_iterations=num_iterations, band=band
+        S, rr, rc, rw, n_dropped = build_banded_operator(w, nbr, band=band)
+        out = jax.lax.cond(
+            n_dropped > 0,
+            lambda: iterate_pooling(w, nbr, feats, num_iterations=num_iterations),
+            lambda: iterate_pooling_banded(
+                S, rr, rc, rw, feats, num_iterations=num_iterations, band=band
+            ),
         )
-    return iterate_pooling(w, nbr, feats, num_iterations=num_iterations)
+        return out, n_dropped
+    out = iterate_pooling(w, nbr, feats, num_iterations=num_iterations)
+    return out, jnp.zeros((), jnp.int32)

@@ -59,7 +59,7 @@ def run_ours(ckpt_path: str, image: np.ndarray, class_names):
     tk = build_tokenizer(tc.tokenizer_vocab, tc.context_length)
     text = jnp.asarray(embed_class_names(
         lambda v, i: lang.apply(v, i), conv["lang"], tk, list(class_names),
-        use_templates=cfg.text.prompt_eng,
+        use_templates=cfg.text.prompt_eng, template=cfg.text.prompt_template,
     ))
     logit_scale = jnp.float32(conv["logit_scale"])
 

@@ -61,7 +61,7 @@ def main(argv=None):
 
     cfg = load_config(args.preset, overrides=args.overrides, yaml_path=args.config)
     key = jax.random.key(cfg.train.manual_seed)
-    pipeline, _ = build_pipeline(cfg, key)
+    pipeline, _ = build_pipeline(cfg, key, require_teachers=True)
 
     # augmentation must be OFF for cached features (they are geometry-tied)
     ds = SceneDataset(cfg, split=args.split, augment=False)

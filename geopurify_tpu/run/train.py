@@ -113,9 +113,20 @@ def stack_scenes(scenes) -> Any:
 # Entry
 # ---------------------------------------------------------------------------
 
-def build_pipeline(cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True):
-    """Construct the pipeline with (randomly initialized or converted) frozen
-    teachers and text embeddings for the configured label space."""
+def build_pipeline(
+    cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True,
+    require_teachers: bool = False,
+):
+    """Construct the pipeline with frozen teachers and text embeddings.
+
+    Teacher params come from the converted released checkpoints when
+    ``cfg.xdecoder.ckpt`` / ``cfg.sonata.ckpt`` are set (≙ the reference's
+    ``from_pretrained(xdecoder_focall_last.pt)`` + ``sonata.load``,
+    affinity_module.py:228-264); otherwise they are ZERO-initialized shape
+    stand-ins — fine for shape/smoke tests, garbage on real data. Pass
+    ``require_teachers=True`` (real-data entry points do) to warn loudly in
+    that case.
+    """
     from geopurify_tpu.models.lang import (
         HashTokenizer,
         LanguageEncoder,
@@ -132,30 +143,54 @@ def build_pipeline(cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True):
         layers=cfg.text.layers, heads=cfg.text.heads,
         context_length=cfg.text.context_length, dim_proj=cfg.text.dim_proj,
     )
-    ids, _ = tk(["init"])
-    lang_vars = lang.init(rng_key, jnp.asarray(ids))
+    conv = None
+    if cfg.xdecoder.ckpt:
+        from geopurify_tpu.utils.checkpoint import load_torch_state_dict
+        from geopurify_tpu.utils.convert_xdecoder import convert_xdecoder_checkpoint
+
+        log.info("converting X-Decoder teacher checkpoint %s", cfg.xdecoder.ckpt)
+        conv = convert_xdecoder_checkpoint(load_torch_state_dict(cfg.xdecoder.ckpt))
+        lang_vars = conv["lang"]
+    elif require_teachers:
+        log.warning(
+            "REAL-DATA RUN WITH UNINITIALIZED 2D TEACHER: xdecoder.ckpt is not "
+            "set, so the frozen X-Decoder teacher is all zeros and every lifted "
+            "feature (and any mIoU built on it) is meaningless. Set "
+            "xdecoder.ckpt=/path/to/xdecoder_focall_last.pt."
+        )
+    if conv is None:
+        ids, _ = tk(["init"])
+        lang_vars = lang.init(rng_key, jnp.asarray(ids))
+    # class names ride the scene prompt ("a wall in a scene", ..., "background")
+    # before template averaging — reference affinity_module.py:242-245
     text = jnp.asarray(
         embed_class_names(
             lambda v, i: lang.apply(v, i), lang_vars, tk,
             list(cfg.data.all_label), use_templates=cfg.text.prompt_eng,
+            template=cfg.text.prompt_template,
         )
     )
-    logit_scale = jnp.exp(lang.apply(lang_vars, method=lambda m: m.logit_scale))
+    if conv is not None:
+        logit_scale = jnp.float32(conv["logit_scale"])  # already exp'd
+    else:
+        logit_scale = jnp.exp(lang.apply(lang_vars, method=lambda m: m.logit_scale))
 
     def zeros_from_shapes(tree):
         return jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), tree
         )
 
-    # Frozen teachers: materialize params from shapes only (no init-time
-    # compile) — real runs overwrite them with converted released checkpoints
-    # (utils/checkpoint.py); values are irrelevant until then.
+    # Frozen teachers: converted released checkpoints when configured, else
+    # shape-only zero stand-ins (no init-time compile).
     model = XDecoderSegModel(cfg.xdecoder)
     H, W = cfg.xdecoder.mask_shape
     dummy = jnp.zeros((1, H, W, 3))
-    tparams = zeros_from_shapes(
-        jax.eval_shape(model.init, rng_key, dummy, text, logit_scale)
-    )
+    if conv is not None:
+        tparams = conv["xdecoder"]
+    else:
+        tparams = zeros_from_shapes(
+            jax.eval_shape(model.init, rng_key, dummy, text, logit_scale)
+        )
 
     sc = cfg.sonata
     sonata = SonataTeacher(
@@ -163,23 +198,38 @@ def build_pipeline(cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True):
         enc_channels=tuple(sc.enc_channels), enc_num_head=tuple(sc.enc_num_head),
         enc_patch_size=tuple(sc.enc_patch_size), upcast_levels=sc.upcast_levels,
     )
-    # sonata param shapes are size-independent of the dummy scene
-    n_d = 64
-    dcoords = jnp.stack(
-        [jnp.arange(n_d, dtype=jnp.int32)] * 3, axis=1
-    ) % 8
-    order = jnp.lexsort((dcoords[:, 2], dcoords[:, 1], dcoords[:, 0]))
-    sparams = zeros_from_shapes(
-        jax.eval_shape(
-            sonata.init,
-            rng_key,
-            jnp.zeros((n_d, sc.in_channels)),
-            dcoords[order],
-            jnp.ones((n_d,), bool),
-            jnp.arange(n_d, dtype=jnp.int32),
-            jnp.ones((n_d,), bool),
+    if sc.ckpt:
+        from geopurify_tpu.utils.checkpoint import load_torch_state_dict
+        from geopurify_tpu.utils.convert_sonata import convert_sonata_checkpoint
+
+        log.info("converting Sonata teacher checkpoint %s", sc.ckpt)
+        sparams = convert_sonata_checkpoint(load_torch_state_dict(sc.ckpt), sc)
+    else:
+        if require_teachers:
+            log.warning(
+                "REAL-DATA RUN WITH UNINITIALIZED 3D TEACHER: sonata.ckpt is "
+                "not set — Stage-1 distillation targets are random. Set "
+                "sonata.ckpt=/path/to/sonata.pth (facebook/sonata release), "
+                "or train from a teacher cache (run/precompute.py) built with "
+                "a converted teacher."
+            )
+        # sonata param shapes are size-independent of the dummy scene
+        n_d = 64
+        dcoords = jnp.stack(
+            [jnp.arange(n_d, dtype=jnp.int32)] * 3, axis=1
+        ) % 8
+        order = jnp.lexsort((dcoords[:, 2], dcoords[:, 1], dcoords[:, 0]))
+        sparams = zeros_from_shapes(
+            jax.eval_shape(
+                sonata.init,
+                rng_key,
+                jnp.zeros((n_d, sc.in_channels)),
+                dcoords[order],
+                jnp.ones((n_d,), bool),
+                jnp.arange(n_d, dtype=jnp.int32),
+                jnp.ones((n_d,), bool),
+            )
         )
-    )
     return GeoPurifyPipeline(
         cfg=cfg, teacher_params=tparams, text_embeddings=text,
         logit_scale=logit_scale, sonata_params=sparams,
@@ -221,7 +271,10 @@ def main(argv=None):
     n_dp = mesh.shape[cfg.parallel.data_axis]
     log.info("mesh: %s (dp=%d)", mesh, n_dp)
 
-    pipeline, sonata = build_pipeline(cfg, key)
+    pipeline, sonata = build_pipeline(
+        cfg, key,
+        require_teachers=not args.synthetic and not args.teacher_cache,
+    )
 
     # data
     if args.synthetic:

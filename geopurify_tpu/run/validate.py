@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from geopurify_tpu.config import GeoPurifyConfig, load_config
-from geopurify_tpu.utils.metrics import SegMeter, intersection_and_union
+from geopurify_tpu.utils.metrics import (
+    SegMeter,
+    allreduce_meter_across_hosts,
+    intersection_and_union,
+)
 
 log = logging.getLogger("geopurify.validate")
 
@@ -54,6 +58,13 @@ def evaluate_scenes(pipeline, student_vars, scene_iter, cfg: GeoPurifyConfig,
         jax.block_until_ready(inter)
         times.append(time.time() - t0)
         meter.update(inter, union, target)
+        overflow = int(out.get("band_overflow", 0))
+        if overflow:
+            log.warning(
+                "scene %d: banded pooling residual overflowed by %d edges — "
+                "exact gather fallback ran (consider raising pooling.band)",
+                i, overflow,
+            )
         if save_preds:
             from geopurify_tpu.utils.visualization import save_semantic_ply
 
@@ -111,7 +122,7 @@ def main(argv=None):
 
     from geopurify_tpu.run.train import build_pipeline
 
-    pipeline, _ = build_pipeline(cfg, key)
+    pipeline, _ = build_pipeline(cfg, key, require_teachers=not args.synthetic)
 
     s = cfg.student
     student_vars = pipeline.student.init(
@@ -165,6 +176,9 @@ def main(argv=None):
     meter, times = evaluate_scenes(
         pipeline, student_vars, scene_iter, cfg, save_preds=args.save_preds
     )
+    # one combined summary across hosts (≙ dist.all_reduce of I/U/T,
+    # run/validation.py:441-450); no-op for single-process runs
+    meter = allreduce_meter_across_hosts(meter)
     summary = meter.summary()
     result = {
         "summary": summary,
@@ -173,9 +187,10 @@ def main(argv=None):
     }
     print(json.dumps(result))
     # append-mode result log (≙ the reference's eval_result.log appender,
-    # models/utils/metric.py:88-104)
-    os.makedirs("runs", exist_ok=True)
-    with open(os.path.join("runs", "eval_results.jsonl"), "a") as f:
+    # models/utils/metric.py:88-104) — anchored under cfg.train.save_path so
+    # shards launched from different cwds land in one run directory
+    os.makedirs(cfg.train.save_path, exist_ok=True)
+    with open(os.path.join(cfg.train.save_path, "eval_results.jsonl"), "a") as f:
         f.write(json.dumps({"preset": args.preset, "shard": [args.shard_idx,
                 args.shard_total], **result}) + "\n")
     return result

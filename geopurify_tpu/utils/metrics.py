@@ -53,6 +53,27 @@ def psum_histograms(hists, axis_name: str):
     return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis_name), hists)
 
 
+def allreduce_meter_across_hosts(meter: "SegMeter") -> "SegMeter":
+    """Sum a SegMeter's I/U/T histograms over all JAX processes, in place.
+
+    ≙ the reference's eval-time ``dist.all_reduce(I, U, T)``
+    (reference run/validation.py:441-450). Each host evaluates its scene shard
+    and the final summary must aggregate every shard; single-process runs are
+    a no-op (no collective issued).
+    """
+    if jax.process_count() == 1:
+        return meter
+    from jax.experimental import multihost_utils
+
+    stacked = jnp.asarray(
+        np.stack([meter.intersection, meter.union, meter.target])
+    )
+    gathered = np.asarray(multihost_utils.process_allgather(stacked))
+    total = gathered.sum(axis=0)  # [3, num_classes]
+    meter.intersection, meter.union, meter.target = total[0], total[1], total[2]
+    return meter
+
+
 @dataclass
 class SegMeter:
     """Accumulates per-class I/U/T and reports Base/Novel/All mIoU, mAcc, allAcc."""

@@ -59,12 +59,12 @@ def test_geometry_guided_pooling_converges_to_smooth(rng):
     emb = np.concatenate([np.tile([1.0, 0.0], (32, 1)), np.tile([0.0, 1.0], (32, 1))])
     emb += rng.normal(scale=0.01, size=emb.shape)
     feats = rng.normal(size=(M, 8)).astype(np.float32)
-    out = np.asarray(
-        geometry_guided_pooling(
-            jnp.asarray(emb, jnp.float32), jnp.asarray(feats), jnp.asarray(coords),
-            jnp.ones(M, bool), k=8, sharpen=20.0, num_iterations=19,
-        )
+    out, overflow = geometry_guided_pooling(
+        jnp.asarray(emb, jnp.float32), jnp.asarray(feats), jnp.asarray(coords),
+        jnp.ones(M, bool), k=8, sharpen=20.0, num_iterations=19,
     )
+    out = np.asarray(out)
+    assert int(overflow) == 0
     # within-cluster variance shrinks dramatically
     for sl in (slice(0, 32), slice(32, 64)):
         assert out[sl].std(0).mean() < 0.25 * feats[sl].std(0).mean()
@@ -161,26 +161,39 @@ def test_banded_spmm_matches_gather(rng):
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)), jnp.asarray(feats),
         num_iterations=3, row_tile=128,
     )
-    S, rr, rc, rw = build_banded_operator(
+    S, rr, rc, rw, n_drop = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
         band=128, row_tile=64, max_residual=M * K,
     )
+    assert int(n_drop) == 0
     out = iterate_pooling_banded(
         S, rr, rc, rw, jnp.asarray(feats),
         num_iterations=3, band=128, row_tile=64,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.1, atol=0.05)
     # and with full-width band (no residual) it's the same too
-    S2, rr2, rc2, rw2 = build_banded_operator(
+    S2, rr2, rc2, rw2, n_drop2 = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
         band=M, row_tile=64, max_residual=8,
     )
     assert float(jnp.sum(rw2)) == 0.0  # nothing out of band
+    assert int(n_drop2) == 0
     out2 = iterate_pooling_banded(
         S2, rr2, rc2, rw2, jnp.asarray(feats),
         num_iterations=3, band=M, row_tile=64,
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=0.1, atol=0.05)
+    # overflow counting: a tiny residual capacity under-counts edges and the
+    # banded operator reports exactly how many were dropped
+    S3, rr3, rc3, rw3, n_drop3 = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
+        band=64, row_tile=64, max_residual=4,
+    )
+    li = nbr - np.clip(
+        (np.arange(M) // 64) * 64 + 32 - 32, 0, M - 64
+    )[:, None]
+    n_out = int((~((li >= 0) & (li < 64))).sum())
+    assert int(n_drop3) == max(n_out - 4, 0)
 
 
 def test_contrastive_sampler_small_scene(rng):

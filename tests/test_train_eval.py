@@ -41,6 +41,40 @@ def test_seg_meter_groups():
     assert s["all"]["allAcc"] == pytest.approx(8 / 10)
 
 
+def test_eval_histogram_psum_across_devices():
+    """Cross-shard I/U/T reduction (≙ dist.all_reduce, run/validation.py:441-450):
+    psum over the 8-device CPU mesh sums per-device histograms; the host-level
+    allreduce is a no-op for a single process but must keep the meter intact."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from geopurify_tpu.parallel.mesh import make_mesh
+    from geopurify_tpu.utils.metrics import (
+        allreduce_meter_across_hosts,
+        psum_histograms,
+    )
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(dp=8)
+    per_dev = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+
+    def reduce_fn(h):
+        return psum_histograms(h[0], "data")[None]
+
+    summed = jax.jit(
+        shard_map(reduce_fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+    )(per_dev)
+    want = np.asarray(per_dev).sum(0)
+    for d in range(8):
+        np.testing.assert_allclose(np.asarray(summed)[d], want)
+
+    m = SegMeter(num_classes=4)
+    m.update(want, want * 2, want * 3)
+    m2 = allreduce_meter_across_hosts(m)  # single process: identity
+    np.testing.assert_allclose(m2.intersection, want)
+    np.testing.assert_allclose(m2.union, want * 2)
+
+
 def test_schedule_warmup_cosine():
     cfg = TrainConfig(lr_3d=1e-4, warmup_epochs=2, epochs=10)
     sched = make_schedule(cfg, steps_per_epoch=10)

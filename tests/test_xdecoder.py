@@ -119,6 +119,37 @@ def test_language_encoder_and_prompt_averaging():
     np.testing.assert_allclose(np.linalg.norm(text, axis=1), 1.0, rtol=1e-5)
 
 
+def test_scene_prompt_wrapping_pins_reference_strings():
+    """The exact label strings fed to text embedding must match the reference's
+    prompt construction (affinity_module.py:242-245): every class name wrapped
+    as "a {label} in a scene", plus a trailing unwrapped "background"."""
+    from geopurify_tpu.config import GeoPurifyConfig
+    from geopurify_tpu.models.lang import class_name_prompts
+
+    cfg = GeoPurifyConfig()
+    got = class_name_prompts(["wall", "floor", "chair"], cfg.text.prompt_template)
+    assert got == [
+        "a wall in a scene",
+        "a floor in a scene",
+        "a chair in a scene",
+        "background",
+    ]
+    # the template knob actually reaches embed_class_names: distinct prompts
+    # must produce distinct embeddings
+    tok = HashTokenizer(vocab_size=1000, context_length=16)
+    enc = LanguageEncoder(vocab_size=1000, width=32, layers=2, heads=4,
+                          context_length=16, dim_proj=32)
+    ids, _ = tok(["x"])
+    vars_ = enc.init(jax.random.key(0), jnp.asarray(ids))
+    raw = embed_class_names(lambda v, i: enc.apply(v, i), vars_, tok, ["chair"],
+                            use_templates=False)
+    wrapped = embed_class_names(lambda v, i: enc.apply(v, i), vars_, tok,
+                                ["chair"], use_templates=False,
+                                template=cfg.text.prompt_template)
+    assert not np.allclose(raw[0], wrapped[0])
+    np.testing.assert_allclose(raw[1], wrapped[1], atol=1e-6)  # background unwrapped
+
+
 def test_causal_text_encoding_prefix_invariance():
     """Causal mask: embedding at EOT must not depend on future padding tokens."""
     tok = HashTokenizer(vocab_size=500, context_length=12)
