@@ -95,6 +95,11 @@ class PoolingConfig:
     feature_dim: int = 512                # semantic dims kept after pooling
     spmm_mode: str = "banded"             # banded (MXU) | gather (fixed-degree)
     band: int = 12288                     # banded-operator window width (rows)
+    # kNN strategy: 'grid' = Morton-tiled bbox-pruned exact kNN (certificate
+    # + full-row fallback; ~7x faster on v5e at M=65k), 'full' = brute force.
+    knn_mode: str = "grid"
+    knn_radius: int = 12                  # certificate radius (voxel units)
+    knn_candidates: int = 4096            # per-tile candidate budget
 
 
 @dataclass
@@ -173,6 +178,10 @@ class XDecoderConfig:
     scores_keep_thresh: float = 0.0
     mask_threshold: float = 0.5
     fusion_top_k: int = 3                 # cross-view consensus top-K
+    # 2D-lift backend: xdecoder (first-class) | lseg | ape — ≙ the reference's
+    # feature_2d_extractor dispatch (affinity_module.py:348,736). lseg/ape
+    # resolve through models/lift_backends.py's registry.
+    lift_backend: str = "xdecoder"
     # Views per teacher forward. Measured on v5e at 484x648 (unrolled lift):
     # B=4 == B=1 within noise (0.68 vs 0.66 s per 8-view scene) — the forward
     # is bandwidth-bound at this resolution, so batching buys nothing; keep 1.
@@ -197,6 +206,9 @@ class SonataConfig:
     grid_size: float = 0.02
     stride: Tuple[int, ...] = _tuple_field(2, 2, 2, 2)
     upcast_levels: int = 2                # concat top-2 levels on the way back down
+    stem_kernel: int = 5                  # PTv3 embedding SubMConv3d kernel size
+    pool_reduce: str = "mean"             # grid-pool reduction: mean | max
+    norm: str = "ln"                      # ln | bn_folded (converted BN ckpts)
     dtype: str = "bfloat16"
     # Released frozen teacher weights (facebook/sonata). Converted by
     # utils/convert_sonata.py when set; see XDecoderConfig.ckpt for semantics.

@@ -78,3 +78,25 @@ class FusedFeatureDataset:
         sp = load_scene_any(self.base.scene_3d_path(sid))
         feats, mask = load_fused_features(fp, len(sp.xyz))
         return FusedScene(feats, mask, sp.xyz, sp.label)
+
+    def make_scene_batch_with_features(self, sid: str):
+        """(SceneBatch, f2d [max_points, C]) — fused features row-aligned to
+        the batch's deterministic point subsample + padding, ready to feed
+        stage1_loss as the frozen 2D-teacher input (the `--fused-features`
+        training mode; ≙ the reference's FusedFeatureLoader consumption,
+        dataset/feature_loader.py:169-236)."""
+        from geopurify_tpu.data.loaders import deterministic_keep
+
+        fused = self.load(sid)
+        if fused is None:
+            return None
+        # fused features replace the lift, so scenes without 2D views are fine
+        batch = self.base.make_scene_batch(sid, require_views=False)
+        if batch is None:
+            return None
+        P = self.cfg.data.max_points
+        keep = deterministic_keep(sid, len(fused.xyz), P)
+        feats = fused.point_feats[keep]
+        padded = np.zeros((P, feats.shape[1]), np.float32)
+        padded[: len(feats)] = feats
+        return batch, padded

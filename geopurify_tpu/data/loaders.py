@@ -90,6 +90,21 @@ def load_scene_any(path_3d: str, normals_ply: Optional[str] = None) -> ScenePoin
     return sp
 
 
+def deterministic_keep(sid: str, n: int, budget: int) -> np.ndarray:
+    """The per-scene deterministic point subsample (sorted indices) used when
+    a scene exceeds the static point budget without augmentation. Shared by
+    the scene batcher, the teacher cache, and the fused-feature loader so all
+    row-aligned artifacts agree."""
+    import zlib
+
+    if n <= budget:
+        return np.arange(n)
+    sub_rng = np.random.default_rng(zlib.crc32(sid.encode()))
+    keep = sub_rng.choice(n, budget, replace=False)
+    keep.sort()
+    return keep
+
+
 def compute_mapping_np(
     points: np.ndarray,          # [N,3]
     world_to_camera: np.ndarray,  # [4,4]
@@ -245,7 +260,9 @@ class SceneDataset:
         return len(self.scene_ids)
 
     # ----------------------------------------------------------------- build
-    def make_scene_batch(self, sid: str) -> Optional[SceneBatch]:
+    def make_scene_batch(
+        self, sid: str, require_views: bool = True
+    ) -> Optional[SceneBatch]:
         import jax.numpy as jnp
 
         cfg = self.cfg
@@ -270,18 +287,15 @@ class SceneDataset:
 
         # cap points (static bucket). Without augmentation the subsample must
         # be DETERMINISTIC per scene: precomputed teacher features (.npz cache,
-        # run/precompute.py) are keyed by scene id and row-aligned to this
-        # exact point set.
+        # run/precompute.py) and fused-feature files (data/feature_loader.py)
+        # are keyed by scene id and row-aligned to this exact point set.
         P = cfg.data.max_points
         if len(xyz) > P:
             if self.augment is not None:
                 keep = self.rng.choice(len(xyz), P, replace=False)
+                keep.sort()
             else:
-                import zlib
-
-                sub_rng = np.random.default_rng(zlib.crc32(sid.encode()))
-                keep = sub_rng.choice(len(xyz), P, replace=False)
-            keep.sort()
+                keep = deterministic_keep(sid, len(xyz), P)
             xyz, rgb, normal, label = xyz[keep], rgb[keep], normal[keep], label[keep]
         n_pts = len(xyz)
 
@@ -315,15 +329,27 @@ class SceneDataset:
             if n_vis < lo or n_vis > hi:
                 continue  # unusable view (ref data_loader_ablation.py:280-288)
             views.append((cam, rows, cols, vis))
-        if not views:
-            return None
+        if not views and require_views:
+            return None  # view-less batches only make sense for fused inputs
 
         V = cfg.data.max_views
         if len(views) > V:
             if self.split == "train":
                 sel = self.rng.choice(len(views), V, replace=False)
                 views = [views[i] for i in sorted(sel)]
-            else:  # even temporal coverage at eval
+            elif len(views) <= cfg.data.max_views_eval:
+                # eval uses EVERY usable view (≙ the reference, which never
+                # subsamples views at eval — data_loader_ablation.py:401-421);
+                # the static view bucket grows on a power-of-two ladder so
+                # recompilation stays rare
+                V = 1 << int(np.ceil(np.log2(len(views))))
+            else:  # beyond the hard cap: even temporal coverage + a warning
+                V = cfg.data.max_views_eval
+                log.warning(
+                    "scene %s: %d usable views exceed max_views_eval=%d — "
+                    "linspace-subsampling (mIoU may shift vs all-view eval)",
+                    sid, len(views), V,
+                )
                 sel = np.linspace(0, len(views) - 1, V).astype(int)
                 views = [views[i] for i in sel]
 
@@ -379,6 +405,19 @@ class SceneDataset:
         def stack_pad(lst, fill):
             return pad_to(np.stack(lst), V, axis=0, value=fill)
 
+        if views:
+            images_a = stack_pad(images, 0.0)
+            vids_a = stack_pad(vids, n_pts).astype(np.int32)
+            vvalid_a = stack_pad(vvalid, False).astype(bool)
+            vrows_a = stack_pad(vrows, 0).astype(np.int32)
+            vcols_a = stack_pad(vcols, 0).astype(np.int32)
+        else:  # view-less batch (fused-feature mode): all-padding view slots
+            images_a = np.zeros((V, H, W, 3), np.float32)
+            vids_a = np.full((V, Pv), n_pts, np.int32)
+            vvalid_a = np.zeros((V, Pv), bool)
+            vrows_a = np.zeros((V, Pv), np.int32)
+            vcols_a = np.zeros((V, Pv), np.int32)
+
         return SceneBatch(
             points=jnp.asarray(pad_to(xyz.astype(np.float32), P)),
             point_valid=jnp.asarray(pvalid),
@@ -387,12 +426,12 @@ class SceneDataset:
             voxel_coords=jnp.asarray(pad_to(voxel_coords, M_budget)),
             voxel_valid=jnp.asarray(pad_to(np.ones(M, bool), M_budget, value=False)),
             point2voxel=jnp.asarray(pad_to(point2voxel, P, value=M_budget)),
-            images=jnp.asarray(stack_pad(images, 0.0)),
+            images=jnp.asarray(images_a),
             view_valid=jnp.asarray(view_valid),
-            view_point_ids=jnp.asarray(stack_pad(vids, n_pts).astype(np.int32)),
-            view_point_valid=jnp.asarray(stack_pad(vvalid, False).astype(bool)),
-            view_rows=jnp.asarray(stack_pad(vrows, 0).astype(np.int32)),
-            view_cols=jnp.asarray(stack_pad(vcols, 0).astype(np.int32)),
+            view_point_ids=jnp.asarray(vids_a),
+            view_point_valid=jnp.asarray(vvalid_a),
+            view_rows=jnp.asarray(vrows_a),
+            view_cols=jnp.asarray(vcols_a),
         )
 
     # ------------------------------------------------------------- iteration

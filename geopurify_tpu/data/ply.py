@@ -92,20 +92,34 @@ def _read_binary_element(f, el: PlyElement, endian: str) -> Dict[str, np.ndarray
         dt = np.dtype([(n, endian + d) for n, d in el.properties])
         raw = np.frombuffer(f.read(dt.itemsize * el.count), dtype=dt)
         return {n: np.ascontiguousarray(raw[n]) for n, _ in el.properties}
-    # mixed scalar/list rows (typical face element: one list per row)
-    if len(el.properties) == 1 and el.properties[0][1] == "list":
+    # rows with one uniform-length list, optionally mixed with scalars on
+    # either side (e.g. Matterport region faces: vertex_indices + material_id
+    # + segment_id + category_id)
+    if len(el.list_properties) == 1:
         name, cnt_d, item_d = el.list_properties[0]
         cnt_dt = np.dtype(endian + cnt_d)
-        item_dt = np.dtype(endian + item_d)
-        first_cnt_raw = f.read(cnt_dt.itemsize)
-        k = int(np.frombuffer(first_cnt_raw, cnt_dt)[0])
-        row_dt = np.dtype([("n", endian + cnt_d), ("v", endian + item_d, (k,))])
-        rest = f.read(row_dt.itemsize * el.count - cnt_dt.itemsize)
-        raw = np.frombuffer(first_cnt_raw + rest, dtype=row_dt)
-        if not np.all(raw["n"] == k):
+        pre, post, seen = [], [], False
+        for n, d in el.properties:
+            if d == "list":
+                seen = True
+                continue
+            (post if seen else pre).append((n, d))
+        pre_size = sum(np.dtype(endian + d).itemsize for _, d in pre)
+        head = f.read(pre_size + cnt_dt.itemsize)
+        k = int(np.frombuffer(head[pre_size:], cnt_dt)[0])
+        row_dt = np.dtype(
+            [(n, endian + d) for n, d in pre]
+            + [("__count", endian + cnt_d), (name, endian + item_d, (k,))]
+            + [(n, endian + d) for n, d in post]
+        )
+        rest = f.read(row_dt.itemsize * el.count - len(head))
+        raw = np.frombuffer(head + rest, dtype=row_dt)
+        if not np.all(raw["__count"] == k):
             raise ValueError("variable-length PLY lists unsupported in fast path")
-        return {name: np.ascontiguousarray(raw["v"])}
-    raise ValueError("mixed scalar+list PLY elements unsupported")
+        out = {n: np.ascontiguousarray(raw[n]) for n, _ in pre + post}
+        out[name] = np.ascontiguousarray(raw[name])
+        return out
+    raise ValueError("multi-list PLY elements unsupported")
 
 
 def _read_ascii_element(f, el: PlyElement) -> Dict[str, np.ndarray]:

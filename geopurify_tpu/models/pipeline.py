@@ -67,6 +67,11 @@ class GeoPurifyPipeline:
     text_embeddings: jax.Array       # [n_cls+1, 512] background last, L2-normed
     logit_scale: jax.Array           # [] exp'd
     sonata_params: Optional[Any] = None  # Sonata variables (frozen) or None
+    # alternative 2D-lift backend callable (cfg.xdecoder.lift_backend !=
+    # "xdecoder"): lseg-style image -> [H', W', C] dense pixel feats, or
+    # ape-style image -> (masks, embeds, scores). Resolved from
+    # models/lift_backends.py by build_pipeline.
+    lift_backend_fn: Optional[Any] = None
 
     def __post_init__(self):
         self.xdecoder = XDecoderSegModel(self.cfg.xdecoder)
@@ -86,6 +91,9 @@ class GeoPurifyPipeline:
             enc_num_head=tuple(sc.enc_num_head),
             enc_patch_size=tuple(sc.enc_patch_size),
             upcast_levels=sc.upcast_levels,
+            stem_kernel=sc.stem_kernel,
+            pool_reduce=sc.pool_reduce,
+            aux_norm_affine_only=(sc.norm == "bn_folded"),
             dtype=jnp.bfloat16 if sc.dtype == "bfloat16" else jnp.float32,
         )
         # jit bound methods: `self` lives in the closure (configs are static);
@@ -122,10 +130,41 @@ class GeoPurifyPipeline:
         ids = slice_views(batch.view_point_ids)
         view_coords = batch.points[ids % P]
 
+        text_no_bg = text_embeddings[:-1]
+        backend = self.cfg.xdecoder.lift_backend
+        if backend != "xdecoder":
+            # alternative backends (lseg dense / ape instance) — same
+            # consensus-fusion contract (models/lift_variants.py; reference
+            # affinity_module.py:348-453, 736-993)
+            from geopurify_tpu.models.lift_variants import (
+                lift_view_dense,
+                lift_view_instance,
+            )
+
+            lifts = []
+            for b in range(images.shape[0]):
+                if backend == "lseg":
+                    pix = self.lift_backend_fn(images[b])
+                    lifts.append(lift_view_dense(
+                        pix, rows[b], cols[b], pv_valid[b], view_coords[b],
+                        text_no_bg, logit_scale,
+                    ))
+                else:  # ape
+                    masks, embeds, scores = self.lift_backend_fn(images[b])
+                    lifts.append(lift_view_instance(
+                        masks, embeds, scores,
+                        rows[b], cols[b], pv_valid[b], view_coords[b],
+                        text_no_bg, logit_scale,
+                        mask_threshold=self.cfg.xdecoder.mask_threshold,
+                    ))
+            return ViewLift(
+                jnp.stack([l.features for l in lifts]),
+                jnp.stack([l.logits for l in lifts]),
+            )
+
         out = self.xdecoder.apply(
             teacher_params, images, text_embeddings, logit_scale
         )
-        text_no_bg = text_embeddings[:-1]
         # static unrolled per-sample lift: vmap of the lift (kNN hole fill,
         # mask resize, argmax assembly) lowers ~7x slower on TPU than the
         # plain single-view graphs (measured 260 vs 36 ms/view) — unroll B
@@ -218,6 +257,8 @@ class GeoPurifyPipeline:
             embed, voxel_in, batch.voxel_coords, batch.voxel_valid,
             k=pc.knn_k, sharpen=pc.sharpen, num_iterations=pc.num_iterations,
             spmm_mode=pc.spmm_mode, band=pc.band,
+            knn_mode=pc.knn_mode, knn_radius=pc.knn_radius,
+            knn_candidates=pc.knn_candidates,
         )
         refined = jnp.concatenate(
             [refined, jnp.zeros((1, refined.shape[1]), refined.dtype)], axis=0

@@ -45,30 +45,7 @@ Dtype = Any
 # Serialization
 # ---------------------------------------------------------------------------
 
-def _part1by2(x: jax.Array) -> jax.Array:
-    """Spread the low 10 bits of x so there are 2 zero bits between each."""
-    x = x & 0x3FF
-    x = (x | (x << 16)) & 0x30000FF
-    x = (x | (x << 8)) & 0x300F00F
-    x = (x | (x << 4)) & 0x30C30C3
-    x = (x | (x << 2)) & 0x9249249
-    return x
-
-
-def morton_code(coords: jax.Array, order: int = 0) -> jax.Array:
-    """30-bit Morton code of non-negative int coords (clamped to 10 bits/axis).
-
-    ``order`` selects the axis permutation: 0 = (x,y,z), 1 = (y,x,z) — the
-    z / z-trans serialization pair PTv3 alternates between blocks.
-    """
-    c = jnp.clip(coords, 0, (1 << 10) - 1).astype(jnp.int32)
-    if order == 1:
-        c = c[:, jnp.array([1, 0, 2])]
-    return (
-        _part1by2(c[:, 0])
-        | (_part1by2(c[:, 1]) << 1)
-        | (_part1by2(c[:, 2]) << 2)
-    )
+from geopurify_tpu.ops.morton import morton_code  # noqa: E402  (re-export)
 
 
 def serialize(coords: jax.Array, valid: jax.Array, order: int) -> jax.Array:
@@ -82,6 +59,30 @@ def serialize(coords: jax.Array, valid: jax.Array, order: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
+
+class NormOrAffine(nn.Module):
+    """LayerNorm, or a per-channel affine (scale*x + bias) when ``affine_only``.
+
+    The affine mode hosts FOLDED BatchNorm running stats from a released torch
+    checkpoint (inference-frozen BN is exactly a per-channel affine); param
+    names match flax LayerNorm so converters emit one layout for both.
+    """
+
+    affine_only: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        x32 = x.astype(jnp.float32)
+        if not self.affine_only:
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+            x32 = (x32 - mu) * jax.lax.rsqrt(var + self.eps)
+        return x32 * scale + bias
+
 
 class PatchAttention(nn.Module):
     """Dense MHA within fixed-size patches of the serialized sequence."""
@@ -122,7 +123,13 @@ class PatchAttention(nn.Module):
 
 
 class PointBlock(nn.Module):
-    """xCPE sparse-conv + pre-norm attention + MLP (PTv3 block shape)."""
+    """xCPE + pre-norm attention + MLP — the PTv3 block shape.
+
+    xCPE mirrors PTv3's ``cpe = [SubMConv3d(k=3, bias) -> Linear -> norm]``
+    with a residual around the whole stack; norm1/norm2 and the cpe trailing
+    norm are LayerNorm (PTv3 blocks are LN throughout — BN appears only at
+    the embedding/pooling sites, handled by the encoder's NormOrAffine).
+    """
 
     dim: int
     num_heads: int
@@ -136,7 +143,13 @@ class PointBlock(nn.Module):
             "cpe_kernel", nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
             (27, self.dim, self.dim),
         )
-        x = x + sparse_conv3(x, neighbor_idx, cpe_w.astype(self.dtype), valid)
+        cpe_b = self.param("cpe_bias", nn.initializers.zeros, (self.dim,))
+        h = sparse_conv3(x, neighbor_idx, cpe_w.astype(self.dtype), valid, bias=cpe_b)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="cpe_fc")(h)
+        # PTv3 passes the Block's (Layer)norm into cpe; BN only appears in the
+        # embedding/pooling sites, so cpe_norm is unconditionally LN
+        h = nn.LayerNorm(dtype=jnp.float32, name="cpe_norm")(h)
+        x = x + h.astype(self.dtype)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + PatchAttention(
             self.dim, self.num_heads, self.patch_size, self.dtype, name="attn"
@@ -157,7 +170,18 @@ class StageLevel(NamedTuple):
 
 
 class SonataEncoder(nn.Module):
-    """5-stage hierarchical encoder; returns all levels for the upcast."""
+    """5-stage hierarchical encoder; returns all levels for the upcast.
+
+    PTv3-faithful structure (public Pointcept PointTransformerV3 layout, the
+    backbone of the released facebook/sonata teacher):
+    - stem: SubMConv3d(in, C0, k=``stem_kernel``) + norm + GELU
+      (≙ ``embedding.stem.{conv,norm}``);
+    - stages: PointBlocks over stage-local serialization orders
+      (≙ ``enc.enc{s}.block{b}``);
+    - downsampling: Linear proj -> grid-pool reduce (``pool_reduce``) ->
+      norm -> GELU (≙ ``enc.enc{s}.down.{proj,norm}`` — PTv3's
+      SerializedPooling projects BEFORE reducing).
+    """
 
     in_channels: int = 6
     enc_depths: Sequence[int] = (3, 3, 3, 12, 3)
@@ -165,18 +189,33 @@ class SonataEncoder(nn.Module):
     enc_num_head: Sequence[int] = (3, 6, 12, 24, 32)
     enc_patch_size: Sequence[int] = (1024, 1024, 1024, 1024, 1024)
     mlp_ratio: float = 4.0
+    stem_kernel: int = 5
+    pool_reduce: str = "mean"             # mean | max (PTv3 default is max)
+    aux_norm_affine_only: bool = False    # folded-BN mode for converted ckpts
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, feats: jax.Array, coords: jax.Array, valid: jax.Array
     ) -> List[StageLevel]:
-        """feats [N, in_channels]; coords [N,3] int32 voxel coords (>=0, sorted
-        not required); valid [N]. Returns levels[0..4], fine to coarse."""
-        x = nn.Dense(self.enc_channels[0], dtype=self.dtype, name="embed")(
-            feats.astype(self.dtype)
-        )
-        x = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(x).astype(self.dtype)
+        """feats [N, in_channels]; coords [N,3] int32 voxel coords (>=0,
+        lexicographically sorted); valid [N]. Returns levels[0..4], fine to
+        coarse."""
+        C0 = self.enc_channels[0]
+        if self.stem_kernel > 1:
+            stem_w = self.param(
+                "stem_kernel_w",
+                nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
+                (self.stem_kernel ** 3, self.in_channels, C0),
+            )
+            stem_nbr = build_neighbor_table(coords, valid, kernel_size=self.stem_kernel)
+            x = sparse_conv3(
+                feats.astype(self.dtype), stem_nbr, stem_w.astype(self.dtype), valid
+            )
+        else:
+            x = nn.Dense(C0, dtype=self.dtype, name="embed")(feats.astype(self.dtype))
+        x = NormOrAffine(self.aux_norm_affine_only, name="embed_norm")(x)
+        x = nn.gelu(x).astype(self.dtype)
 
         levels: List[StageLevel] = []
         cur_coords, cur_valid = coords, valid
@@ -193,7 +232,8 @@ class SonataEncoder(nn.Module):
                 perm = perm0 if b % 2 == 0 else perm1
                 x = PointBlock(
                     c, self.enc_num_head[s], self.enc_patch_size[s],
-                    self.mlp_ratio, self.dtype, name=f"stage{s}_block{b}",
+                    self.mlp_ratio, self.dtype,
+                    name=f"stage{s}_block{b}",
                 )(x, perm, cur_valid, nbr)
             levels.append(StageLevel(x, cur_coords, cur_valid, pooling_inverse))
 
@@ -208,13 +248,23 @@ class SonataEncoder(nn.Module):
                 M_next = cur_coords.shape[0]
                 dv = voxelize_points(parent_coords_all, cur_valid, max_voxels=M_next)
                 inv = dv.point2voxel                      # [Mi] -> parent id (==M_next pad)
-                pooled = segment_mean(
-                    x.astype(jnp.float32), inv, num_segments=M_next
-                ).astype(self.dtype)
-                x = nn.Dense(
+                # PTv3 order: project the CHILD features, then reduce
+                proj = nn.Dense(
                     self.enc_channels[s + 1], dtype=self.dtype, name=f"pool_proj{s}"
-                )(pooled)
-                x = nn.LayerNorm(dtype=jnp.float32, name=f"pool_norm{s}")(x).astype(self.dtype)
+                )(x)
+                if self.pool_reduce == "max":
+                    neg = jnp.finfo(jnp.float32).min
+                    pooled = jax.ops.segment_max(
+                        jnp.where(cur_valid[:, None], proj.astype(jnp.float32), neg),
+                        inv, num_segments=M_next,
+                    )
+                    pooled = jnp.where(pooled <= neg / 2, 0.0, pooled).astype(self.dtype)
+                else:
+                    pooled = segment_mean(
+                        proj.astype(jnp.float32), inv, num_segments=M_next
+                    ).astype(self.dtype)
+                x = NormOrAffine(self.aux_norm_affine_only, name=f"pool_norm{s}")(pooled)
+                x = nn.gelu(x).astype(self.dtype)
                 x = jnp.where(dv.voxel_valid[:, None], x, 0)
                 cur_coords, cur_valid = dv.voxel_coords, dv.voxel_valid
                 pooling_inverse = jnp.minimum(inv, M_next - 1)  # safe gather; pad rows masked
@@ -254,6 +304,9 @@ class SonataTeacher(nn.Module):
     enc_num_head: Sequence[int] = (3, 6, 12, 24, 32)
     enc_patch_size: Sequence[int] = (1024, 1024, 1024, 1024, 1024)
     upcast_levels: int = 2
+    stem_kernel: int = 5
+    pool_reduce: str = "mean"
+    aux_norm_affine_only: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -282,7 +335,9 @@ class SonataTeacher(nn.Module):
         )
         levels = SonataEncoder(
             self.in_channels, self.enc_depths, self.enc_channels,
-            self.enc_num_head, self.enc_patch_size, dtype=self.dtype,
+            self.enc_num_head, self.enc_patch_size,
+            stem_kernel=self.stem_kernel, pool_reduce=self.pool_reduce,
+            aux_norm_affine_only=self.aux_norm_affine_only, dtype=self.dtype,
             name="encoder",
         )(vox_feats, voxel_coords, voxel_valid)
         f0 = sonata_features(levels, self.upcast_levels)   # [M0, C]

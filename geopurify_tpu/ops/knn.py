@@ -133,6 +133,122 @@ def knn_search(
     return dists, jnp.maximum(idx, 0)  # clamp unfilled slots to 0 for safe gathers
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "num_candidates", "query_tile"),
+)
+def knn_self_grid(
+    coords: jax.Array,        # [M, 3] integer voxel coords (any numeric dtype)
+    valid: jax.Array,         # [M] bool
+    k: int,
+    radius: int = 12,
+    num_candidates: int = 4096,
+    query_tile: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact self-kNN over integer voxel coords via Morton-tiled bbox pruning.
+
+    Measured on v5e at M=65536/k=96: the full-row ``knn_search`` is entirely
+    lax.top_k-bound (1445 of 1535 ms), and top_k cost collapses with row
+    width (width 4096 runs 12x faster than 65536). So queries are processed
+    in Morton-order tiles (spatially compact boxes); each tile's candidate
+    set is every voxel inside the tile's bbox dilated by ``radius``,
+    compacted ONCE per tile (cumsum + searchsorted — no per-query work), and
+    the k-NN top_k runs at width ``num_candidates`` instead of M.
+
+    Exactness: any point within ``radius`` of a query lies inside the
+    dilated bbox, so if the query's k-th neighbor distance satisfies
+    d_k <= radius the candidate set provably contained all true neighbors.
+    Tiles where any query fails that certificate — or whose candidate count
+    overflows ``num_candidates`` — recompute against the FULL row
+    (lax.cond), so the result equals ``knn_search`` up to equal-distance
+    ties on every input. Sparse scenes degrade toward full-row cost; dense
+    surface scenes (the real workload) pass the certificate almost always.
+
+    Returns (dists [M, k] f32 with +inf padding, idx [M, k] int32 clamped),
+    self-excluded — a drop-in for ``knn_search(c, c, valid, k,
+    exclude_identical_index=True)``.
+    """
+    from geopurify_tpu.ops.morton import morton_code
+
+    M = coords.shape[0]
+    T = query_tile
+    C = num_candidates
+    n_t = -(-M // T)
+    Mp = n_t * T
+    cf = coords.astype(jnp.float32)
+    c_sq = jnp.sum(cf * cf, axis=-1)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+
+    # Morton-order the QUERIES only (db stays in caller order; indices are
+    # caller-order throughout). Invalid rows sort last.
+    code = jnp.where(valid, morton_code(jnp.maximum(coords, 0).astype(jnp.int32)),
+                     jnp.int32(2**30))
+    perm = jnp.argsort(code)
+    perm_p = _pad_to(perm, Mp, value=M - 1 if M else 0).astype(jnp.int32)
+    qv_p = _pad_to(valid[perm], Mp, value=False)
+
+    def one_tile(args):
+        qid, qv = args                         # [T] global ids, [T] valid
+        q = cf[qid]                            # [T, 3]
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+        def full_row():
+            dots = jax.lax.dot_general(
+                q, cf, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            d2 = q_sq + c_sq[None, :] - 2.0 * dots
+            cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            bad = (~valid)[None, :] | (cols == qid[:, None])
+            d2 = jnp.where(bad, _INF, d2)
+            neg, arg = jax.lax.top_k(-d2, k)
+            return -neg, arg
+
+        # tile bbox (valid queries only), dilated by radius
+        qvc = qv[:, None]
+        lo = jnp.min(jnp.where(qvc, q, jnp.float32(jnp.inf)), axis=0) - radius
+        hi = jnp.max(jnp.where(qvc, q, -jnp.float32(jnp.inf)), axis=0) + radius
+        in_box = jnp.all((cf >= lo[None]) & (cf <= hi[None]), axis=-1) & valid
+        cnt = jnp.cumsum(in_box.astype(jnp.int32))
+        total = cnt[-1]
+        # positions of the 1st..C-th in-box point (searchsorted on the
+        # monotone count — one pass for the whole tile, not per query)
+        pos = jnp.searchsorted(cnt, jnp.arange(1, C + 1, dtype=jnp.int32))
+        cand_idx = jnp.clip(pos, 0, max(M - 1, 0)).astype(jnp.int32)
+        cand_ok = jnp.arange(C) < total
+
+        def pruned():
+            cd = cf[cand_idx]                  # [C, 3]
+            dots = jax.lax.dot_general(
+                q, cd, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            d2 = q_sq + c_sq[cand_idx][None, :] - 2.0 * dots
+            bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
+            d2 = jnp.where(bad, _INF, d2)
+            neg, loc = jax.lax.top_k(-d2, k)
+            return -neg, cand_idx[loc]
+
+        pd, pi = pruned()
+        # certificate: every valid query's k-th distance within radius (a
+        # tile with < k+1 candidates yields +inf -> fails -> full row)
+        certified = jnp.all(jnp.where(qv, pd[:, k - 1] <= r2, True))
+        ok = certified & (total <= C)
+        return jax.lax.cond(ok, lambda: (pd, pi), full_row)
+
+    q_tiles = perm_p.reshape(n_t, T)
+    v_tiles = qv_p.reshape(n_t, T)
+    dists_s, idx_s = jax.lax.map(one_tile, (q_tiles, v_tiles))
+    dists_s = dists_s.reshape(Mp, k)[: M]
+    idx_s = idx_s.reshape(Mp, k)[: M]
+    # scatter rows back to caller order
+    dists = jnp.zeros((M, k), jnp.float32).at[perm_p[:Mp][: M]].set(dists_s)
+    idx = jnp.zeros((M, k), jnp.int32).at[perm_p[:Mp][: M]].set(idx_s)
+    return dists, jnp.maximum(idx, 0)
+
+
 def nearest_fill(
     features: jax.Array,     # [N, C]
     coords: jax.Array,       # [N, D]

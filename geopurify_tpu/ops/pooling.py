@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from geopurify_tpu.ops.knn import knn_search
+from geopurify_tpu.ops.knn import knn_search, knn_self_grid
 
 
 def build_affinity_graph(
@@ -27,21 +27,35 @@ def build_affinity_graph(
     sharpen: float = 20.0,
     query_tile: int = 1024,
     db_chunk: int = 8192,
+    knn_mode: str = "grid",
+    knn_radius: int = 12,
+    knn_candidates: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (neighbor_idx [M,k] int32, weights [M,k] f32 row-stochastic).
 
     Neighbors by exact spatial kNN excluding self; edge weight
     softmax_k(cos(e_i, e_j) * sharpen) (affinity_module.py:1553-1572).
     Invalid rows get zero weights.
+
+    knn_mode 'grid' (default) uses the Morton-tiled bbox-pruned exact kNN
+    (ops/knn.knn_self_grid — ~7x faster at M=65k on v5e, certificate +
+    full-row fallback keeps it exact); 'full' is the brute-force tiling.
     """
     M = embeddings.shape[0]
     coords_f = voxel_coords.astype(jnp.float32)
-    ids = jnp.arange(M, dtype=jnp.int32)
-    dists, nbr = knn_search(
-        coords_f, coords_f, valid, k=k,
-        query_ids=ids, exclude_identical_index=True,
-        query_tile=query_tile, db_chunk=db_chunk,
-    )
+    if knn_mode == "grid":
+        dists, nbr = knn_self_grid(
+            voxel_coords, valid, k=k,
+            radius=knn_radius, num_candidates=knn_candidates,
+            query_tile=query_tile,
+        )
+    else:
+        ids = jnp.arange(M, dtype=jnp.int32)
+        dists, nbr = knn_search(
+            coords_f, coords_f, valid, k=k,
+            query_ids=ids, exclude_identical_index=True,
+            query_tile=query_tile, db_chunk=db_chunk,
+        )
     e = embeddings.astype(jnp.float32)
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
     aff = jnp.einsum("md,mkd->mk", e, e[nbr])          # cosine, [M,k]
@@ -231,6 +245,9 @@ def geometry_guided_pooling(
     num_iterations: int = 19,
     spmm_mode: str = "banded",
     band: int = 12288,
+    knn_mode: str = "grid",
+    knn_radius: int = 12,
+    knn_candidates: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full Stage-2 smoothing: graph build + iterated aggregation.
 
@@ -243,7 +260,10 @@ def geometry_guided_pooling(
     Returns (smoothed feats [M, C], n_residual_overflow [] int32 — >0 means
     the banded capacity was exceeded and the gather fallback ran).
     """
-    nbr, w = build_affinity_graph(embeddings, voxel_coords, valid, k=k, sharpen=sharpen)
+    nbr, w = build_affinity_graph(
+        embeddings, voxel_coords, valid, k=k, sharpen=sharpen,
+        knn_mode=knn_mode, knn_radius=knn_radius, knn_candidates=knn_candidates,
+    )
     M = feats.shape[0]
     if spmm_mode == "banded" and M > band:
         S, rr, rc, rw, n_dropped = build_banded_operator(w, nbr, band=band)

@@ -197,6 +197,8 @@ def build_pipeline(
         in_channels=sc.in_channels, enc_depths=tuple(sc.enc_depths),
         enc_channels=tuple(sc.enc_channels), enc_num_head=tuple(sc.enc_num_head),
         enc_patch_size=tuple(sc.enc_patch_size), upcast_levels=sc.upcast_levels,
+        stem_kernel=sc.stem_kernel, pool_reduce=sc.pool_reduce,
+        aux_norm_affine_only=(sc.norm == "bn_folded"),
     )
     if sc.ckpt:
         from geopurify_tpu.utils.checkpoint import load_torch_state_dict
@@ -230,9 +232,15 @@ def build_pipeline(
                 jnp.ones((n_d,), bool),
             )
         )
+    lift_backend_fn = None
+    if cfg.xdecoder.lift_backend != "xdecoder":
+        from geopurify_tpu.models.lift_backends import get_backend
+
+        lift_backend_fn = get_backend(cfg.xdecoder.lift_backend)
     return GeoPurifyPipeline(
         cfg=cfg, teacher_params=tparams, text_embeddings=text,
         logit_scale=logit_scale, sonata_params=sparams,
+        lift_backend_fn=lift_backend_fn,
     ), sonata
 
 
@@ -245,6 +253,11 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--teacher-cache", default=None,
                         help="dir of precomputed teacher features (run/precompute.py)")
+    parser.add_argument("--fused-features", default=None,
+                        help="dir of precomputed fused 2D feature .pt files "
+                             "(OpenScene layout) used as the frozen 2D input "
+                             "instead of running the X-Decoder lift "
+                             "(≙ reference dataset/feature_loader.py)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("overrides", nargs="*")
@@ -277,6 +290,7 @@ def main(argv=None):
     )
 
     # data
+    fused_ds = None
     if args.synthetic:
         from geopurify_tpu.data.synthetic import make_scene_batch
 
@@ -287,12 +301,19 @@ def main(argv=None):
     else:
         from geopurify_tpu.data.loaders import SceneDataset
 
-        # teacher-cache mode replays frozen teacher features precomputed by
-        # run/precompute.py; geometric augmentation must then stay off (the
+        # teacher-cache / fused-features modes replay frozen features
+        # precomputed offline; geometric augmentation must then stay off (the
         # cached features are tied to the unaugmented geometry)
+        frozen_inputs = bool(args.teacher_cache or args.fused_features)
         ds = SceneDataset(
-            cfg, split="train", augment=False if args.teacher_cache else None
+            cfg, split="train", augment=False if frozen_inputs else None
         )
+        fused_ds = None
+        if args.fused_features:
+            from geopurify_tpu.data.feature_loader import FusedFeatureDataset
+
+            fused_ds = FusedFeatureDataset(cfg, args.fused_features)
+            fused_ds.base = ds
         scenes = None  # streamed below
 
     # student init
@@ -340,28 +361,36 @@ def main(argv=None):
             batch_scenes = []
             f2ds, fts = [], []
             for d in range(n_dp):
+                f2d = ft = None
                 if scenes is not None:
                     sc_batch = scenes[(it * n_dp + d) % len(scenes)]
                     sid = None
-                elif args.teacher_cache:
+                elif args.teacher_cache or fused_ds is not None:
                     sid = ds._next_sid()
-                    sc_batch = ds.make_scene_batch(sid)
-                    if sc_batch is None:
-                        continue
+                    if fused_ds is not None:
+                        pair = fused_ds.make_scene_batch_with_features(sid)
+                        if pair is None:
+                            continue
+                        sc_batch, f2d_np = pair
+                        f2d = jnp.asarray(f2d_np)
+                    else:
+                        sc_batch = ds.make_scene_batch(sid)
+                        if sc_batch is None:
+                            continue
                 else:
                     sc_batch = ds.next_scene()
                     sid = None
-                cache_hit = False
                 if args.teacher_cache and sid is not None:
                     npz_path = os.path.join(args.teacher_cache, f"{sid}.npz")
                     if os.path.exists(npz_path):
                         data = np.load(npz_path)
-                        f2d = jnp.asarray(data["f2d"])
+                        if f2d is None:
+                            f2d = jnp.asarray(data["f2d"])
                         ft = jnp.asarray(data["f_teacher"])
-                        cache_hit = True
-                if not cache_hit:
+                if f2d is None:
                     with timer.stage("lift_2d"):
                         f2d = pipeline.lift_scene(sc_batch).features
+                if ft is None:
                     with timer.stage("teacher_3d"):
                         ft = pipeline.teacher_point_features(sc_batch)
                 batch_scenes.append(sc_batch)

@@ -1,0 +1,265 @@
+"""X-Decoder 2D pretraining loop — mask-classification training for the
+2D teacher on TPU.
+
+TPU-native rebuild of the reference's trainer stack
+(reference third_party/X-Decoder/xdecoder/trainer/default_trainer.py:97-289,
+utils_trainer.py:53-194, pipeline/XDecoderPipeline.py): the epoch loop with
+gradient accumulation, grad clipping, LR warmup + step decay, periodic
+checkpointing with per-rank RNG state, and items/sec + loss logging — driving
+our XDecoderSegModel with the Hungarian mask criterion
+(models/criterion.py ≙ modeling/modules/criterion.py + matcher.py).
+
+Deviations by design:
+- bf16 compute replaces the CUDA AMP GradScaler (utils_trainer.py:53-56):
+  bf16 has fp32-range exponent so no loss scaling is needed on TPU;
+- data parallelism is a shard_map over the `data` mesh axis with pmean'd
+  grads (≙ the MPI/NCCL DDP wrap, distributed_trainer.py:43-67).
+
+Classification logits are cosine(class_embed, text) like the eval path, with
+one extra LEARNED no-object embedding appended for the criterion's
+(n_cls+1)-way CE (the reference's non-object embedding in the matcher path).
+
+Usage:
+  python -m geopurify_tpu.run.train2d --synthetic --steps 10     # smoke
+  python -m geopurify_tpu.run.train2d --preset scannet data.data_root=...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from geopurify_tpu.config import GeoPurifyConfig, load_config
+from geopurify_tpu.models.criterion import set_criterion
+from geopurify_tpu.models.xdecoder import XDecoderSegModel
+from geopurify_tpu.parallel.mesh import make_mesh
+from geopurify_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+log = logging.getLogger("geopurify.train2d")
+
+
+class Train2DState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def synthetic_batch(rng: np.random.Generator, batch: int, hw, n_cls: int,
+                    max_targets: int = 8):
+    """Random images with rectangle instances — CPU-runnable fixtures
+    (SURVEY §4's tiny-synthetic strategy; no COCO in this environment)."""
+    H, W = hw
+    images = rng.uniform(0, 255, (batch, H, W, 3)).astype(np.float32)
+    # criterion samples points on the stride-4 mask grid
+    h, w = H // 4, W // 4
+    gt_masks = np.zeros((batch, max_targets, h, w), np.float32)
+    gt_classes = np.zeros((batch, max_targets), np.int32)
+    gt_valid = np.zeros((batch, max_targets), bool)
+    for b in range(batch):
+        n_t = int(rng.integers(1, max_targets + 1))
+        for t in range(n_t):
+            y0, x0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+            y1, x1 = y0 + rng.integers(2, h // 2), x0 + rng.integers(2, w // 2)
+            gt_masks[b, t, y0:y1, x0:x1] = 1.0
+            gt_classes[b, t] = rng.integers(0, n_cls)
+            gt_valid[b, t] = True
+    return (jnp.asarray(images), jnp.asarray(gt_classes),
+            jnp.asarray(gt_masks), jnp.asarray(gt_valid))
+
+
+def make_schedule(base_lr: float, warmup_steps: int, decay_steps, gamma: float = 0.1):
+    """Linear warmup + multiplicative step decay (≙ WarmupMultiStepLR)."""
+    def sched(step):
+        warm = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+        decay = gamma ** jnp.sum(
+            jnp.asarray([step >= d for d in decay_steps], jnp.float32)
+        )
+        return base_lr * warm * decay
+    return sched
+
+
+def make_train2d_step(model: XDecoderSegModel, tx, mesh: Mesh, data_axis: str,
+                      num_points: int):
+    def device_step(state: Train2DState, images, gt_cls, gt_masks, gt_valid,
+                    text, logit_scale, rng):
+        images, gt_cls = images[0], gt_cls[0]
+        gt_masks, gt_valid = gt_masks[0], gt_valid[0]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def loss_fn(params):
+            model_params = {"params": params["model"]}
+            out = model.apply(model_params, images, text, logit_scale)
+            # append the learned no-object logit: cosine vs a trainable
+            # embedding, same scale as the text logits
+            no_obj = params["no_object"]
+            no_obj = no_obj / jnp.maximum(jnp.linalg.norm(no_obj), 1e-8)
+            emb = out["mask_embed"]  # the 512-d projected query embeddings
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8
+            )
+            extra = logit_scale * emb @ no_obj
+            logits = jnp.concatenate(
+                [out["pred_logits"], extra[..., None]], axis=-1
+            )
+            losses = set_criterion(
+                logits, out["pred_masks"], gt_cls, gt_masks, gt_valid,
+                rng, num_points=num_points,
+            )
+            return losses["loss"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return Train2DState(params, opt_state, state.step + 1), losses
+
+    mapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P(data_axis),
+                  P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="scannet")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="images per device per step")
+    parser.add_argument("--image-hw", default=None,
+                        help="HxW override (e.g. 96x128 for smoke)")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight-decay", type=float, default=0.05)
+    parser.add_argument("--grad-accum", type=int, default=1)
+    parser.add_argument("--grad-clip", type=float, default=0.01,
+                        help="grad norm clip (X-Decoder trainer default)")
+    parser.add_argument("--num-points", type=int, default=4096)
+    parser.add_argument("--save-path", default="runs/train2d")
+    parser.add_argument("--save-every", type=int, default=500)
+    parser.add_argument("--print-every", type=int, default=10)
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s")
+    if args.distributed:
+        jax.distributed.initialize()
+    from geopurify_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    cfg = load_config(args.preset, overrides=args.overrides, yaml_path=args.config)
+    if args.image_hw:
+        h, w = (int(x) for x in args.image_hw.split("x"))
+        cfg = dataclasses.replace(
+            cfg, xdecoder=dataclasses.replace(cfg.xdecoder, mask_shape=(h, w))
+        )
+
+    n_cls = max(len(cfg.data.all_label), 2)
+    key = jax.random.key(cfg.train.manual_seed)
+    mesh = make_mesh(dp=cfg.parallel.dp, tp=cfg.parallel.tp)
+    n_dp = mesh.shape[cfg.parallel.data_axis]
+
+    model = XDecoderSegModel(cfg.xdecoder)
+    H, W = cfg.xdecoder.mask_shape
+    # pretraining text matrix: random normalized class embeddings unless a
+    # language tower is converted (lang + template averaging, run/train.py)
+    key, tkey = jax.random.split(key)
+    text = jax.random.normal(tkey, (n_cls + 1, cfg.xdecoder.hidden_dim))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    logit_scale = jnp.float32(np.exp(2.659260036932778))  # CLIP init, ln(1/0.07)
+
+    dummy = jnp.zeros((args.batch_size, H, W, 3))
+    mvars = model.init(key, dummy, text, logit_scale)
+    params = {
+        "model": mvars["params"],
+        "no_object": jax.random.normal(key, (cfg.xdecoder.hidden_dim,)) * 0.02,
+    }
+
+    decay = (int(args.steps * 0.88), int(args.steps * 0.96))  # ≙ coco schedule
+    sched = make_schedule(args.lr, warmup_steps=10, decay_steps=decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip) if args.grad_clip else optax.identity(),
+        optax.adamw(sched, weight_decay=args.weight_decay),
+    )
+    if args.grad_accum > 1:
+        tx = optax.MultiSteps(tx, args.grad_accum)
+    state = Train2DState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    ckpt_dir = os.path.join(args.save_path, "ckpt")
+    if args.resume:
+        restored, step0 = restore_checkpoint(
+            args.resume, {**state._asdict(), "rng": jax.random.key_data(key)}
+        )
+        if restored is not None:
+            key = jax.random.wrap_key_data(restored.pop("rng"))
+            state = Train2DState(**restored)
+            log.info("resumed from step %d", step0)
+
+    step_fn = make_train2d_step(model, tx, mesh, cfg.parallel.data_axis,
+                                args.num_points)
+    os.makedirs(args.save_path, exist_ok=True)
+    metrics_path = os.path.join(args.save_path, "metrics.jsonl")
+    rng_np = np.random.default_rng(cfg.train.manual_seed)
+
+    t0 = time.time()
+    for it in range(args.steps):
+        if args.synthetic:
+            batches = [synthetic_batch(rng_np, args.batch_size, (H, W), n_cls)
+                       for _ in range(n_dp)]
+        else:
+            raise NotImplementedError(
+                "2D pretraining currently ships the synthetic driver only — "
+                "COCO-style datasets are not available in this environment; "
+                "plug a loader producing (images, gt_classes, gt_masks, "
+                "gt_valid) batches here."
+            )
+        stack = lambda j: jnp.stack([b[j] for b in batches])  # noqa: E731
+        key, sub = jax.random.split(key)
+        state, losses = step_fn(
+            state, stack(0), stack(1), stack(2), stack(3), text, logit_scale, sub
+        )
+        step = int(state.step)
+        if step % args.print_every == 0 or it == args.steps - 1:
+            rec = {
+                "step": step,
+                **{k: float(v) for k, v in losses.items()},
+                "lr": float(sched(step)),
+                "items_per_sec": step * n_dp * args.batch_size
+                / max(time.time() - t0, 1e-9),
+            }
+            log.info("%s", rec)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if args.save_every and step % args.save_every == 0:
+            save_checkpoint(
+                ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)}, step
+            )
+    save_checkpoint(
+        ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)},
+        int(state.step),
+    )
+    log.info("done: %d steps in %.1fs", int(state.step), time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,11 @@ def main(argv=None):
     parser.add_argument("--max-scenes", type=int, default=None)
     parser.add_argument("--save-preds", default=None,
                         help="dir for per-scene pred/gt PLY dumps")
+    parser.add_argument("--lift-backend", default=None,
+                        choices=["xdecoder", "lseg", "ape"],
+                        help="2D lift backend (≙ feature_2d_extractor; "
+                             "lseg/ape need a registered JAX port, see "
+                             "models/lift_backends.py)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -118,6 +123,11 @@ def main(argv=None):
     enable_persistent_cache()
 
     cfg = load_config(args.preset, overrides=args.overrides, yaml_path=args.config)
+    if args.lift_backend:
+        cfg = dataclasses.replace(
+            cfg, xdecoder=dataclasses.replace(cfg.xdecoder,
+                                              lift_backend=args.lift_backend)
+        )
     key = jax.random.key(cfg.train.manual_seed)
 
     from geopurify_tpu.run.train import build_pipeline

@@ -123,6 +123,100 @@ def affinity_entropy_stats(weights: np.ndarray, valid: Optional[np.ndarray] = No
     }
 
 
+def save_affinity_heatmap_ply(
+    path: str,
+    points: np.ndarray,            # [M, 3] (voxel centers or points)
+    weights: np.ndarray,           # [M, K] affinity weights
+    valid: Optional[np.ndarray] = None,
+    mode: str = "entropy",         # entropy | max
+) -> None:
+    """3D affinity heatmap: color each point by its row entropy (how diffuse
+    its smoothing weights are) or its max edge weight — the reference's
+    plot_affinity_heatmap_3d (models/affinity_module.py:1291-1373).
+    Blue = peaked/confident, red = diffuse."""
+    w = np.asarray(weights, np.float64)
+    w = w / np.maximum(w.sum(1, keepdims=True), 1e-12)
+    if mode == "entropy":
+        val = -(w * np.log(np.maximum(w, 1e-12))).sum(1) / np.log(w.shape[1])
+    else:
+        val = 1.0 - w.max(1)
+    val = np.clip(val, 0, 1)
+    rgb = np.stack([val, 0.2 * np.ones_like(val), 1.0 - val], axis=1)
+    if valid is not None:
+        points, rgb = points[valid], rgb[valid]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_ply_points(path, points.astype(np.float32), rgb.astype(np.float32))
+
+
+def save_neighborhood_ply(
+    path: str,
+    points: np.ndarray,            # [M, 3]
+    nbr: np.ndarray,               # [M, K] neighbor indices
+    weights: np.ndarray,           # [M, K]
+    center: int,
+    valid: Optional[np.ndarray] = None,
+) -> None:
+    """Dump one point's kNN neighborhood: the center point white, neighbors
+    colored by edge weight (hot = strong), everything else dim gray — the
+    reference's visualize_local_neighborhoods
+    (models/affinity_module.py:1375-1488)."""
+    M = len(points)
+    rgb = np.full((M, 3), 0.25, np.float32)
+    w = np.asarray(weights[center], np.float64)
+    w = w / np.maximum(w.sum(), 1e-12)
+    wn = w / np.maximum(w.max(), 1e-12)
+    idx = np.asarray(nbr[center], np.int64)
+    rgb[idx] = np.stack(
+        [wn, 0.1 + 0.4 * wn, 1.0 - wn], axis=1
+    ).astype(np.float32)
+    rgb[center] = 1.0
+    if valid is not None:
+        points, rgb = points[valid], rgb[valid]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_ply_points(path, points.astype(np.float32), rgb)
+
+
+def plot_query_embeddings(
+    path: str,
+    query_embeddings: np.ndarray,  # [Q, C] (e.g. mask_embed of one view)
+    text_embeddings: Optional[np.ndarray] = None,  # [n_cls, C]
+    class_names: Optional[Sequence[str]] = None,
+) -> bool:
+    """2D PCA scatter of query embeddings (+ text anchors) — the reference's
+    query-embedding debug plots (models/utils/visualization.py). Returns
+    False (no file written) when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    q = np.asarray(query_embeddings, np.float64)
+    stack = q if text_embeddings is None else np.concatenate(
+        [q, np.asarray(text_embeddings, np.float64)]
+    )
+    mu = stack.mean(0, keepdims=True)
+    _, _, vt = np.linalg.svd(stack - mu, full_matrices=False)
+    p2 = (stack - mu) @ vt[:2].T
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.scatter(p2[: len(q), 0], p2[: len(q), 1], s=12, c="tab:blue",
+               label="queries", alpha=0.7)
+    if text_embeddings is not None:
+        t2 = p2[len(q):]
+        ax.scatter(t2[:, 0], t2[:, 1], s=60, c="tab:red", marker="*",
+                   label="text")
+        if class_names is not None:
+            for i, name in enumerate(class_names[: len(t2)]):
+                ax.annotate(str(name), t2[i], fontsize=7)
+    ax.legend()
+    ax.set_title("query / text embedding PCA")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def overlay_2d_semantic(
     image: np.ndarray,              # [H, W, 3] 0..255
     labels_2d: np.ndarray,          # [H, W] int

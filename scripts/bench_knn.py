@@ -78,26 +78,24 @@ def main():
                                  exclude_identical_index=True)[1],
             coords,
         )
-        print(f"M={M}: knn_search k={k}: {t*1e3:.1f} ms")
+        print(f"M={M}: knn_search k={k}: {t*1e3:.1f} ms", flush=True)
 
-        # raw top_k over the same total area, mapped like knn_search
+        # raw top_k cost: one [T, M] block, top_k'd n_t times (same total
+        # top_k area as knn_search's full-row path, no distance math)
         T = 1024
         n_t = M // T
 
         @jax.jit
         def pure_topk(x):
             def one(i):
-                blk = jax.lax.dynamic_slice_in_dim(x, i * T, T)
-                return jax.lax.top_k(-blk, k)[1]
+                return jax.lax.top_k(x + i.astype(jnp.float32), k)[1]
             return jax.lax.map(one, jnp.arange(n_t))
 
         d2_blk = jnp.asarray(
-            np.random.default_rng(0).random((M, M // 16 if M > 65536 else M),
-                                            np.float32)
-        ) if M <= 65536 else None
-        if d2_blk is not None:
-            t = timed(pure_topk, d2_blk)
-            print(f"M={M}: raw top_k [{T}x{d2_blk.shape[1]}] x{n_t}: {t*1e3:.1f} ms")
+            np.random.default_rng(0).random((T, M)).astype(np.float32)
+        )
+        t = timed(pure_topk, d2_blk)
+        print(f"M={M}: raw top_k [{T}x{M}] x{n_t}: {t*1e3:.1f} ms", flush=True)
 
         # distance computation alone (no top_k): same tiling
         @jax.jit
@@ -113,7 +111,33 @@ def main():
             return jax.lax.map(one, jnp.arange(n_t))
 
         t = timed(dists_only, coords)
-        print(f"M={M}: distance matrix only: {t*1e3:.1f} ms")
+        print(f"M={M}: distance matrix only: {t*1e3:.1f} ms", flush=True)
+
+        # two-level EXACT top-k: per-chunk top-k union, then merge — the true
+        # top-k of a row is contained in the union of its chunks' top-k's,
+        # and narrow sorts are much cheaper than one 65536-wide sort
+        for CH in (1024, 4096):
+            n_c = M // CH
+
+            @jax.jit
+            def twolevel(c):
+                c_sq = jnp.sum(c * c, axis=-1)
+
+                def one(i):
+                    q = jax.lax.dynamic_slice_in_dim(c, i * T, T)
+                    d2 = (jnp.sum(q * q, -1)[:, None] + c_sq[None, :]
+                          - 2.0 * q @ c.T)
+                    d2r = d2.reshape(T, n_c, CH)
+                    neg1, a1 = jax.lax.top_k(-d2r, k)          # [T, n_c, k]
+                    base = (jnp.arange(n_c, dtype=jnp.int32) * CH)[None, :, None]
+                    idx1 = (a1 + base).reshape(T, n_c * k)
+                    neg2, a2 = jax.lax.top_k(neg1.reshape(T, n_c * k), k)
+                    return jnp.take_along_axis(idx1, a2, axis=1)
+
+                return jax.lax.map(one, jnp.arange(n_t))
+
+            t = timed(twolevel, coords)
+            print(f"M={M}: two-level top_k (chunk {CH}): {t*1e3:.1f} ms", flush=True)
 
         # approx_max_k reference point
         @jax.jit
@@ -129,7 +153,7 @@ def main():
             return jax.lax.map(one, jnp.arange(n_t))
 
         t = timed(approx, coords)
-        print(f"M={M}: approx_min_k(recall .99): {t*1e3:.1f} ms")
+        print(f"M={M}: approx_min_k(recall .99): {t*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,141 @@
+"""Sonata converter — structural round-trip against a synthetic torch layout.
+
+The released facebook/sonata weights cannot be fetched here (zero egress;
+the reference's sonata submodule is empty), so these tests pin everything
+verifiable without them: tree-structure equality with a freshly initialized
+SonataTeacher, spconv layout reordering for both spconv generations, BN
+folding math, and a full forward pass with converted params.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geopurify_tpu.config import SonataConfig
+from geopurify_tpu.models.sonata import SonataTeacher
+from geopurify_tpu.utils.convert_sonata import (
+    SonataConversionError,
+    convert_sonata_checkpoint,
+    fake_sonata_state_dict,
+)
+
+DEPTHS = (1, 2)
+CHANNELS = (8, 16)
+HEADS = (2, 4)
+PATCH = (16, 16)
+
+
+def _cfg(norm="ln"):
+    return SonataConfig(
+        in_channels=6, enc_depths=DEPTHS, enc_channels=CHANNELS,
+        enc_num_head=HEADS, enc_patch_size=PATCH, stem_kernel=3,
+        norm=norm, upcast_levels=1, dtype="float32",
+    )
+
+
+def _teacher(cfg):
+    return SonataTeacher(
+        in_channels=cfg.in_channels, enc_depths=tuple(cfg.enc_depths),
+        enc_channels=tuple(cfg.enc_channels), enc_num_head=tuple(cfg.enc_num_head),
+        enc_patch_size=tuple(cfg.enc_patch_size), upcast_levels=cfg.upcast_levels,
+        stem_kernel=cfg.stem_kernel, pool_reduce=cfg.pool_reduce,
+        aux_norm_affine_only=(cfg.norm == "bn_folded"),
+    )
+
+
+def _scene(rng, n=60):
+    vox = np.unique(rng.integers(0, 8, (n, 3)), axis=0).astype(np.int32)
+    order = np.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))
+    vox = vox[order]
+    m = len(vox)
+    pts = rng.normal(size=(m, 6)).astype(np.float32)
+    return (jnp.asarray(pts), jnp.asarray(vox), jnp.ones(m, bool),
+            jnp.arange(m, dtype=jnp.int32), jnp.ones(m, bool))
+
+
+def test_converted_tree_matches_init_and_runs(rng):
+    cfg = _cfg()
+    sd = fake_sonata_state_dict(DEPTHS, CHANNELS, stem_kernel=3)
+    conv = convert_sonata_checkpoint(sd, cfg)
+
+    teacher = _teacher(cfg)
+    args = _scene(rng)
+    init_vars = teacher.init(jax.random.key(0), *args)
+
+    # exact tree structure + shape/dtype match
+    init_shapes = jax.tree_util.tree_map(lambda x: (x.shape), init_vars)
+    conv_shapes = jax.tree_util.tree_map(lambda x: (x.shape), conv)
+    assert jax.tree_util.tree_structure(init_shapes) == jax.tree_util.tree_structure(conv_shapes)
+    assert init_shapes == conv_shapes
+
+    out = teacher.apply(conv, *args)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).sum() > 0
+
+
+def test_spconv_layout_sniffing():
+    """Both spconv weight generations land in the same [K, in, out] layout
+    with values preserved per (tap, in, out) coordinate."""
+    cfg = _cfg()
+    sd = fake_sonata_state_dict(DEPTHS, CHANNELS, stem_kernel=3)
+    conv = convert_sonata_checkpoint(sd, cfg)
+
+    # stem was authored (out, kx, ky, kz, in) — spconv 2.x
+    w2 = sd["embedding.stem.conv.weight"]
+    got = np.asarray(conv["params"]["encoder"]["stem_kernel_w"])
+    want = np.transpose(w2, (1, 2, 3, 4, 0)).reshape(27, 6, CHANNELS[0])
+    np.testing.assert_allclose(got, want)
+
+    # cpe was authored (kx, ky, kz, in, out) — spconv 1.x
+    w1 = sd["enc.enc0.block0.cpe.0.weight"]
+    got = np.asarray(conv["params"]["encoder"]["stage0_block0"]["cpe_kernel"])
+    np.testing.assert_allclose(got, w1.reshape(27, CHANNELS[0], CHANNELS[0]))
+
+
+def test_bn_folding_math_and_norm_flag():
+    cfg_bn = _cfg(norm="bn_folded")
+    sd = fake_sonata_state_dict(DEPTHS, CHANNELS, stem_kernel=3, batchnorm_aux=True)
+    conv = convert_sonata_checkpoint(sd, cfg_bn)
+    w = sd["embedding.stem.norm.weight"].astype(np.float64)
+    b = sd["embedding.stem.norm.bias"].astype(np.float64)
+    rm = sd["embedding.stem.norm.running_mean"].astype(np.float64)
+    rv = sd["embedding.stem.norm.running_var"].astype(np.float64)
+    scale = w / np.sqrt(rv + 1e-5)
+    en = conv["params"]["encoder"]["embed_norm"]
+    np.testing.assert_allclose(np.asarray(en["scale"]), scale, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(en["bias"]), b - rm * scale, rtol=1e-5)
+
+    # BN checkpoint + norm=ln must refuse (silent mismatch would corrupt)
+    with pytest.raises(SonataConversionError):
+        convert_sonata_checkpoint(sd, _cfg(norm="ln"))
+    # LN checkpoint + norm=bn_folded must refuse too
+    with pytest.raises(SonataConversionError):
+        convert_sonata_checkpoint(
+            fake_sonata_state_dict(DEPTHS, CHANNELS, stem_kernel=3), cfg_bn
+        )
+
+
+def test_depth_mismatch_refused():
+    sd = fake_sonata_state_dict((1, 1), CHANNELS, stem_kernel=3)
+    with pytest.raises(SonataConversionError):
+        convert_sonata_checkpoint(sd, _cfg())
+
+
+def test_distinctive_values_land_in_place():
+    """A marker constant written into one torch tensor must surface at exactly
+    the corresponding flax leaf."""
+    cfg = _cfg()
+    sd = fake_sonata_state_dict(DEPTHS, CHANNELS, stem_kernel=3)
+    sd["enc.enc1.block1.attn.qkv.weight"] = np.full_like(
+        sd["enc.enc1.block1.attn.qkv.weight"], 7.5
+    )
+    conv = convert_sonata_checkpoint(sd, cfg)
+    leaf = np.asarray(
+        conv["params"]["encoder"]["stage1_block1"]["attn"]["qkv"]["kernel"]
+    )
+    assert (leaf == 7.5).all()
+    other = np.asarray(
+        conv["params"]["encoder"]["stage1_block0"]["attn"]["qkv"]["kernel"]
+    )
+    assert not (other == 7.5).any()

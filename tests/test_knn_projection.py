@@ -49,6 +49,64 @@ def test_knn_respects_db_validity(rng):
     assert np.asarray(i).max() < 50
 
 
+def _grid_scene(rng, kind, n=900):
+    """Integer voxel scenes: 'surface' = dense walls/floor (certificate
+    passes), 'sparse' = uniform scatter (forces the full-row fallback)."""
+    if kind == "surface":
+        m = n // 3
+        w1 = np.stack([np.zeros(m), rng.integers(0, 30, m), rng.integers(0, 15, m)], 1)
+        w2 = np.stack([rng.integers(0, 30, m), np.zeros(m), rng.integers(0, 15, m)], 1)
+        fl = np.stack([rng.integers(0, 30, m), rng.integers(0, 30, m), np.zeros(m)], 1)
+        c = np.concatenate([w1, w2, fl])
+    else:
+        c = rng.integers(0, 400, (n, 3))
+    c = np.unique(c.astype(np.int32), axis=0)
+    order = np.lexsort((c[:, 2], c[:, 1], c[:, 0]))
+    return c[order]
+
+
+@pytest.mark.parametrize("kind", ["surface", "sparse"])
+def test_knn_self_grid_matches_full(rng, kind):
+    """Morton-tiled bbox kNN == brute force up to equal-distance ties, on
+    both the certificate-pass path and the fallback path."""
+    from geopurify_tpu.ops.knn import knn_self_grid
+
+    c = _grid_scene(rng, kind)
+    M = len(c)
+    k = 12
+    d, i = knn_self_grid(
+        jnp.asarray(c), jnp.ones(M, bool), k=k,
+        radius=6, num_candidates=512, query_tile=128,
+    )
+    od, _ = _brute_knn(c.astype(np.float64), c.astype(np.float64), k,
+                       exclude_self_ids=np.arange(M))
+    d, i = np.asarray(d), np.asarray(i)
+    np.testing.assert_allclose(d, od, atol=1e-3)
+    # returned indices actually realize those distances and exclude self
+    gathered = ((c[:, None, :] - c[i]) ** 2).sum(-1)
+    np.testing.assert_allclose(gathered, od, atol=1e-3)
+    assert not np.any(i == np.arange(M)[:, None])
+
+
+def test_knn_self_grid_padding_and_small_scene(rng):
+    from geopurify_tpu.ops.knn import knn_self_grid
+
+    c = _grid_scene(rng, "surface", n=120)
+    M = len(c)
+    pad = 37
+    cp = np.concatenate([c, np.zeros((pad, 3), np.int32)])
+    valid = np.zeros(M + pad, bool)
+    valid[:M] = True
+    k = 8
+    d, i = knn_self_grid(jnp.asarray(cp), jnp.asarray(valid), k=k,
+                         radius=4, num_candidates=256, query_tile=64)
+    od, _ = _brute_knn(c.astype(np.float64), c.astype(np.float64), k,
+                       exclude_self_ids=np.arange(M))
+    np.testing.assert_allclose(np.asarray(d)[:M], od, atol=1e-3)
+    # neighbors never point at padding
+    assert np.asarray(i)[:M].max() < M
+
+
 def test_nearest_fill(rng):
     coords = rng.uniform(size=(64, 3)).astype(np.float32)
     feats = rng.uniform(size=(64, 8)).astype(np.float32)

@@ -51,6 +51,121 @@ def test_instance_lift_masks_and_fill(rng):
     np.testing.assert_allclose(f[pv], np.tile(e2, (pv.sum(), 1)), rtol=1e-4)
 
 
+def test_backend_registry_errors_and_roundtrip():
+    import pytest
+
+    from geopurify_tpu.models import lift_backends as lb
+
+    with pytest.raises(KeyError, match="lift_backends.register_backend"):
+        lb.get_backend("lseg")
+    fn = lambda img: img  # noqa: E731
+    lb.register_backend("lseg", fn)
+    try:
+        assert lb.get_backend("LSeg") is fn
+        assert "lseg" in lb.available()
+    finally:
+        lb._REGISTRY.clear()
+
+
+def test_pipeline_dispatches_alternative_backends(rng):
+    """evaluate_scene end-to-end through the lseg and ape backend paths
+    (≙ the reference's feature_2d_extractor dispatch, affinity_module.py:348)."""
+    import dataclasses
+
+    import jax
+
+    from geopurify_tpu.data.synthetic import make_scene_batch
+    from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+    from tests.test_pipeline import tiny_cfg
+
+    base_cfg = tiny_cfg()
+    batch = make_scene_batch(
+        seed=1, n_points=300, n_views=2, image_hw=(48, 64),
+        max_points=512, max_voxels=512, max_views=2, max_view_points=256,
+    )
+    n_cls = len(base_cfg.data.all_label)
+    C = base_cfg.pooling.feature_dim
+    key = jax.random.key(0)
+    text = jax.random.normal(key, (n_cls + 1, C))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    H, W = base_cfg.xdecoder.mask_shape
+
+    def toy_dense(image):  # lseg-style: C-dim pixel map at mask_shape
+        x = jnp.mean(image, axis=-1, keepdims=True)
+        return jnp.tile(x[:H, :W], (1, 1, C)) + jnp.arange(C)[None, None]
+
+    def toy_instance(image):  # ape-style
+        masks = jnp.stack([jnp.full((H, W), 5.0), jnp.full((H, W), -5.0)])
+        embeds = jnp.stack([jnp.ones((C,)), -jnp.ones((C,))])
+        return masks, embeds, jnp.asarray([0.9, 0.5])
+
+    for backend, fn in (("lseg", toy_dense), ("ape", toy_instance)):
+        cfg = dataclasses.replace(
+            base_cfg,
+            xdecoder=dataclasses.replace(base_cfg.xdecoder, lift_backend=backend),
+        )
+        pipe = GeoPurifyPipeline(
+            cfg=cfg, teacher_params={}, text_embeddings=text,
+            logit_scale=jnp.float32(20.0), lift_backend_fn=fn,
+        )
+        student_vars = pipe.student.init(
+            key, jnp.zeros((8, cfg.student.input_dim)),
+            jnp.full((8, 27), 8, jnp.int32), jnp.ones(8, bool), train=False,
+        )
+        out = pipe.evaluate_scene(student_vars, batch)
+        pred = np.asarray(out["pred"])
+        assert pred.shape == (batch.points.shape[0],)
+        assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_fused_feature_training_inputs(tmp_path, rng):
+    """--fused-features mode: batch + row-aligned padded features feed
+    stage1_loss (the FusedFeatureLoader consumption path)."""
+    import dataclasses
+
+    import torch
+
+    from geopurify_tpu.config import GeoPurifyConfig
+    from geopurify_tpu.data.feature_loader import FusedFeatureDataset
+
+    # a tiny on-disk scene + fused features
+    n, c = 200, 16
+    xyz = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+    rgb = rng.uniform(-1, 1, (n, 3))
+    labels = rng.integers(0, 4, n)
+    sid = "scene0042_00"
+    root3d = tmp_path / "3d"
+    root3d.mkdir()
+    torch.save((xyz.astype(np.float64), rgb, labels.astype(np.float64)),
+               root3d / f"{sid}.pth")
+    (root3d / "train.txt").write_text(sid + "\n")
+    featdir = tmp_path / "fused"
+    featdir.mkdir()
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    torch.save({"feat": torch.tensor(feats)}, featdir / f"{sid}_0.pt")
+
+    cfg = GeoPurifyConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, data_root=str(root3d), data_root_2d=str(tmp_path / "2d"),
+            train_scene_list="train.txt", max_points=128, max_voxels=128,
+            max_views=1, max_view_points=64, all_label=("a", "b"),
+        ),
+    )
+    ds = FusedFeatureDataset(cfg, str(featdir))
+    pair = ds.make_scene_batch_with_features(sid)
+    assert pair is not None
+    batch, f2d = pair
+    assert f2d.shape == (128, c)
+    # row alignment: the i-th valid batch point carries the fused feature of
+    # the deterministically-kept source point
+    from geopurify_tpu.data.loaders import deterministic_keep
+
+    keep = deterministic_keep(sid, n, 128)
+    np.testing.assert_allclose(f2d[: len(keep)], feats[keep])
+
+
 def test_fused_feature_loader(tmp_path, rng):
     import torch
 

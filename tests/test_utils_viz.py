@@ -83,3 +83,46 @@ def test_stage_timer(tmp_path):
     p = str(tmp_path / "t.jsonl")
     t.dump_jsonl(p, step=3)
     assert os.path.getsize(p) > 0
+
+
+def test_affinity_heatmap_and_neighborhood_ply(tmp_path, rng):
+    from geopurify_tpu.data.ply import read_ply
+    from geopurify_tpu.utils.visualization import (
+        save_affinity_heatmap_ply,
+        save_neighborhood_ply,
+    )
+
+    M, K = 40, 5
+    pts = rng.uniform(size=(M, 3)).astype(np.float32)
+    w = rng.random((M, K)).astype(np.float32)
+    nbr = rng.integers(0, M, (M, K)).astype(np.int32)
+
+    p1 = str(tmp_path / "heat.ply")
+    save_affinity_heatmap_ply(p1, pts, w)
+    v = read_ply(p1)["vertex"]
+    assert len(v["x"]) == M
+    # peaked rows (one-hot weights) must color bluer (low red) than diffuse
+    w2 = np.full((M, K), 1.0 / K, np.float32)
+    w2[0] = 0.0
+    w2[0, 0] = 1.0
+    p2 = str(tmp_path / "heat2.ply")
+    save_affinity_heatmap_ply(p2, pts, w2)
+    v2 = read_ply(p2)["vertex"]
+    assert v2["red"][0] < v2["red"][1]
+
+    p3 = str(tmp_path / "nbh.ply")
+    save_neighborhood_ply(p3, pts, nbr, w, center=7)
+    v3 = read_ply(p3)["vertex"]
+    assert len(v3["x"]) == M
+    assert v3["red"][7] == 255 and v3["green"][7] == 255  # center is white
+
+
+def test_query_embedding_plot(tmp_path, rng):
+    from geopurify_tpu.utils.visualization import plot_query_embeddings
+
+    q = rng.normal(size=(20, 16)).astype(np.float32)
+    t = rng.normal(size=(4, 16)).astype(np.float32)
+    p = str(tmp_path / "q.png")
+    ok = plot_query_embeddings(p, q, t, class_names=["a", "b", "c", "d"])
+    if ok:
+        assert os.path.getsize(p) > 0
