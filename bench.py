@@ -73,11 +73,17 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
         rng.integers(0, 200, quarters), rng.integers(0, 3, quarters),
         rng.integers(0, 120, quarters),
     ], 1)
-    centers = rng.integers(20, 180, (24, 3)) * np.array([1, 1, 0])
-    blob_pts = (
-        centers[rng.integers(0, 24, n_draw - 3 * quarters)]
-        + rng.normal(scale=8.0, size=(n_draw - 3 * quarters, 3))
-    ).clip(0, 199)
+    # objects as ELLIPSOID SHELLS, not Gaussian fog: voxelized real scans are
+    # 2-manifolds (chair/table/cabinet surfaces), so the synthetic objects
+    # must be surfaces too — volumetric fog would hand the kNN an occupancy
+    # structure no real scene has (in either direction of difficulty)
+    centers = rng.integers(20, 180, (24, 3)) * np.array([1, 1, 0]) + np.array([0, 0, 12])
+    n_obj = n_draw - 3 * quarters
+    radii = rng.uniform(5.0, 14.0, (24, 3))
+    which = rng.integers(0, 24, n_obj)
+    dirs = rng.normal(size=(n_obj, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    blob_pts = (centers[which] + dirs * radii[which]).clip(0, 199)
     cand = np.concatenate([floor, wall1, wall2, blob_pts]).astype(np.int32)
     vox = np.unique(cand, axis=0)
     assert vox.shape[0] >= M, f"only {vox.shape[0]} unique voxels; increase draws"
@@ -118,6 +124,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
     parser.add_argument("--scenes", type=int, default=8)  # amortizes tunnel timing variance
+    parser.add_argument("--preset-scale", action="store_true",
+                        help="bench at the scannet preset's own shape buckets "
+                             "(M=2^18 voxels, V=32 views) instead of the "
+                             "fixed comparison spec — the honest real-scene "
+                             "upper-bound shape (VERDICT r1 weak #4)")
     args = parser.parse_args()
 
     if args.smoke:
@@ -159,6 +170,9 @@ def main():
             ),
         )
         P, M, V, Pv = 512, 256, 2, 128
+    elif args.preset_scale:
+        cfg = load_config("scannet")
+        P, M, V, Pv = 2 ** 20, 2 ** 18, 32, 2 ** 16
     else:
         cfg = load_config("scannet")
         P, M, V, Pv = 131072, 65536, 8, 16384
@@ -214,8 +228,11 @@ def main():
     sps = args.scenes / dt
     log(f"{args.scenes} scenes in {dt:.2f}s -> {sps:.3f} scenes/sec")
 
+    metric = "stage2_scenes_per_sec"
+    if args.preset_scale:
+        metric += "_preset_scale"
     print(json.dumps({
-        "metric": "stage2_scenes_per_sec",
+        "metric": metric,
         "value": round(sps, 4),
         "unit": "scenes/sec",
         "vs_baseline": round(sps / BASELINE_SCENES_PER_SEC, 3),

@@ -161,6 +161,10 @@ class XDecoderConfig:
     conv_dim: int = 512
     mask_dim: int = 512
     num_queries: int = 201                # 200 object + 1 latent class token
+    # pixel decoder / encoder variant: 'fpn' (focall config's
+    # transformer_encoder_fpn) | 'deform' (MSDeformAttnPixelDecoder,
+    # transformer_encoder_deform.py:140-377)
+    pixel_decoder: str = "fpn"
     nheads: int = 8
     dim_feedforward: int = 2048
     dec_layers: int = 9

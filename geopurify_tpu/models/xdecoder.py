@@ -215,16 +215,31 @@ class XDecoderSegModel(nn.Module):
             name="backbone",
         )(x.astype(dtype))
 
-        mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
-            conv_dim=c.conv_dim,
-            mask_dim=c.mask_dim,
-            num_enc_layers=c.enc_layers,
-            num_heads=c.nheads,
-            dim_feedforward=c.dim_feedforward,
-            pre_norm=c.pre_norm,
-            dtype=dtype,
-            name="pixel_decoder",
-        )(feats)
+        if c.pixel_decoder == "deform":
+            from geopurify_tpu.models.pixel_decoder_deform import (
+                MSDeformAttnPixelDecoder,
+            )
+
+            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+                conv_dim=c.conv_dim,
+                mask_dim=c.mask_dim,
+                num_enc_layers=c.enc_layers,
+                num_heads=c.nheads,
+                dim_feedforward=c.dim_feedforward,
+                dtype=dtype,
+                name="pixel_decoder",
+            )(feats)
+        else:
+            mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
+                conv_dim=c.conv_dim,
+                mask_dim=c.mask_dim,
+                num_enc_layers=c.enc_layers,
+                num_heads=c.nheads,
+                dim_feedforward=c.dim_feedforward,
+                pre_norm=c.pre_norm,
+                dtype=dtype,
+                name="pixel_decoder",
+            )(feats)
 
         out = XDecoderHead(
             hidden_dim=c.hidden_dim,

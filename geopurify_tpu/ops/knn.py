@@ -133,9 +133,31 @@ def knn_search(
     return dists, jnp.maximum(idx, 0)  # clamp unfilled slots to 0 for safe gathers
 
 
+def _chunked_topk_min(d2: jax.Array, k: int, chunk: int = 4096):
+    """k smallest of each row of d2 [T, C], exact, via per-chunk top-k union.
+
+    Measured on v5e: lax.top_k has a fast path up to width ~4096
+    ([1024x4096] = 123 ms vs [1024x8192] = 495 ms for the same row count),
+    so rows wider than ``chunk`` are split and the per-chunk top-k's merged
+    (the true top-k of a row is contained in the union of its chunks').
+    """
+    T, C = d2.shape
+    if C <= chunk:
+        neg, arg = jax.lax.top_k(-d2, k)
+        return -neg, arg
+    n = -(-C // chunk)
+    Cp = n * chunk
+    d2p = jnp.pad(d2, ((0, 0), (0, Cp - C)), constant_values=jnp.inf)
+    neg1, a1 = jax.lax.top_k(-d2p.reshape(T, n, chunk), k)   # [T, n, k]
+    base = (jnp.arange(n, dtype=jnp.int32) * chunk)[None, :, None]
+    idx1 = (a1 + base).reshape(T, n * k)
+    neg2, a2 = jax.lax.top_k(neg1.reshape(T, n * k), k)
+    return -neg2, jnp.take_along_axis(idx1, a2, axis=1)
+
+
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "num_candidates", "query_tile"),
+    static_argnames=("k", "radius", "num_candidates", "query_tile", "tiles_per_call"),
 )
 def knn_self_grid(
     coords: jax.Array,        # [M, 3] integer voxel coords (any numeric dtype)
@@ -143,56 +165,149 @@ def knn_self_grid(
     k: int,
     radius: int = 12,
     num_candidates: int = 4096,
-    query_tile: int = 1024,
+    query_tile: int = 128,
+    tiles_per_call: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact self-kNN over integer voxel coords via Morton-tiled bbox pruning.
+    """Exact self-kNN over integer voxel coords via Morton-tiled bbox pruning
+    with PER-QUERY full-row fallback.
 
     Measured on v5e at M=65536/k=96: the full-row ``knn_search`` is entirely
-    lax.top_k-bound (1445 of 1535 ms), and top_k cost collapses with row
-    width (width 4096 runs 12x faster than 65536). So queries are processed
-    in Morton-order tiles (spatially compact boxes); each tile's candidate
-    set is every voxel inside the tile's bbox dilated by ``radius``,
-    compacted ONCE per tile (cumsum + searchsorted — no per-query work), and
-    the k-NN top_k runs at width ``num_candidates`` instead of M.
+    lax.top_k-bound (1445 of 1535 ms); top_k collapses in cost at row width
+    <= 4096 BUT degrades catastrophically below ~512 rows per call
+    (a [256, 4096] top_k call costs ~2 s (!) vs 1.6 ms at [512, 4096]).
+    So queries are processed in small HILBERT-order tiles (the curve is
+    continuous, so tile bboxes stay tight — Morton's seam teleports made
+    ~12% of tiles overflow the candidate budget vs 0.8% for Hilbert at
+    T=128), ``tiles_per_call`` tiles are batched per top_k call on a leading
+    dim to keep the row count fat, and each tile's candidates are the voxels
+    inside its bbox dilated by ``radius``, compacted once per tile
+    (cumsum + searchsorted — no per-query work).
 
     Exactness: any point within ``radius`` of a query lies inside the
-    dilated bbox, so if the query's k-th neighbor distance satisfies
-    d_k <= radius the candidate set provably contained all true neighbors.
-    Tiles where any query fails that certificate — or whose candidate count
-    overflows ``num_candidates`` — recompute against the FULL row
-    (lax.cond), so the result equals ``knn_search`` up to equal-distance
-    ties on every input. Sparse scenes degrade toward full-row cost; dense
-    surface scenes (the real workload) pass the certificate almost always.
+    dilated bbox, so a query whose k-th candidate distance satisfies
+    d_k <= radius provably saw all true neighbors. Queries failing that
+    certificate — or living in tiles whose candidate count overflowed
+    ``num_candidates`` — are compacted and recomputed against the FULL row
+    in 1024-query tiles, each gated by a runtime lax.cond so the fallback
+    costs only as many full-row top-k's as there are failed queries (zero on
+    fully-certified scenes, graceful degradation toward brute-force cost on
+    pathological ones). The result equals ``knn_search`` up to
+    equal-distance ties on EVERY input.
 
     Returns (dists [M, k] f32 with +inf padding, idx [M, k] int32 clamped),
     self-excluded — a drop-in for ``knn_search(c, c, valid, k,
     exclude_identical_index=True)``.
     """
-    from geopurify_tpu.ops.morton import morton_code
+    from geopurify_tpu.ops.morton import hilbert_code
 
     M = coords.shape[0]
     T = query_tile
-    C = num_candidates
-    n_t = -(-M // T)
+    C = min(num_candidates, max(M, 1))
+    G = tiles_per_call
+    n_t = -(-M // (T * G)) * G                 # tile count, multiple of G
     Mp = n_t * T
     cf = coords.astype(jnp.float32)
     c_sq = jnp.sum(cf * cf, axis=-1)
     r2 = jnp.float32(radius) * jnp.float32(radius)
 
-    # Morton-order the QUERIES only (db stays in caller order; indices are
+    # Hilbert-order the QUERIES only (db stays in caller order; indices are
     # caller-order throughout). Invalid rows sort last.
-    code = jnp.where(valid, morton_code(jnp.maximum(coords, 0).astype(jnp.int32)),
+    code = jnp.where(valid, hilbert_code(jnp.maximum(coords, 0).astype(jnp.int32)),
                      jnp.int32(2**30))
     perm = jnp.argsort(code)
-    perm_p = _pad_to(perm, Mp, value=M - 1 if M else 0).astype(jnp.int32)
+    perm_p = _pad_to(perm, Mp, value=max(M - 1, 0)).astype(jnp.int32)
     qv_p = _pad_to(valid[perm], Mp, value=False)
 
-    def one_tile(args):
-        qid, qv = args                         # [T] global ids, [T] valid
+    # ---- pass 1: pruned kNN, G Hilbert tiles per batched top_k call --------
+    # Candidate selection is two-level scatter compaction: one bbox pass over
+    # the full db per SUPERTILE (G tiles) into Cs super-candidates, then
+    # per-tile bbox passes over only those Cs. Compaction writes each
+    # selected index at its cumsum rank (unique slots, drop-overflow) — a
+    # single scatter instead of a per-rank binary search.
+    # supertile budget: measured p-max ~22k in-box for a 4096-query Hilbert
+    # supertile at r=12 on surface scenes — 6*C keeps supertile overflow ~0
+    Cs = min(6 * C, max(M, 1))
+
+    def _compact(keep, src_idx, budget):
+        """Indices (from src_idx) of keep==True rows, rank-ordered, padded."""
+        slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep & (slot < budget), slot, budget)
+        out = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
+            src_idx, mode="drop", unique_indices=True
+        )[:budget]
+        total = jnp.sum(keep.astype(jnp.int32))
+        return out, total
+
+    def tile_prep(qid, qv, sci, s_ok):
+        """Distance block for ONE tile against the supertile's candidates."""
         q = cf[qid]                            # [T, 3]
         q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        qvc = qv[:, None]
+        lo = jnp.min(jnp.where(qvc, q, jnp.float32(jnp.inf)), axis=0) - radius
+        hi = jnp.max(jnp.where(qvc, q, -jnp.float32(jnp.inf)), axis=0) + radius
+        sc = cf[sci]                           # [Cs, 3]
+        in_box = jnp.all((sc >= lo[None]) & (sc <= hi[None]), axis=-1) & s_ok
+        cand_idx, total = _compact(in_box, sci, C)
+        cand_ok = jnp.arange(C) < jnp.minimum(total, C)
 
-        def full_row():
+        cd = cf[cand_idx]                      # [C, 3]
+        dots = jax.lax.dot_general(
+            q, cd, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = q_sq + c_sq[cand_idx][None, :] - 2.0 * dots
+        bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
+        return jnp.where(bad, _INF, d2), cand_idx, total
+
+    def one_super(args):
+        qids, qvs = args                       # [G, T], [G, T]
+        # supertile bbox over all valid queries of the G tiles
+        q_all = cf[qids.reshape(-1)]
+        qv_all = qvs.reshape(-1)[:, None]
+        s_lo = jnp.min(jnp.where(qv_all, q_all, jnp.float32(jnp.inf)), axis=0) - radius
+        s_hi = jnp.max(jnp.where(qv_all, q_all, -jnp.float32(jnp.inf)), axis=0) + radius
+        s_in = jnp.all((cf >= s_lo[None]) & (cf <= s_hi[None]), axis=-1) & valid
+        sci, s_total = _compact(s_in, jnp.arange(M, dtype=jnp.int32), Cs)
+        s_ok_mask = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
+        s_fits = s_total <= Cs
+
+        d2, cand_idx, total = jax.vmap(
+            tile_prep, in_axes=(0, 0, None, None)
+        )(qids, qvs, sci, s_ok_mask)           # [G,T,C],[G,C],[G]
+        pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k)
+        pd = pd.reshape(G, T, k)
+        loc = loc.reshape(G, T, k)
+        pi = jax.vmap(lambda ci, lc: ci[lc])(cand_idx, loc)  # [G, T, k]
+        # per-query certificate (k-th distance within the dilation radius);
+        # an overflowing tile/supertile certifies nothing (truncation)
+        cert = (pd[:, :, k - 1] <= r2) & ((total <= C) & s_fits)[:, None]
+        return pd, pi, cert | ~qvs
+
+    q_tiles = perm_p.reshape(n_t // G, G, T)
+    v_tiles = qv_p.reshape(n_t // G, G, T)
+    pd_s, pi_s, cert_s = jax.lax.map(one_super, (q_tiles, v_tiles))
+    pd_s = pd_s.reshape(Mp, k)
+    pi_s = pi_s.reshape(Mp, k)
+    cert_s = cert_s.reshape(Mp)
+
+    # ---- pass 2: compact failed queries, full-row recompute in gated tiles -
+    failed = ~cert_s
+    fcnt = jnp.cumsum(failed.astype(jnp.int32))
+    n_failed = fcnt[-1]
+    FT = 1024
+    n_ft = -(-Mp // FT)                        # worst case: everything failed
+    fpos = jnp.searchsorted(fcnt, jnp.arange(1, n_ft * FT + 1, dtype=jnp.int32))
+    fpos = jnp.clip(fpos, 0, Mp - 1)           # sorted-row positions of failures
+    f_qid = perm_p[fpos]
+    f_live = jnp.arange(n_ft * FT) < n_failed
+
+    def fallback_tile(args):
+        qid, live = args                       # [FT], [FT]
+
+        def run():
+            q = cf[qid]
+            q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
             dots = jax.lax.dot_general(
                 q, cf, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -205,47 +320,25 @@ def knn_self_grid(
             neg, arg = jax.lax.top_k(-d2, k)
             return -neg, arg
 
-        # tile bbox (valid queries only), dilated by radius
-        qvc = qv[:, None]
-        lo = jnp.min(jnp.where(qvc, q, jnp.float32(jnp.inf)), axis=0) - radius
-        hi = jnp.max(jnp.where(qvc, q, -jnp.float32(jnp.inf)), axis=0) + radius
-        in_box = jnp.all((cf >= lo[None]) & (cf <= hi[None]), axis=-1) & valid
-        cnt = jnp.cumsum(in_box.astype(jnp.int32))
-        total = cnt[-1]
-        # positions of the 1st..C-th in-box point (searchsorted on the
-        # monotone count — one pass for the whole tile, not per query)
-        pos = jnp.searchsorted(cnt, jnp.arange(1, C + 1, dtype=jnp.int32))
-        cand_idx = jnp.clip(pos, 0, max(M - 1, 0)).astype(jnp.int32)
-        cand_ok = jnp.arange(C) < total
+        def skip():
+            return (jnp.full((FT, k), _INF), jnp.zeros((FT, k), jnp.int32))
 
-        def pruned():
-            cd = cf[cand_idx]                  # [C, 3]
-            dots = jax.lax.dot_general(
-                q, cd, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            d2 = q_sq + c_sq[cand_idx][None, :] - 2.0 * dots
-            bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
-            d2 = jnp.where(bad, _INF, d2)
-            neg, loc = jax.lax.top_k(-d2, k)
-            return -neg, cand_idx[loc]
+        return jax.lax.cond(jnp.any(live), run, skip)
 
-        pd, pi = pruned()
-        # certificate: every valid query's k-th distance within radius (a
-        # tile with < k+1 candidates yields +inf -> fails -> full row)
-        certified = jnp.all(jnp.where(qv, pd[:, k - 1] <= r2, True))
-        ok = certified & (total <= C)
-        return jax.lax.cond(ok, lambda: (pd, pi), full_row)
+    fd, fi = jax.lax.map(
+        fallback_tile,
+        (f_qid.reshape(n_ft, FT), f_live.reshape(n_ft, FT)),
+    )
+    fd = fd.reshape(-1, k)
+    fi = fi.reshape(-1, k)
 
-    q_tiles = perm_p.reshape(n_t, T)
-    v_tiles = qv_p.reshape(n_t, T)
-    dists_s, idx_s = jax.lax.map(one_tile, (q_tiles, v_tiles))
-    dists_s = dists_s.reshape(Mp, k)[: M]
-    idx_s = idx_s.reshape(Mp, k)[: M]
+    # overwrite failed rows (in sorted-row space) with fallback results
+    pd_s = pd_s.at[jnp.where(f_live, fpos, Mp)].set(fd, mode="drop")
+    pi_s = pi_s.at[jnp.where(f_live, fpos, Mp)].set(fi, mode="drop")
+
     # scatter rows back to caller order
-    dists = jnp.zeros((M, k), jnp.float32).at[perm_p[:Mp][: M]].set(dists_s)
-    idx = jnp.zeros((M, k), jnp.int32).at[perm_p[:Mp][: M]].set(idx_s)
+    dists = jnp.zeros((M, k), jnp.float32).at[perm_p[: M]].set(pd_s[: M])
+    idx = jnp.zeros((M, k), jnp.int32).at[perm_p[: M]].set(pi_s[: M])
     return dists, jnp.maximum(idx, 0)
 
 

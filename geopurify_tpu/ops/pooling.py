@@ -47,7 +47,6 @@ def build_affinity_graph(
         dists, nbr = knn_self_grid(
             voxel_coords, valid, k=k,
             radius=knn_radius, num_candidates=knn_candidates,
-            query_tile=query_tile,
         )
     else:
         ids = jnp.arange(M, dtype=jnp.int32)
@@ -266,14 +265,31 @@ def geometry_guided_pooling(
     )
     M = feats.shape[0]
     if spmm_mode == "banded" and M > band:
-        S, rr, rc, rw, n_dropped = build_banded_operator(w, nbr, band=band)
-        out = jax.lax.cond(
+        # run the band in HILBERT order: the curve's continuity pulls ~3x
+        # more kNN edges inside the window than the lexicographic voxel
+        # order (measured 217k vs 626k out-of-band at band 12288, M=65k),
+        # which keeps the COO residual small and inside capacity
+        from geopurify_tpu.ops.morton import hilbert_code
+
+        order = jnp.argsort(
+            jnp.where(valid, hilbert_code(jnp.maximum(voxel_coords, 0)),
+                      jnp.int32(2**30))
+        )
+        rank = jnp.zeros((M,), jnp.int32).at[order].set(
+            jnp.arange(M, dtype=jnp.int32)
+        )
+        w_h = w[order]
+        nbr_h = rank[nbr[order]]
+        feats_h = feats[order]
+        S, rr, rc, rw, n_dropped = build_banded_operator(w_h, nbr_h, band=band)
+        out_h = jax.lax.cond(
             n_dropped > 0,
-            lambda: iterate_pooling(w, nbr, feats, num_iterations=num_iterations),
+            lambda: iterate_pooling(w_h, nbr_h, feats_h,
+                                    num_iterations=num_iterations),
             lambda: iterate_pooling_banded(
-                S, rr, rc, rw, feats, num_iterations=num_iterations, band=band
+                S, rr, rc, rw, feats_h, num_iterations=num_iterations, band=band
             ),
         )
-        return out, n_dropped
+        return out_h[rank], n_dropped
     out = iterate_pooling(w, nbr, feats, num_iterations=num_iterations)
     return out, jnp.zeros((), jnp.int32)

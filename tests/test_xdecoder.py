@@ -162,3 +162,32 @@ def test_causal_text_encoding_prefix_invariance():
     ids2[0, -1] = 7  # mutate padding after EOT
     e2 = enc.apply(vars_, jnp.asarray(ids2))
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_deformable_pixel_decoder_assembly():
+    """The MSDeformAttn pixel decoder (transformer_encoder_deform.py:140-377
+    equivalent) plugs into the full seg model via xdecoder.pixel_decoder."""
+    import dataclasses
+
+    from geopurify_tpu.config import FocalNetConfig, XDecoderConfig
+    from geopurify_tpu.models.xdecoder import XDecoderSegModel
+
+    cfg = XDecoderConfig(
+        backbone=FocalNetConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                                focal_levels=(2, 2, 2, 2)),
+        hidden_dim=16, conv_dim=16, mask_dim=16, num_queries=5, nheads=2,
+        dim_feedforward=32, dec_layers=2, enc_layers=1,
+        mask_shape=(32, 64), dtype="float32", pixel_decoder="deform",
+    )
+    model = XDecoderSegModel(cfg)
+    img = jnp.zeros((1, 30, 60, 3))
+    text = jax.random.normal(jax.random.key(0), (6, 16))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    vars_ = model.init(jax.random.key(1), img, text, jnp.float32(20.0))
+    out = model.apply(vars_, img, text, jnp.float32(20.0))
+    assert out["pred_masks"].shape == (1, 4, 8, 16)
+    assert out["pred_logits"].shape == (1, 4, 6)  # logits vs all 6 text rows
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+    # the deformable encoder's params actually exist in the tree
+    assert "encoder_layer0" in vars_["params"]["pixel_decoder"]
+    assert "sampling_offsets" in vars_["params"]["pixel_decoder"]["encoder_layer0"]
