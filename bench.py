@@ -124,6 +124,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
     parser.add_argument("--scenes", type=int, default=8)  # amortizes tunnel timing variance
+    parser.add_argument("--profile-stages", action="store_true",
+                        help="time lift / pool / classify separately on one "
+                             "scene (forces sync points; stderr only)")
     parser.add_argument("--preset-scale", action="store_true",
                         help="bench at the scannet preset's own shape buckets "
                              "(M=2^18 voxels, V=32 views) instead of the "
@@ -216,6 +219,24 @@ def main():
     out = pipe.evaluate_scene(student_vars, scene)
     jax.block_until_ready(out["pred"])
     log(f"warmup (compile + run): {time.time() - t0:.1f}s")
+
+    if args.profile_stages:
+        sc = build_scene(99, P, M, V, Pv, hw)
+        for _ in range(2):
+            t0 = time.time()
+            lifted = pipe.lift_scene(sc, n_valid=V)
+            jax.block_until_ready(lifted.features)
+            t1 = time.time()
+            refined, ov = pipe._pool_scene(student_vars, lifted.features, sc)
+            jax.block_until_ready(refined)
+            t2 = time.time()
+            logits, pred = pipe._classify(
+                refined, pipe.text_embeddings, pipe.logit_scale
+            )
+            jax.block_until_ready(pred)
+            t3 = time.time()
+            log(f"stages: lift={t1-t0:.2f}s pool={t2-t1:.2f}s "
+                f"classify={t3-t2:.2f}s total={t3-t0:.2f}s band_overflow={int(ov)}")
 
     # timed scenes (fresh data per scene, same shapes -> cached executables);
     # dispatch is async: scenes are enqueued back-to-back and only the last

@@ -94,7 +94,11 @@ class PoolingConfig:
     num_iterations: int = 19              # 1 + 18 sparse-mm smoothing steps
     feature_dim: int = 512                # semantic dims kept after pooling
     spmm_mode: str = "banded"             # banded (MXU) | gather (fixed-degree)
-    band: int = 12288                     # banded-operator window width (rows)
+    # banded-operator window width (rows, Hilbert order). 12288 holds ~96.5%
+    # of kNN-96 edges at M=65k (the COO residual carries the rest exactly);
+    # 8192 measured within noise of 12288 (0.402 vs 0.413 scenes/s) — the
+    # smaller residual wins the tie.
+    band: int = 12288
     # kNN strategy: 'grid' = Morton-tiled bbox-pruned exact kNN (certificate
     # + full-row fallback; ~7x faster on v5e at M=65k), 'full' = brute force.
     knn_mode: str = "grid"
@@ -165,6 +169,10 @@ class XDecoderConfig:
     # transformer_encoder_fpn) | 'deform' (MSDeformAttnPixelDecoder,
     # transformer_encoder_deform.py:140-377)
     pixel_decoder: str = "fpn"
+    # backbone family: 'focalnet' (the released focall teacher) | 'davit' |
+    # 'vit' (≙ the reference's alternative D2 backbones,
+    # modeling/vision/backbone/{davit,vit}.py)
+    backbone_type: str = "focalnet"
     nheads: int = 8
     dim_feedforward: int = 2048
     dec_layers: int = 9

@@ -201,19 +201,28 @@ class XDecoderSegModel(nn.Module):
         Wp = -(-W // div) * div
         x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
 
-        feats = FocalNet(
-            embed_dim=c.backbone.embed_dim,
-            depths=tuple(c.backbone.depths),
-            focal_levels=tuple(c.backbone.focal_levels),
-            focal_windows=tuple(c.backbone.focal_windows),
-            mlp_ratio=c.backbone.mlp_ratio,
-            use_postln=c.backbone.use_postln,
-            use_postln_in_modulation=c.backbone.use_postln_in_modulation,
-            scaling_modulator=c.backbone.scaling_modulator,
-            use_layerscale=c.backbone.use_layerscale,
-            dtype=dtype,
-            name="backbone",
-        )(x.astype(dtype))
+        if c.backbone_type == "davit":
+            from geopurify_tpu.models.davit import DaViT
+
+            feats = DaViT(dtype=dtype, name="backbone")(x.astype(dtype))
+        elif c.backbone_type == "vit":
+            from geopurify_tpu.models.vit_backbone import ViTBackbone
+
+            feats = ViTBackbone(dtype=dtype, name="backbone")(x.astype(dtype))
+        else:
+            feats = FocalNet(
+                embed_dim=c.backbone.embed_dim,
+                depths=tuple(c.backbone.depths),
+                focal_levels=tuple(c.backbone.focal_levels),
+                focal_windows=tuple(c.backbone.focal_windows),
+                mlp_ratio=c.backbone.mlp_ratio,
+                use_postln=c.backbone.use_postln,
+                use_postln_in_modulation=c.backbone.use_postln_in_modulation,
+                scaling_modulator=c.backbone.scaling_modulator,
+                use_layerscale=c.backbone.use_layerscale,
+                dtype=dtype,
+                name="backbone",
+            )(x.astype(dtype))
 
         if c.pixel_decoder == "deform":
             from geopurify_tpu.models.pixel_decoder_deform import (

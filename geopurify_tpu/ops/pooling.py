@@ -57,6 +57,9 @@ def build_affinity_graph(
         )
     e = embeddings.astype(jnp.float32)
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+    # f32 cosine: a bf16 gather halves HBM traffic but shifts the sharpened
+    # softmax weights by ~3% relative (measured vs oracle) — not worth the
+    # parity risk for ~30 ms/scene
     aff = jnp.einsum("md,mkd->mk", e, e[nbr])          # cosine, [M,k]
     # unfilled kNN slots (scenes with < k+1 valid voxels) carry dist=inf and a
     # clamped index — mask them out of the softmax or padding features leak
@@ -159,12 +162,14 @@ def build_banded_operator(
     li = nbr - ws[:, None]                               # [M, K] local col
     in_band = (li >= 0) & (li < band)
 
-    # banded matrix via scatter-add
+    # banded matrix via scatter-add (duplicate neighbor entries must sum,
+    # matching fixed_degree_spmm); out-of-band entries land in a trash
+    # column (band) that is sliced off
     flat_rows = jnp.repeat(rows, K)
-    flat_cols = jnp.where(in_band, li, 0).reshape(-1)
-    flat_w = jnp.where(in_band, weights, 0.0).reshape(-1)
-    S = jnp.zeros((M, band), jnp.float32)
-    S = S.at[flat_rows, flat_cols].add(flat_w).astype(dtype)
+    flat_cols = jnp.where(in_band, li, band).reshape(-1)
+    flat_w = weights.reshape(-1)
+    S = jnp.zeros((M, band + 1), jnp.float32)
+    S = S.at[flat_rows, flat_cols].add(flat_w).astype(dtype)[:, :band]
 
     # residual COO: sort-free fixed-capacity compaction — stable cumsum rank
     # over out-of-band entries (an argsort over M*K elements costs more per
