@@ -221,9 +221,20 @@ def main():
     log(f"warmup (compile + run): {time.time() - t0:.1f}s")
 
     if args.profile_stages:
+        import jax.numpy as _jnp
+
         sc = build_scene(99, P, M, V, Pv, hw)
+        B = max(1, min(cfg.xdecoder.view_batch, V))
         for _ in range(2):
             t0 = time.time()
+            # view forwards + per-view lift only
+            for lo in range(0, V, B):
+                out_v = pipe._view_step(
+                    pipe.teacher_params, pipe.text_embeddings, pipe.logit_scale,
+                    sc, _jnp.int32(lo),
+                )
+            jax.block_until_ready(out_v.features)
+            t0b = time.time()
             lifted = pipe.lift_scene(sc, n_valid=V)
             jax.block_until_ready(lifted.features)
             t1 = time.time()
@@ -235,8 +246,9 @@ def main():
             )
             jax.block_until_ready(pred)
             t3 = time.time()
-            log(f"stages: lift={t1-t0:.2f}s pool={t2-t1:.2f}s "
-                f"classify={t3-t2:.2f}s total={t3-t0:.2f}s band_overflow={int(ov)}")
+            log(f"stages: views={t0b-t0:.2f}s lift_total={t1-t0b:.2f}s "
+                f"(fuse/fill={t1-t0b-(t0b-t0):.2f}s est) pool={t2-t1:.2f}s "
+                f"classify={t3-t2:.2f}s band_overflow={int(ov)}")
 
     # timed scenes (fresh data per scene, same shapes -> cached executables);
     # dispatch is async: scenes are enqueued back-to-back and only the last

@@ -54,7 +54,11 @@ class DataConfig:
     # Static-shape padding buckets (TPU: shapes must be compile-time constants).
     max_points: int = 2 ** 20             # per-scene point budget
     max_voxels: int = 2 ** 18             # per-scene voxel budget
-    max_views: int = 64                   # views per scene batch
+    max_views: int = 64                   # views per scene batch (train cap)
+    # eval evaluates EVERY usable view (power-of-two bucket growth above
+    # max_views); this is the hard ceiling before linspace subsampling + a
+    # warning kicks in (reference evaluates all views; see loaders.py)
+    max_views_eval: int = 256
     max_view_points: int = 2 ** 16        # visible points per view
     max_masks: int = 201                  # X-Decoder query count upper bound
 

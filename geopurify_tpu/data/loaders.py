@@ -90,6 +90,17 @@ def load_scene_any(path_3d: str, normals_ply: Optional[str] = None) -> ScenePoin
     return sp
 
 
+def eval_view_bucket(n_views: int, max_views: int, max_views_eval: int) -> int:
+    """Static view-count bucket for eval: every usable view is kept, with the
+    bucket growing on a power-of-two ladder above ``max_views`` (rare
+    recompiles) up to the hard cap ``max_views_eval``."""
+    if n_views <= max_views:
+        return max_views
+    if n_views <= max_views_eval:
+        return 1 << int(np.ceil(np.log2(n_views)))
+    return max_views_eval
+
+
 def deterministic_keep(sid: str, n: int, budget: int) -> np.ndarray:
     """The per-scene deterministic point subsample (sorted indices) used when
     a scene exceeds the static point budget without augmentation. Shared by
@@ -337,21 +348,20 @@ class SceneDataset:
             if self.split == "train":
                 sel = self.rng.choice(len(views), V, replace=False)
                 views = [views[i] for i in sorted(sel)]
-            elif len(views) <= cfg.data.max_views_eval:
+            else:
                 # eval uses EVERY usable view (≙ the reference, which never
-                # subsamples views at eval — data_loader_ablation.py:401-421);
-                # the static view bucket grows on a power-of-two ladder so
-                # recompilation stays rare
-                V = 1 << int(np.ceil(np.log2(len(views))))
-            else:  # beyond the hard cap: even temporal coverage + a warning
-                V = cfg.data.max_views_eval
-                log.warning(
-                    "scene %s: %d usable views exceed max_views_eval=%d — "
-                    "linspace-subsampling (mIoU may shift vs all-view eval)",
-                    sid, len(views), V,
+                # subsamples views at eval — data_loader_ablation.py:401-421)
+                V = eval_view_bucket(
+                    len(views), cfg.data.max_views, cfg.data.max_views_eval
                 )
-                sel = np.linspace(0, len(views) - 1, V).astype(int)
-                views = [views[i] for i in sel]
+                if len(views) > V:  # beyond the hard cap: warn + subsample
+                    log.warning(
+                        "scene %s: %d usable views exceed max_views_eval=%d — "
+                        "linspace-subsampling (mIoU may shift vs all-view eval)",
+                        sid, len(views), V,
+                    )
+                    sel = np.linspace(0, len(views) - 1, V).astype(int)
+                    views = [views[i] for i in sel]
 
         # voxelize the whole scene (sorted voxel order, device contract)
         geom = np.concatenate([rgb, normal], axis=1).astype(np.float32)

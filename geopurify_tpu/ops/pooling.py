@@ -136,6 +136,7 @@ def build_banded_operator(
     row_tile: int = 2048,
     max_residual: int = 524288,
     dtype=jnp.bfloat16,
+    assume_unique_neighbors: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Reshape the fixed-degree graph into a banded-dense operator.
 
@@ -162,14 +163,25 @@ def build_banded_operator(
     li = nbr - ws[:, None]                               # [M, K] local col
     in_band = (li >= 0) & (li < band)
 
-    # banded matrix via scatter-add (duplicate neighbor entries must sum,
-    # matching fixed_degree_spmm); out-of-band entries land in a trash
-    # column (band) that is sliced off
+    # banded matrix via scatter; out-of-band entries land in trash columns
+    # (>= band) that are sliced off. With ``assume_unique_neighbors`` (true
+    # for exact-kNN rows: neighbors are distinct, and each out-of-band tap
+    # gets its own trash column band+k) the scatter is a unique-index SET
+    # straight into the compute dtype — no f32 accumulation buffer and no
+    # read-modify-write. Otherwise duplicates must sum (fixed_degree_spmm
+    # semantics) via f32 scatter-add.
     flat_rows = jnp.repeat(rows, K)
-    flat_cols = jnp.where(in_band, li, band).reshape(-1)
-    flat_w = weights.reshape(-1)
-    S = jnp.zeros((M, band + 1), jnp.float32)
-    S = S.at[flat_rows, flat_cols].add(flat_w).astype(dtype)[:, :band]
+    if assume_unique_neighbors:
+        taps = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (M, K))
+        flat_cols = jnp.where(in_band, li, band + taps).reshape(-1)
+        S = jnp.zeros((M, band + K), dtype)
+        S = S.at[flat_rows, flat_cols].set(
+            weights.astype(dtype).reshape(-1), unique_indices=True
+        )[:, :band]
+    else:
+        flat_cols = jnp.where(in_band, li, band).reshape(-1)
+        S = jnp.zeros((M, band + 1), jnp.float32)
+        S = S.at[flat_rows, flat_cols].add(weights.reshape(-1)).astype(dtype)[:, :band]
 
     # residual COO: sort-free fixed-capacity compaction — stable cumsum rank
     # over out-of-band entries (an argsort over M*K elements costs more per
@@ -286,7 +298,9 @@ def geometry_guided_pooling(
         w_h = w[order]
         nbr_h = rank[nbr[order]]
         feats_h = feats[order]
-        S, rr, rc, rw, n_dropped = build_banded_operator(w_h, nbr_h, band=band)
+        S, rr, rc, rw, n_dropped = build_banded_operator(
+            w_h, nbr_h, band=band, assume_unique_neighbors=True,
+        )
         out_h = jax.lax.cond(
             n_dropped > 0,
             lambda: iterate_pooling(w_h, nbr_h, feats_h,

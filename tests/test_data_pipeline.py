@@ -330,3 +330,17 @@ def test_matterport_dataset_batch(tmp_path, rng):
     # normals came through the 4-tuple (nonzero geom channels 3:6)
     g = np.asarray(batch.geom_feats)[np.asarray(batch.point_valid)]
     assert np.abs(g[:, 3:6]).sum() > 0
+
+
+def test_eval_view_bucket_growth():
+    """Eval keeps every usable view: V grows on a power-of-two ladder above
+    max_views up to max_views_eval (reference evaluates all views)."""
+    from geopurify_tpu.data.loaders import eval_view_bucket
+
+    assert eval_view_bucket(2, 2, 8) == 2
+    assert eval_view_bucket(3, 2, 8) == 4
+    assert eval_view_bucket(5, 2, 8) == 8
+    assert eval_view_bucket(9, 2, 8) == 8      # hard cap -> subsample + warn
+    assert eval_view_bucket(64, 64, 256) == 64
+    assert eval_view_bucket(65, 64, 256) == 128
+    assert eval_view_bucket(300, 64, 256) == 256

@@ -195,6 +195,23 @@ def test_banded_spmm_matches_gather(rng):
     n_out = int((~((li >= 0) & (li < 64))).sum())
     assert int(n_drop3) == max(n_out - 4, 0)
 
+    # unique-scatter fast path (exact-kNN rows have distinct neighbors):
+    # must match the duplicate-safe build exactly
+    nbr_u = np.stack([
+        rng.choice(M, K, replace=False) for _ in range(M)
+    ]).astype(np.int32)
+    Su, ru, cu, wu, ndu = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr_u), band=128, row_tile=64,
+        max_residual=M * K, assume_unique_neighbors=True,
+    )
+    Sd, rd, cd_, wd, ndd = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr_u), band=128, row_tile=64,
+        max_residual=M * K,
+    )
+    np.testing.assert_allclose(np.asarray(Su), np.asarray(Sd), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(wu), np.asarray(wd))
+    assert int(ndu) == int(ndd) == 0
+
 
 def test_contrastive_sampler_small_scene(rng):
     """Anchor budget larger than the scene point count must not break."""
