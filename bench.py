@@ -55,35 +55,39 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
 
     rng = np.random.default_rng(seed)
     H, W = hw
-    # Surface-like voxel set on a 200^3 grid (2 cm voxels over a 4 m room):
-    # floor + two walls + scattered object blobs, mirroring real indoor scans'
-    # 2D-manifold occupancy (a uniform random 3D fill would give the kNN an
-    # unrealistically adversarial neighbor structure).
+    # Surface-like voxel set (2 cm voxels; grid extent scales with the voxel
+    # budget — a 4 m room for the 65k spec, ~7 m for the preset-scale 262k):
+    # floor + two walls + scattered object shells, mirroring real indoor
+    # scans' 2D-manifold occupancy (a uniform random 3D fill would give the
+    # kNN an unrealistically adversarial neighbor structure).
+    E = 200 if M <= 65536 else 352
+    Ez = 120 if M <= 65536 else 180
     n_draw = 3 * M
     quarters = n_draw // 4
     floor = np.stack([
-        rng.integers(0, 200, quarters), rng.integers(0, 200, quarters),
+        rng.integers(0, E, quarters), rng.integers(0, E, quarters),
         rng.integers(0, 3, quarters),
     ], 1)
     wall1 = np.stack([
-        rng.integers(0, 3, quarters), rng.integers(0, 200, quarters),
-        rng.integers(0, 120, quarters),
+        rng.integers(0, 3, quarters), rng.integers(0, E, quarters),
+        rng.integers(0, Ez, quarters),
     ], 1)
     wall2 = np.stack([
-        rng.integers(0, 200, quarters), rng.integers(0, 3, quarters),
-        rng.integers(0, 120, quarters),
+        rng.integers(0, E, quarters), rng.integers(0, 3, quarters),
+        rng.integers(0, Ez, quarters),
     ], 1)
     # objects as ELLIPSOID SHELLS, not Gaussian fog: voxelized real scans are
     # 2-manifolds (chair/table/cabinet surfaces), so the synthetic objects
     # must be surfaces too — volumetric fog would hand the kNN an occupancy
     # structure no real scene has (in either direction of difficulty)
-    centers = rng.integers(20, 180, (24, 3)) * np.array([1, 1, 0]) + np.array([0, 0, 12])
+    n_ctr = max(24, M // 2730)
+    centers = rng.integers(20, E - 20, (n_ctr, 3)) * np.array([1, 1, 0]) + np.array([0, 0, 12])
     n_obj = n_draw - 3 * quarters
-    radii = rng.uniform(5.0, 14.0, (24, 3))
-    which = rng.integers(0, 24, n_obj)
+    radii = rng.uniform(5.0, 14.0, (n_ctr, 3))
+    which = rng.integers(0, n_ctr, n_obj)
     dirs = rng.normal(size=(n_obj, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    blob_pts = (centers[which] + dirs * radii[which]).clip(0, 199)
+    blob_pts = (centers[which] + dirs * radii[which]).clip(0, E - 1)
     cand = np.concatenate([floor, wall1, wall2, blob_pts]).astype(np.int32)
     vox = np.unique(cand, axis=0)
     assert vox.shape[0] >= M, f"only {vox.shape[0]} unique voxels; increase draws"
@@ -175,6 +179,14 @@ def main():
         P, M, V, Pv = 512, 256, 2, 128
     elif args.preset_scale:
         cfg = load_config("scannet")
+        # memory-lean pooling knobs for the 4x voxel count on one 16 GB chip:
+        # narrower band (S is [M, band] bf16) with a proportionally larger
+        # exact COO residual
+        cfg = dataclasses.replace(
+            cfg,
+            pooling=dataclasses.replace(cfg.pooling, band=8192,
+                                        max_residual=2 ** 21),
+        )
         P, M, V, Pv = 2 ** 20, 2 ** 18, 32, 2 ** 16
     else:
         cfg = load_config("scannet")

@@ -103,6 +103,10 @@ class PoolingConfig:
     # 8192 measured within noise of 12288 (0.402 vs 0.413 scenes/s) — the
     # smaller residual wins the tie.
     band: int = 12288
+    # COO residual capacity for out-of-band edges (exact gather fallback
+    # kicks in beyond it); scale with max_voxels (~2% of M*K edges land
+    # out-of-band in Hilbert order at band 12288)
+    max_residual: int = 524288
     # kNN strategy: 'grid' = Morton-tiled bbox-pruned exact kNN (certificate
     # + full-row fallback; ~7x faster on v5e at M=65k), 'full' = brute force.
     knn_mode: str = "grid"

@@ -131,8 +131,45 @@ class FocalModulationBlock(nn.Module):
         return x
 
 
+class _FocalScanBody(nn.Module):
+    """scan body: one FocalModulationBlock under the fixed name "block" so a
+    stage's identical blocks compile ONCE with stacked params (leading axis =
+    depth) instead of unrolling — FocalNet-L's 18-block stage 3 dominated the
+    cold-compile HLO."""
+
+    dim: int
+    mlp_ratio: float
+    focal_level: int
+    focal_window: int
+    use_postln: bool
+    use_postln_in_modulation: bool
+    scaling_modulator: bool
+    use_layerscale: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = FocalModulationBlock(
+            self.dim,
+            mlp_ratio=self.mlp_ratio,
+            focal_level=self.focal_level,
+            focal_window=self.focal_window,
+            use_postln=self.use_postln,
+            use_postln_in_modulation=self.use_postln_in_modulation,
+            scaling_modulator=self.scaling_modulator,
+            use_layerscale=self.use_layerscale,
+            dtype=self.dtype,
+            name="block",
+        )(x)
+        return x, None
+
+
 class FocalNet(nn.Module):
-    """4-stage FocalNet emitting {"res2".."res5"} NHWC maps (focal.py:340-598)."""
+    """4-stage FocalNet emitting {"res2".."res5"} NHWC maps (focal.py:340-598).
+
+    Stages run their (identical) blocks under ``nn.scan`` — params stack on a
+    leading depth axis under ``layers{i}_blocks/block`` (the converter emits
+    the same layout)."""
 
     embed_dim: int = 192
     depths: Sequence[int] = (2, 2, 18, 2)
@@ -154,19 +191,24 @@ class FocalNet(nn.Module):
         num_layers = len(self.depths)
         for i in range(num_layers):
             dim = self.embed_dim * (2 ** i)
-            for b in range(self.depths[i]):
-                x = FocalModulationBlock(
-                    dim,
-                    mlp_ratio=self.mlp_ratio,
-                    focal_level=self.focal_levels[i],
-                    focal_window=self.focal_windows[i],
-                    use_postln=self.use_postln,
-                    use_postln_in_modulation=self.use_postln_in_modulation,
-                    scaling_modulator=self.scaling_modulator,
-                    use_layerscale=self.use_layerscale,
-                    dtype=self.dtype,
-                    name=f"layers{i}_blocks{b}",
-                )(x)
+            BlockStack = nn.scan(
+                _FocalScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depths[i],
+            )
+            x, _ = BlockStack(
+                dim,
+                mlp_ratio=self.mlp_ratio,
+                focal_level=self.focal_levels[i],
+                focal_window=self.focal_windows[i],
+                use_postln=self.use_postln,
+                use_postln_in_modulation=self.use_postln_in_modulation,
+                scaling_modulator=self.scaling_modulator,
+                use_layerscale=self.use_layerscale,
+                dtype=self.dtype,
+                name=f"layers{i}_blocks",
+            )(x, None)
             if i in self.out_indices:
                 out = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(x)
                 outs[f"res{i + 2}"] = out.astype(self.dtype)

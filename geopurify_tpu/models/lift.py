@@ -81,7 +81,7 @@ def lift_view_features(
     return ViewLift(feats, logits)
 
 
-@partial(jax.jit, static_argnames=("num_points", "top_k"))
+@partial(jax.jit, static_argnames=("num_points", "top_k", "storage_dtype"))
 def fuse_views(
     view_feats: jax.Array,       # [V, Pv, C]
     view_logits: jax.Array,      # [V, Pv, n_cls]
@@ -89,8 +89,13 @@ def fuse_views(
     view_point_valid: jax.Array, # [V, Pv] bool
     num_points: int,
     top_k: int = 3,
+    storage_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Cross-view consensus fusion (ref :647-685).
+
+    ``storage_dtype``: dtype of the [P, k, C] running feature buffer —
+    bf16 (set by lift_scene at preset scale, where f32 would be 6.4 GB)
+    costs ~2% relative feature error; f32 is bit-faithful to the reference.
 
     Returns (fused_features [P, C], view_count [P]).
     """
@@ -106,9 +111,10 @@ def fuse_views(
     )[:, 0]
     consensus = jnp.argmax(sum_logits / jnp.maximum(count, 1.0)[:, None], axis=-1)
 
-    # running top-k agreement merge over views
+    # running top-k agreement merge over views (features are selected, never
+    # summed, so a bf16 storage_dtype only quantizes — see docstring)
     top_scores0 = jnp.full((num_points + 1, top_k), -jnp.inf)
-    top_feats0 = jnp.zeros((num_points + 1, top_k, C), jnp.float32)
+    top_feats0 = jnp.zeros((num_points + 1, top_k, C), storage_dtype)
     consensus_pad = jnp.concatenate([consensus, jnp.zeros((1,), consensus.dtype)])
 
     def merge_view(carry, v):
@@ -120,7 +126,7 @@ def fuse_views(
         cur_f = tf[ids]                                             # [Pv, k, C]
         cat_s = jnp.concatenate([cur_s, agree[:, None]], axis=1)    # [Pv, k+1]
         cat_f = jnp.concatenate(
-            [cur_f, view_feats[v].astype(jnp.float32)[:, None]], axis=1
+            [cur_f, view_feats[v].astype(storage_dtype)[:, None]], axis=1
         )
         new_s, arg = jax.lax.top_k(cat_s, top_k)
         new_f = jnp.take_along_axis(cat_f, arg[:, :, None], axis=1)
@@ -138,7 +144,10 @@ def fuse_views(
         jnp.where(jnp.isfinite(top_scores), top_scores, -jnp.inf), axis=-1
     )
     w = jnp.where(jnp.isfinite(top_scores), w, 0.0)
-    fused = jnp.einsum("pk,pkc->pc", w, top_feats)
+    fused = jnp.einsum(
+        "pk,pkc->pc", w, top_feats.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
     fused = jnp.where(count[:, None] > 0, fused, 0.0)
     return fused, count
 

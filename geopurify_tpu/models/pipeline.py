@@ -215,24 +215,35 @@ class GeoPurifyPipeline:
                 feats_buf.append(lift.features[lo - start : lo - start + keep])
                 logits_buf.append(lift.logits[lo - start : lo - start + keep])
 
+        # per-view features ride bf16 between the view loop and the fusion
+        # ONLY when the f32 buffer would strain HBM (preset scale V=32,
+        # Pv=2^16: 4.3 GB) — bf16 storage quantizes features ~0.4% so the
+        # standard eval spec keeps f32
+        vdtype = jnp.bfloat16 if V * Pv * C >= (1 << 28) else jnp.float32
         pad = V - n_valid
         if n_valid == 0:
-            view_feats = jnp.zeros((V, Pv, C), jnp.float32)
+            view_feats = jnp.zeros((V, Pv, C), vdtype)
             view_logits = jnp.zeros((V, Pv, n_cls), jnp.float32)
         else:
-            view_feats = jnp.concatenate(feats_buf)
+            view_feats = jnp.concatenate(
+                [f.astype(vdtype) for f in feats_buf]
+            )
             view_logits = jnp.concatenate(logits_buf)
             if pad:
                 view_feats = jnp.concatenate(
-                    [view_feats, jnp.zeros((pad, Pv, C), jnp.float32)]
+                    [view_feats, jnp.zeros((pad, Pv, C), vdtype)]
                 )
                 view_logits = jnp.concatenate(
                     [view_logits, jnp.zeros((pad, Pv, n_cls), jnp.float32)]
                 )
         vp_valid = batch.view_point_valid & batch.view_valid[:, None]
+        # bf16 fusion storage only when the f32 buffers would strain HBM
+        # (preset scale: P*k*C f32 = 6.4 GB); the bench/eval spec stays f32
+        big = P * self.cfg.xdecoder.fusion_top_k * C >= (1 << 28)
         fused, count = fuse_views(
             view_feats, view_logits, batch.view_point_ids, vp_valid,
             num_points=P, top_k=self.cfg.xdecoder.fusion_top_k,
+            storage_dtype=jnp.bfloat16 if big else jnp.float32,
         )
         fused = fill_unseen_points(fused, batch.points, count, batch.point_valid)
         return SceneFeatures(fused, count)
@@ -256,7 +267,7 @@ class GeoPurifyPipeline:
         refined, band_overflow = geometry_guided_pooling(
             embed, voxel_in, batch.voxel_coords, batch.voxel_valid,
             k=pc.knn_k, sharpen=pc.sharpen, num_iterations=pc.num_iterations,
-            spmm_mode=pc.spmm_mode, band=pc.band,
+            spmm_mode=pc.spmm_mode, band=pc.band, max_residual=pc.max_residual,
             knn_mode=pc.knn_mode, knn_radius=pc.knn_radius,
             knn_candidates=pc.knn_candidates,
         )

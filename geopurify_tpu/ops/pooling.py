@@ -261,6 +261,7 @@ def geometry_guided_pooling(
     num_iterations: int = 19,
     spmm_mode: str = "banded",
     band: int = 12288,
+    max_residual: int = 524288,
     knn_mode: str = "grid",
     knn_radius: int = 12,
     knn_candidates: int = 4096,
@@ -299,7 +300,8 @@ def geometry_guided_pooling(
         nbr_h = rank[nbr[order]]
         feats_h = feats[order]
         S, rr, rc, rw, n_dropped = build_banded_operator(
-            w_h, nbr_h, band=band, assume_unique_neighbors=True,
+            w_h, nbr_h, band=band, max_residual=max_residual,
+            assume_unique_neighbors=True,
         )
         out_h = jax.lax.cond(
             n_dropped > 0,

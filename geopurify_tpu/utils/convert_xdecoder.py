@@ -109,7 +109,10 @@ def convert_focalnet(sd: SD, prefix: str, depths) -> Dict[str, Any]:
         "proj": _conv(sd, f"{prefix}.patch_embed.proj"),
         "norm": _ln(sd, f"{prefix}.patch_embed.norm"),
     }
+    import jax
+
     for i, depth in enumerate(depths):
+        blocks = []
         for j in range(depth):
             bp = f"{prefix}.layers.{i}.blocks.{j}"
             blk: Dict[str, Any] = {
@@ -134,7 +137,14 @@ def convert_focalnet(sd: SD, prefix: str, depths) -> Dict[str, Any]:
             if f"{bp}.gamma_1" in sd:
                 blk["gamma_1"] = _get(sd, f"{bp}.gamma_1")
                 blk["gamma_2"] = _get(sd, f"{bp}.gamma_2")
-            p[f"layers{i}_blocks{j}"] = blk
+            blocks.append(blk)
+        # stack per-block subtrees along a leading depth axis — the layout of
+        # the scanned stage (models/focalnet.FocalNet: layers{i}_blocks/block)
+        p[f"layers{i}_blocks"] = {
+            "block": jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
+            )
+        }
         if f"{prefix}.layers.{i}.downsample.proj.weight" in sd:
             ds: Dict[str, Any] = {"proj": _conv(sd, f"{prefix}.layers.{i}.downsample.proj")}
             if f"{prefix}.layers.{i}.downsample.norm.weight" in sd:
@@ -306,41 +316,52 @@ def synthesize_torch_state_dict(
     bb = xdecoder_shapes["backbone"]
     emit_conv("backbone.patch_embed.proj", bb["patch_embed"]["proj"])
     emit_ln("backbone.patch_embed.norm", bb["patch_embed"]["norm"])
-    for name, blk in bb.items():
-        if "_blocks" in name:
-            i, j = name.replace("layers", "").split("_blocks")
-            bp = f"backbone.layers.{i}.blocks.{j}"
-            emit_ln(f"{bp}.norm1", blk["norm1"])
-            emit_ln(f"{bp}.norm2", blk["norm2"])
-            emit_lin(f"{bp}.mlp.fc1", blk["mlp"]["fc1"])
-            emit_lin(f"{bp}.mlp.fc2", blk["mlp"]["fc2"])
-            mod = blk["modulation"]
-            emit_lin(f"{bp}.modulation.f", mod["f"])
-            emit_conv(f"{bp}.modulation.h", mod["h"])
-            emit_lin(f"{bp}.modulation.proj", mod["proj"])
-            for mk, mv in mod.items():
-                if mk.startswith("focal_layers"):
-                    level = mk.replace("focal_layers", "")
-                    k = mv["kernel"]  # [kh,kw,1,C]
-                    sd[f"{bp}.modulation.focal_layers.{level}.0.weight"] = rnd(
-                        (k.shape[3], 1, k.shape[0], k.shape[1])
-                    )
-                    if "bias" in mv:
-                        sd[f"{bp}.modulation.focal_layers.{level}.0.bias"] = rnd(
-                            (k.shape[3],)
+    for name, stage in bb.items():
+        if name.endswith("_blocks"):
+            # scanned stage: shapes live stacked under "block" with a leading
+            # depth axis; emit per-block torch keys by stripping that axis
+            import jax as _jax
+
+            i = name.replace("layers", "").replace("_blocks", "")
+            stacked = stage["block"]
+            depth = _jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            blk = _jax.tree_util.tree_map(
+                lambda s: _jax.ShapeDtypeStruct(s.shape[1:], s.dtype), stacked
+            )
+            for j in range(depth):
+                bp = f"backbone.layers.{i}.blocks.{j}"
+                emit_ln(f"{bp}.norm1", blk["norm1"])
+                emit_ln(f"{bp}.norm2", blk["norm2"])
+                emit_lin(f"{bp}.mlp.fc1", blk["mlp"]["fc1"])
+                emit_lin(f"{bp}.mlp.fc2", blk["mlp"]["fc2"])
+                mod = blk["modulation"]
+                emit_lin(f"{bp}.modulation.f", mod["f"])
+                emit_conv(f"{bp}.modulation.h", mod["h"])
+                emit_lin(f"{bp}.modulation.proj", mod["proj"])
+                for mk, mv in mod.items():
+                    if mk.startswith("focal_layers"):
+                        level = mk.replace("focal_layers", "")
+                        k = mv["kernel"]  # [kh,kw,1,C]
+                        sd[f"{bp}.modulation.focal_layers.{level}.0.weight"] = rnd(
+                            (k.shape[3], 1, k.shape[0], k.shape[1])
                         )
-            if "ln" in mod:
-                emit_ln(f"{bp}.modulation.ln", mod["ln"])
-            if "gamma_1" in blk:
-                sd[f"{bp}.gamma_1"] = rnd(blk["gamma_1"].shape)
-                sd[f"{bp}.gamma_2"] = rnd(blk["gamma_2"].shape)
+                        if "bias" in mv:
+                            sd[f"{bp}.modulation.focal_layers.{level}.0.bias"] = rnd(
+                                (k.shape[3],)
+                            )
+                if "ln" in mod:
+                    emit_ln(f"{bp}.modulation.ln", mod["ln"])
+                if "gamma_1" in blk:
+                    sd[f"{bp}.gamma_1"] = rnd(blk["gamma_1"].shape)
+                    sd[f"{bp}.gamma_2"] = rnd(blk["gamma_2"].shape)
         elif "_downsample" in name:
+            blk = stage
             i = name.replace("layers", "").replace("_downsample", "")
             emit_conv(f"backbone.layers.{i}.downsample.proj", blk["proj"])
             if "norm" in blk:
                 emit_ln(f"backbone.layers.{i}.downsample.norm", blk["norm"])
         elif name.startswith("norm"):
-            emit_ln(f"backbone.{name}", blk)
+            emit_ln(f"backbone.{name}", stage)
 
     # ---- pixel decoder
     pd = xdecoder_shapes["pixel_decoder"]

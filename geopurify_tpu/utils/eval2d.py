@@ -1,0 +1,88 @@
+"""2D semantic-segmentation evaluator — mIoU/fwIoU/pACC over image batches.
+
+Rebuild of the reference's detectron2-style SemSegEvaluator
+(reference third_party/X-Decoder/xdecoder/datasets/evaluation/
+segmentation_evaluation.py — the one evaluator on the 2D teacher's
+validation path): accumulates an (n+1)^2 confusion matrix over predicted vs
+ground-truth label images (ignore label mapped to the extra row/column) and
+reports mIoU, fwIoU, per-class IoU/ACC, mACC and pACC. The histogram update
+is a jitted bincount so it batches on device; the summary math runs on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("num_classes", "ignore_label"))
+def confusion_update(
+    pred: jax.Array,      # [...] int predicted labels
+    gt: jax.Array,        # [...] int ground-truth labels
+    num_classes: int,
+    ignore_label: int = 255,
+) -> jax.Array:
+    """[(n+1), (n+1)] confusion counts; ignore/ out-of-range gt -> row n."""
+    n = num_classes
+    g = jnp.where((gt == ignore_label) | (gt >= n), n, gt).reshape(-1)
+    p = jnp.clip(pred.reshape(-1), 0, n - 1)
+    flat = g * (n + 1) + p
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(flat, jnp.float64), flat, num_segments=(n + 1) * (n + 1)
+    )
+    return counts.reshape(n + 1, n + 1)
+
+
+class SemSeg2DEvaluator:
+    """Accumulates confusion over (pred, gt) image pairs; detectron2-style
+    summary keys (mIoU, fwIoU, IoU-<cls>, mACC, pACC, ACC-<cls>)."""
+
+    def __init__(self, num_classes: int, class_names=None, ignore_label: int = 255):
+        self.num_classes = num_classes
+        self.class_names = list(class_names) if class_names else [
+            str(i) for i in range(num_classes)
+        ]
+        self.ignore_label = ignore_label
+        self.reset()
+
+    def reset(self):
+        n = self.num_classes
+        self.conf = np.zeros((n + 1, n + 1), np.float64)
+
+    def process(self, pred: np.ndarray, gt: np.ndarray):
+        self.conf += np.asarray(
+            confusion_update(jnp.asarray(pred), jnp.asarray(gt),
+                             self.num_classes, self.ignore_label)
+        )
+
+    def evaluate(self) -> Dict[str, float]:
+        n = self.num_classes
+        acc_matrix = self.conf[:n, :n]          # rows = gt, cols = pred
+        tp = np.diag(acc_matrix)
+        pos_gt = acc_matrix.sum(axis=1)
+        # predictions counted only where gt is not ignored (detectron2 drops
+        # ignored pixels from both operands)
+        pos_pred = acc_matrix.sum(axis=0)
+        union = pos_gt + pos_pred - tp
+        valid = pos_gt > 0
+        iou = np.full(n, np.nan)
+        iou[union > 0] = tp[union > 0] / union[union > 0]
+        acc = np.full(n, np.nan)
+        acc[valid] = tp[valid] / pos_gt[valid]
+        miou = float(np.nanmean(iou[valid])) if valid.any() else 0.0
+        freq = pos_gt / max(pos_gt.sum(), 1e-10)
+        fwiou = float((iou[valid] * freq[valid]).sum()) if valid.any() else 0.0
+        macc = float(np.nanmean(acc[valid])) if valid.any() else 0.0
+        pacc = float(tp.sum() / max(pos_gt.sum(), 1e-10))
+        out = {
+            "mIoU": 100 * miou, "fwIoU": 100 * fwiou,
+            "mACC": 100 * macc, "pACC": 100 * pacc,
+        }
+        for i, name in enumerate(self.class_names):
+            out[f"IoU-{name}"] = 100 * float(np.nan_to_num(iou[i]))
+            out[f"ACC-{name}"] = 100 * float(np.nan_to_num(acc[i]))
+        return out

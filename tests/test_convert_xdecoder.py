@@ -66,10 +66,12 @@ def test_layout_transforms(tiny_models):
         dec_layers=cfg.xdecoder.dec_layers,
     )
     p = out["xdecoder"]["params"]
-    # Linear transpose: modulation.f
+    # Linear transpose: modulation.f — stacked under the scanned stage's
+    # "block" subtree, block j on the leading axis
     tw = sd["backbone.layers.0.blocks.0.modulation.f.weight"]
     np.testing.assert_array_equal(
-        np.asarray(p["backbone"]["layers0_blocks0"]["modulation"]["f"]["kernel"]), tw.T
+        np.asarray(p["backbone"]["layers0_blocks"]["block"]["modulation"]["f"]["kernel"])[0],
+        tw.T,
     )
     # Conv OIHW -> HWIO: patch_embed.proj
     cw = sd["backbone.patch_embed.proj.weight"]

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from geopurify_tpu.run.train2d import make_schedule, synthetic_batch
 from geopurify_tpu.run.infer2d import semseg_from_outputs
@@ -44,3 +45,26 @@ def test_semseg_from_outputs_argmax():
     assert seg.shape == (16, 16)
     assert (seg[:6] == 2).all()
     assert (seg[10:] == 1).all()
+
+
+def test_semseg2d_evaluator_oracle(rng):
+    """Confusion-matrix evaluator vs a hand-computed oracle, with ignore."""
+    from geopurify_tpu.utils.eval2d import SemSeg2DEvaluator
+
+    n = 3
+    ev = SemSeg2DEvaluator(n, class_names=["a", "b", "c"], ignore_label=255)
+    gt = np.array([[0, 0, 1], [1, 2, 255]])
+    pred = np.array([[0, 1, 1], [1, 1, 0]])
+    ev.process(pred, gt)
+    ev.process(pred, gt)   # accumulation: same stats, doubled counts
+    res = ev.evaluate()
+    # valid cells (gt != 255): gt [0,0,1,1,2], pred [0,1,1,1,1]
+    # a: tp=1 gt=2 pred=1 -> iou 1/2; b: tp=2 gt=2 pred=4 -> 2/4
+    # c: tp=0 gt=1 pred=0 -> 0
+    assert res["IoU-a"] == pytest.approx(50.0)
+    assert res["IoU-b"] == pytest.approx(50.0)
+    assert res["IoU-c"] == 0.0
+    assert res["mIoU"] == pytest.approx(100 / 3)
+    assert res["pACC"] == pytest.approx(100 * 3 / 5)
+    ev.reset()
+    assert ev.conf.sum() == 0
