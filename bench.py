@@ -184,7 +184,7 @@ def main():
         # exact COO residual
         cfg = dataclasses.replace(
             cfg,
-            pooling=dataclasses.replace(cfg.pooling, band=8192,
+            pooling=dataclasses.replace(cfg.pooling, band=6144,
                                         max_residual=2 ** 21),
         )
         P, M, V, Pv = 2 ** 20, 2 ** 18, 32, 2 ** 16

@@ -161,7 +161,10 @@ class _FocalScanBody(nn.Module):
             dtype=self.dtype,
             name="block",
         )(x)
-        return x, None
+        # the f32 LayerScale/post-LN promote the residual to f32; the scan
+        # carry must keep a stable dtype, and the unrolled version re-cast at
+        # the next block's first bf16 Dense anyway — same numerics
+        return x.astype(self.dtype), None
 
 
 class FocalNet(nn.Module):

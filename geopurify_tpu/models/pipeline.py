@@ -105,6 +105,12 @@ class GeoPurifyPipeline:
         self._pool_scene = jax.jit(self._pool_scene_impl)
         self._sonata_fwd = jax.jit(self._sonata_fwd_impl)
         self._classify = jax.jit(self._classify_impl)
+        # pool + classify fused in ONE jit so XLA manages buffer liveness
+        # across the whole tail — at preset scale the inter-jit residents
+        # (fused features + banded operator + refined) OOM a 16 GB chip.
+        # f2d (arg 1) is donated: the [P, 512] f32 lift output (2.1 GB at
+        # preset scale) is consumed here and never reused.
+        self._pool_classify = jax.jit(self._pool_classify_impl, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     # Stage-2: lift + pooling
@@ -199,6 +205,11 @@ class GeoPurifyPipeline:
 
         if n_valid is None:
             n_valid = int(np.asarray(jnp.sum(batch.view_valid)))
+        # storage dtype for the accumulated per-view features — decided HERE
+        # so the f32 view outputs convert as they are appended (a python list
+        # of 32 f32 views at preset scale would hold 4.3 GB before any
+        # later conversion could run)
+        vdtype = jnp.bfloat16 if V * Pv * C >= (1 << 28) else jnp.float32
         feats_buf = []
         logits_buf = []
         for lo in range(0, n_valid, B):
@@ -209,25 +220,23 @@ class GeoPurifyPipeline:
             )
             keep = min(B, n_valid - lo)
             if keep == B and start == lo:
-                feats_buf.append(lift.features)   # whole batch, no eager slice
+                f = lift.features
                 logits_buf.append(lift.logits)
             else:
-                feats_buf.append(lift.features[lo - start : lo - start + keep])
+                f = lift.features[lo - start : lo - start + keep]
                 logits_buf.append(lift.logits[lo - start : lo - start + keep])
+            # avoid a per-view eager dispatch (~5-10 ms each on the tunnel)
+            # when no conversion is needed
+            feats_buf.append(f if vdtype == jnp.float32 else f.astype(vdtype))
 
-        # per-view features ride bf16 between the view loop and the fusion
-        # ONLY when the f32 buffer would strain HBM (preset scale V=32,
-        # Pv=2^16: 4.3 GB) — bf16 storage quantizes features ~0.4% so the
-        # standard eval spec keeps f32
-        vdtype = jnp.bfloat16 if V * Pv * C >= (1 << 28) else jnp.float32
+        # (bf16 storage quantizes features ~0.4%, so the standard eval spec
+        # keeps f32 — only HBM-straining shapes convert, see vdtype above)
         pad = V - n_valid
         if n_valid == 0:
             view_feats = jnp.zeros((V, Pv, C), vdtype)
             view_logits = jnp.zeros((V, Pv, n_cls), jnp.float32)
         else:
-            view_feats = jnp.concatenate(
-                [f.astype(vdtype) for f in feats_buf]
-            )
+            view_feats = jnp.concatenate(feats_buf)
             view_logits = jnp.concatenate(logits_buf)
             if pad:
                 view_feats = jnp.concatenate(
@@ -282,17 +291,29 @@ class GeoPurifyPipeline:
     ) -> Dict[str, jax.Array]:
         """Full Stage-2: returns refined per-point features + open-vocab logits."""
         lifted = self.lift_scene(batch, n_valid=n_valid_views)
-        refined, band_overflow = self._pool_scene(student_vars, lifted.features, batch)
-        logits, pred = self._classify(refined, self.text_embeddings, self.logit_scale)
+        f2d, view_count = lifted.features, lifted.view_count
+        del lifted  # drop the extra device-buffer reference before the tail
+        refined, band_overflow, logits, pred = self._pool_classify(
+            student_vars, f2d, batch, self.text_embeddings, self.logit_scale
+        )
         return {
             "scene_features": refined,
             "logits": logits,
             "pred": pred,
-            "view_count": lifted.view_count,
+            "view_count": view_count,
             # >0: the banded pooling operator overflowed and the exact gather
             # fallback ran for this scene (log-worthy — see ops/pooling.py)
             "band_overflow": band_overflow,
         }
+
+    def _pool_classify_impl(self, student_vars, f2d, batch, text, logit_scale):
+        refined, band_overflow = self._pool_scene_impl(student_vars, f2d, batch)
+        logits, pred = self._classify_impl(refined, text, logit_scale)
+        # at HBM-straining scales the returned per-point features ride bf16
+        # (they are a debug/visualization surface; pred/logits stay f32)
+        if refined.size >= (1 << 28):
+            refined = refined.astype(jnp.bfloat16)
+        return refined, band_overflow, logits, pred
 
     def _classify_impl(self, refined, text_embeddings, logit_scale):
         f = refined / jnp.maximum(jnp.linalg.norm(refined, axis=-1, keepdims=True), 1e-12)

@@ -342,6 +342,57 @@ def knn_self_grid(
     return dists, jnp.maximum(idx, 0)
 
 
+@partial(jax.jit, static_argnames=("query_tile", "db_chunk"))
+def argmin_search(
+    queries: jax.Array,       # [Q, D]
+    db: jax.Array,            # [N, D]
+    db_valid: jax.Array,      # [N] bool
+    query_tile: int = 1024,
+    db_chunk: int = 8192,
+) -> jax.Array:
+    """Index of the nearest valid db row per query — a pure running min/argmin
+    reduce (lax.top_k with k=1 pays TopK's fixed per-call overhead for
+    nothing; min+where merges are plain VPU reductions)."""
+    Q, D = queries.shape
+    N = db.shape[0]
+    n_qt = -(-Q // query_tile)
+    n_dc = -(-N // db_chunk)
+    Np = n_dc * db_chunk
+    db_p = _pad_to(db, Np).astype(jnp.float32)
+    dbv_p = _pad_to(db_valid, Np, value=False)
+    db_sq = jnp.sum(db_p * db_p, axis=-1)
+    q_p = _pad_to(queries, n_qt * query_tile).astype(jnp.float32)
+
+    def one_tile(q):
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+        def scan_chunk(carry, c):
+            best_d, best_i = carry
+            start = c * db_chunk
+            d_rows = jax.lax.dynamic_slice_in_dim(db_p, start, db_chunk)
+            d_sq = jax.lax.dynamic_slice_in_dim(db_sq, start, db_chunk)
+            v = jax.lax.dynamic_slice_in_dim(dbv_p, start, db_chunk)
+            dots = jax.lax.dot_general(
+                q, d_rows, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            d2 = jnp.where(v[None, :], q_sq + d_sq[None, :] - 2.0 * dots, _INF)
+            c_best = jnp.min(d2, axis=1)
+            c_arg = (start + jnp.argmin(d2, axis=1)).astype(jnp.int32)
+            upd = c_best < best_d
+            return (jnp.where(upd, c_best, best_d),
+                    jnp.where(upd, c_arg, best_i)), None
+
+        init = (jnp.full((q.shape[0],), _INF),
+                jnp.zeros((q.shape[0],), jnp.int32))
+        (d, i), _ = jax.lax.scan(scan_chunk, init, jnp.arange(n_dc))
+        return i
+
+    idx = jax.lax.map(one_tile, q_p.reshape(n_qt, query_tile, D))
+    return idx.reshape(-1)[:Q]
+
+
 def nearest_fill(
     features: jax.Array,     # [N, C]
     coords: jax.Array,       # [N, D]
@@ -357,9 +408,9 @@ def nearest_fill(
     that already have a value keep it (select at the end), so shapes stay static.
     """
     db_valid = has_value & valid
-    _, idx = knn_search(
-        coords, coords, db_valid, k=1, query_tile=query_tile, db_chunk=db_chunk
+    idx = argmin_search(
+        coords, coords, db_valid, query_tile=query_tile, db_chunk=db_chunk
     )
-    donated = features[idx[:, 0]]
+    donated = features[idx]
     keep = has_value[:, None]
     return jnp.where(keep, features, donated)

@@ -227,6 +227,10 @@ def iterate_pooling_banded(
         0, max(M - band, 0),
     )
 
+    R = res_col.shape[0]
+    res_chunk = min(R, 524288)
+    n_rc = -(-R // res_chunk) if R else 0
+
     def one_round(f):
         fb = f.astype(S.dtype)
 
@@ -241,9 +245,21 @@ def iterate_pooling_banded(
 
         banded = jax.lax.map(tile_out, jnp.arange(n_t, dtype=jnp.int32))
         banded = banded.reshape(n_t * row_tile, C)[:M]
-        # exact residual: out-of-window edges
-        gathered = f.astype(jnp.float32)[res_col] * res_w[:, None]
-        resid = jax.ops.segment_sum(gathered, res_row, num_segments=M)
+        # exact residual: out-of-window edges, applied in fixed chunks so the
+        # gathered [chunk, C] f32 transient stays bounded (a 2M-edge residual
+        # at C=518 would otherwise materialize 4.3 GB per round)
+        f32 = f.astype(jnp.float32)
+
+        def resid_chunk(c, acc):
+            rc = jax.lax.dynamic_slice_in_dim(res_col, c * res_chunk, res_chunk)
+            rw_ = jax.lax.dynamic_slice_in_dim(res_w, c * res_chunk, res_chunk)
+            rr_ = jax.lax.dynamic_slice_in_dim(res_row, c * res_chunk, res_chunk)
+            g = f32[rc] * rw_[:, None]
+            return acc + jax.ops.segment_sum(g, rr_, num_segments=M)
+
+        resid = jax.lax.fori_loop(
+            0, n_rc, resid_chunk, jnp.zeros((M, C), jnp.float32)
+        ) if n_rc else jnp.zeros((M, C), jnp.float32)
         return (banded + resid).astype(S.dtype)
 
     out = feats.astype(S.dtype)

@@ -107,6 +107,25 @@ def test_knn_self_grid_padding_and_small_scene(rng):
     assert np.asarray(i)[:M].max() < M
 
 
+def test_argmin_search_oracle(rng):
+    from geopurify_tpu.ops.knn import argmin_search
+
+    q = rng.uniform(size=(70, 3)).astype(np.float32)
+    db = rng.uniform(size=(200, 3)).astype(np.float32)
+    valid = np.ones(200, bool)
+    valid[150:] = False
+    idx = np.asarray(argmin_search(jnp.asarray(q), jnp.asarray(db),
+                                   jnp.asarray(valid), query_tile=32, db_chunk=64))
+    d2 = ((q[:, None] - db[None]) ** 2).sum(-1)
+    d2[:, ~valid] = np.inf
+    want = d2.argmin(1)
+    # ties: compare distances, not indices
+    np.testing.assert_allclose(
+        d2[np.arange(70), idx], d2[np.arange(70), want], atol=1e-5
+    )
+    assert idx.max() < 150
+
+
 def test_nearest_fill(rng):
     coords = rng.uniform(size=(64, 3)).astype(np.float32)
     feats = rng.uniform(size=(64, 8)).astype(np.float32)
