@@ -59,8 +59,21 @@ def build_affinity_graph(
     e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
     # f32 cosine: a bf16 gather halves HBM traffic but shifts the sharpened
     # softmax weights by ~3% relative (measured vs oracle) — not worth the
-    # parity risk for ~30 ms/scene
-    aff = jnp.einsum("md,mkd->mk", e, e[nbr])          # cosine, [M,k]
+    # parity risk for ~30 ms/scene. The neighbor gather is TILED over rows:
+    # one [M, k, E] f32 gather would materialize 12.9 GB at M=2^18.
+    aff_tile = 8192
+    n_at = -(-M // aff_tile)
+    Mp_a = n_at * aff_tile
+    nbr_p = jnp.pad(nbr, ((0, Mp_a - M), (0, 0)))
+    e_q = jnp.pad(e, ((0, Mp_a - M), (0, 0))).reshape(n_at, aff_tile, -1)
+
+    def aff_one(args):
+        eq, nb = args                                   # [T, E], [T, k]
+        return jnp.einsum("td,tkd->tk", eq, e[nb])
+
+    aff = jax.lax.map(
+        aff_one, (e_q, nbr_p.reshape(n_at, aff_tile, k))
+    ).reshape(Mp_a, k)[:M]
     # unfilled kNN slots (scenes with < k+1 valid voxels) carry dist=inf and a
     # clamped index — mask them out of the softmax or padding features leak
     # into every short row across the smoothing iterations
