@@ -198,3 +198,39 @@ def test_grad_accumulation():
     assert float(jnp.abs(up1["res0"]["conv1"]["kernel"]).sum()) == 0.0  # accumulating
     up2, state = tx.update(grads, state, params)
     assert float(jnp.abs(up2["res0"]["conv1"]["kernel"]).sum()) > 0.0   # applied
+
+
+def test_view_parallel_lift_matches_sequential():
+    """Within-scene view parallelism: views sharded over the 8-device CPU mesh
+    + psum consensus + hypercube top-k tournament must reproduce the
+    sequential lift_scene (up to fp reduction order / equal-score ties)."""
+    from tests.test_pipeline import tiny_cfg
+    from geopurify_tpu.data.synthetic import make_scene_batch
+    from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+    from geopurify_tpu.models.xdecoder import XDecoderSegModel
+    from geopurify_tpu.parallel.mesh import make_mesh
+    from geopurify_tpu.parallel.view_parallel import sharded_lift_scene
+
+    cfg = tiny_cfg()
+    batch = make_scene_batch(
+        seed=3, n_points=400, n_views=8, image_hw=(48, 64),
+        max_points=512, max_voxels=512, max_views=8, max_view_points=256,
+    )
+    key = jax.random.key(0)
+    n_cls = len(cfg.data.all_label)
+    text = jax.random.normal(key, (n_cls + 1, cfg.xdecoder.hidden_dim))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    model = XDecoderSegModel(cfg.xdecoder)
+    tparams = model.init(key, batch.images[:1], text, jnp.float32(20.0))
+    pipe = GeoPurifyPipeline(cfg=cfg, teacher_params=tparams,
+                             text_embeddings=text, logit_scale=jnp.float32(20.0))
+
+    seq = pipe.lift_scene(batch)
+    mesh = make_mesh(dp=8)
+    fused, count = sharded_lift_scene(pipe, batch, mesh, "data")
+    np.testing.assert_allclose(
+        np.asarray(count), np.asarray(seq.view_count), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(seq.features), atol=2e-3
+    )
