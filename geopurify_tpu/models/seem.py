@@ -1,0 +1,292 @@
+"""SEEM-style interactive segmentation head (v0 semantics, TPU-native).
+
+Rebuild of the reference's SEEM decoder core
+(reference third_party/X-Decoder/xdecoder/modeling/interface/seem_v0.py:
+27-400 + prototype/attention_data_struct_*.py): on top of the X-Decoder
+masked-attention decoder, INTERACTIVE prompts join the self-attention as
+extra token groups with dedicated query slots —
+
+- SPATIAL prompts: positive/negative click or mask points, sampled to a
+  static point budget (the reference rand_samples to ``max_spatial_len``,
+  seem_v0.py:226); per decoder level, the projected level features are
+  bilinear-sampled at the points and tagged with a learned pos/neg indicator
+  embedding (:252-262); a dedicated spatial query slot attends those tokens
+  and emits the interactive mask;
+- GROUNDING prompts: text token embeddings join as a token group with a
+  grounding query slot (:301-310).
+
+Group isolation (the attention_data mask structure): object queries attend
+only each other, so semantic predictions are BIT-IDENTICAL with or without
+prompts (pinned by tests); each interactive query attends itself + its own
+token group; token groups are frozen (don't attend queries).
+
+Static shapes throughout: prompt budgets are config constants with validity
+masks; everything jits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geopurify_tpu.models.layers import (
+    CrossAttentionLayer,
+    FFNLayer,
+    MLPHead,
+    SelfAttentionLayer,
+    position_embedding_sine,
+    resize_bicubic_antialias,
+)
+from geopurify_tpu.ops.ms_deform_attn import bilinear_sample
+
+Dtype = Any
+
+
+def sample_mask_points(
+    mask: np.ndarray, budget: int, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Click/mask prompt -> up to ``budget`` normalized (y, x) points + valid
+    mask (≙ rand_sample over mask.nonzero(), seem_v0.py:226). Host-side."""
+    ys, xs = np.nonzero(mask)
+    H, W = mask.shape
+    n = len(ys)
+    pts = np.zeros((budget, 2), np.float32)
+    valid = np.zeros(budget, bool)
+    if n:
+        take = min(n, budget)
+        sel = rng.choice(n, take, replace=False) if n > budget else np.arange(n)
+        pts[:take, 0] = ys[sel] / H
+        pts[:take, 1] = xs[sel] / W
+        valid[:take] = True
+    return pts, valid
+
+
+def _seem_self_attn_mask(Q: int, n_extra_q: int, n_tok: int) -> np.ndarray:
+    """[L, L] True = BLOCKED. Layout: [Q object | n_extra_q interactive
+    queries | n_tok prompt tokens]. Object queries see only each other;
+    interactive query i sees itself + its token group (assigned outside by
+    slicing); tokens see only their own group."""
+    L = Q + n_extra_q + n_tok
+    m = np.ones((L, L), bool)
+    m[:Q, :Q] = False                       # object <-> object
+    return m
+
+
+class SEEMHead(nn.Module):
+    """X-Decoder query decoder + interactive spatial/grounding slots.
+
+    Returns the standard seg outputs for the object queries plus
+    ``spatial_masks`` (the click-conditioned mask) and ``grounding_masks``.
+    """
+
+    hidden_dim: int = 512
+    dim_proj: int = 512
+    num_queries: int = 101                 # object queries (no latent cls here)
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    mask_dim: int = 512
+    max_spatial_tokens: int = 64           # prompt-point budget per level
+    max_grounding_tokens: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        multi_scale: List[jax.Array],       # 3 NHWC maps, lowest-res first
+        mask_features: jax.Array,           # [B, H4, W4, mask_dim]
+        text_embeddings: jax.Array,         # [n_cls, dim_proj] L2-normalized
+        logit_scale: jax.Array,
+        spatial_points: Optional[jax.Array] = None,   # [B, S, 2] norm (y, x)
+        spatial_valid: Optional[jax.Array] = None,    # [B, S] bool
+        spatial_posneg: Optional[jax.Array] = None,   # [B, S] +1 / -1
+        grounding_tokens: Optional[jax.Array] = None, # [B, G, C]
+        grounding_valid: Optional[jax.Array] = None,  # [B, G] bool
+    ) -> Dict[str, jax.Array]:
+        B = mask_features.shape[0]
+        Q = self.num_queries
+        C = self.hidden_dim
+        S = self.max_spatial_tokens
+        G = self.max_grounding_tokens
+        num_levels = len(multi_scale)
+        has_spatial = spatial_points is not None
+        has_grounding = grounding_tokens is not None
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (num_levels, C)
+        )
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0), (Q, C))
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, C))
+        class_proj = self.param(
+            "class_embed", nn.initializers.truncated_normal(0.02),
+            (C, self.dim_proj),
+        )
+        mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        decoder_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
+
+        # interactive query slots + pos/neg indicator (seem_v0.py:285-289, 260)
+        spatial_query = self.param("spatial_query", nn.initializers.normal(1.0), (1, C))
+        spatial_qpe = self.param("spatial_query_pe", nn.initializers.normal(1.0), (1, C))
+        grounding_query = self.param(
+            "grounding_query", nn.initializers.normal(1.0), (1, C)
+        )
+        grounding_qpe = self.param(
+            "grounding_query_pe", nn.initializers.normal(1.0), (1, C)
+        )
+        pn_indicator = self.param(
+            "pn_indicator", nn.initializers.normal(0.02), (2, C)
+        )
+
+        srcs, poss, sizes = [], [], []
+        for i, x in enumerate(multi_scale):
+            b, h, w, c = x.shape
+            sizes.append((h, w))
+            pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
+            poss.append(jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C))
+            srcs.append(
+                x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype)
+            )
+
+        # per-level spatial tokens: sample the level features at the prompt
+        # points through a learned per-level projection, tag pos/neg
+        # (seem_v0.py:243-262)
+        spatial_tokens_by_level = []
+        if has_spatial:
+            for i, x in enumerate(multi_scale):
+                b, h, w, c = x.shape
+                proj = self.param(
+                    f"mask_spatial_embed{i}",
+                    nn.initializers.truncated_normal(0.02), (c, C),
+                )
+                feat = (x.astype(jnp.float32) @ proj)          # [B, h, w, C]
+
+                def sample_b(fb, pts):
+                    ys = pts[:, 0] * h - 0.5
+                    xs = pts[:, 1] * w - 0.5
+                    return bilinear_sample(fb, xs, ys)         # [S, C]
+
+                tok = jax.vmap(sample_b)(feat, spatial_points.astype(jnp.float32))
+                tag = jnp.where(
+                    (spatial_posneg > 0)[..., None],
+                    pn_indicator[0][None, None], pn_indicator[1][None, None],
+                )
+                tok = tok + tag
+                tok = jnp.where(spatial_valid[..., None], tok, 0.0)
+                spatial_tokens_by_level.append(tok.astype(self.dtype))
+
+        # assemble the self-attention layout: [Q obj | iq interactive | tokens]
+        n_extra_q = int(has_spatial) + int(has_grounding)
+        n_tok = (S if has_spatial else 0) + (G if has_grounding else 0)
+        L = Q + n_extra_q + n_tok
+        base_mask = _seem_self_attn_mask(Q, n_extra_q, n_tok)
+        qi = Q
+        tok_off = Q + n_extra_q
+        sp_q = gr_q = None
+        sp_t0 = gr_t0 = None
+        if has_spatial:
+            sp_q = qi
+            sp_t0 = tok_off
+            base_mask[sp_q, sp_q] = False
+            base_mask[sp_q, sp_t0:sp_t0 + S] = False
+            base_mask[sp_t0:sp_t0 + S, sp_t0:sp_t0 + S] = False
+            qi += 1
+            tok_off += S
+        if has_grounding:
+            gr_q = qi
+            gr_t0 = tok_off
+            base_mask[gr_q, gr_q] = False
+            base_mask[gr_q, gr_t0:gr_t0 + G] = False
+            base_mask[gr_t0:gr_t0 + G, gr_t0:gr_t0 + G] = False
+        base = jnp.asarray(base_mask)[None, None]              # [1,1,L,L]
+
+        def token_validity():
+            """[B, L] True = valid slot (invalid prompt slots are blocked)."""
+            parts = [jnp.ones((B, Q + n_extra_q), bool)]
+            if has_spatial:
+                parts.append(spatial_valid)
+            if has_grounding:
+                parts.append(grounding_valid)
+            return jnp.concatenate(parts, axis=1)
+
+        tok_valid = token_validity()
+        self_mask = base | (~tok_valid)[:, None, None, :]      # block invalid keys
+
+        mf = mask_features.astype(jnp.float32)
+        text_t = text_embeddings.astype(jnp.float32)
+
+        def prediction_heads(output, target_size):
+            dec = decoder_norm(output).astype(jnp.float32)     # [B, L, C]
+            obj = dec[:, :Q]
+            class_embed = obj @ class_proj
+            v = class_embed / (
+                jnp.linalg.norm(class_embed, axis=-1, keepdims=True) + 1e-7
+            )
+            outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
+            m_emb = mask_mlp(dec.astype(self.dtype)).astype(jnp.float32)  # [B,L,C]
+            masks_all = jnp.einsum("blc,bhwc->blhw", m_emb, mf)
+            obj_masks = masks_all[:, :Q]
+            sp_mask = masks_all[:, sp_q] if has_spatial else None
+            gr_mask = masks_all[:, gr_q] if has_grounding else None
+
+            am = resize_bicubic_antialias(
+                obj_masks.transpose(0, 2, 3, 1), target_size
+            ).transpose(0, 3, 1, 2)
+            am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5
+            all_blocked = jnp.all(am, axis=-1, keepdims=True)
+            am = am & ~all_blocked
+            # interactive queries + tokens attend the full memory
+            extra = jnp.zeros((B, L - Q, am.shape[-1]), bool)
+            attn_mask = jnp.concatenate([am, extra], axis=1)[:, None]
+            return outputs_class, obj_masks, sp_mask, gr_mask, attn_mask
+
+        # initial query/token state
+        parts = [jnp.broadcast_to(query_feat[None], (B, Q, C))]
+        pe_parts = [jnp.broadcast_to(query_embed[None], (B, Q, C))]
+        if has_spatial:
+            parts.append(jnp.broadcast_to(spatial_query[None], (B, 1, C)))
+            pe_parts.append(jnp.broadcast_to(spatial_qpe[None], (B, 1, C)))
+        if has_grounding:
+            parts.append(jnp.broadcast_to(grounding_query[None], (B, 1, C)))
+            pe_parts.append(jnp.broadcast_to(grounding_qpe[None], (B, 1, C)))
+        if has_spatial:
+            parts.append(spatial_tokens_by_level[0])
+            pe_parts.append(jnp.zeros((B, S, C)))
+        if has_grounding:
+            parts.append(grounding_tokens.astype(self.dtype))
+            pe_parts.append(jnp.zeros((B, G, C)))
+        output = jnp.concatenate(parts, axis=1).astype(self.dtype)
+        qpe = jnp.concatenate(pe_parts, axis=1).astype(self.dtype)
+
+        oc, om, sm, gm, attn_mask = prediction_heads(output, sizes[0])
+        for i in range(self.dec_layers):
+            level = i % num_levels
+            # refresh the spatial token group with this level's sampled
+            # tokens (seem_v0.py:332-337)
+            if has_spatial:
+                output = output.at[:, sp_t0:sp_t0 + S].set(
+                    spatial_tokens_by_level[level]
+                )
+            output = CrossAttentionLayer(
+                C, self.nheads, False, self.dtype, name=f"cross_attn{i}",
+            )(output, srcs[level], memory_mask=attn_mask,
+              pos=poss[level], query_pos=qpe)
+            output = SelfAttentionLayer(
+                C, self.nheads, False, self.dtype, name=f"self_attn{i}"
+            )(output, query_pos=qpe, tgt_mask=self_mask)
+            output = FFNLayer(
+                C, self.dim_feedforward, False, dtype=self.dtype, name=f"ffn{i}",
+            )(output)
+            oc, om, sm, gm, attn_mask = prediction_heads(
+                output, sizes[(i + 1) % num_levels]
+            )
+
+        out = {"pred_logits": oc, "pred_masks": om}
+        if has_spatial:
+            out["spatial_masks"] = sm
+        if has_grounding:
+            out["grounding_masks"] = gm
+        return out
