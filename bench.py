@@ -103,7 +103,11 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
     labels = rng.integers(0, 19, P, dtype=np.int32)
 
     images = rng.uniform(0, 255, (V, H, W, 3)).astype(np.float32)
-    ids = rng.integers(0, P, (V, Pv), dtype=np.int32)
+    # unique ids per view — the loader contract (visible points are sampled
+    # without replacement); duplicate ids would make the fusion scatter UB
+    ids = np.stack([
+        rng.choice(P, Pv, replace=False).astype(np.int32) for _ in range(V)
+    ])
     rows = rng.integers(0, H, (V, Pv), dtype=np.int32)
     cols = rng.integers(0, W, (V, Pv), dtype=np.int32)
 

@@ -119,7 +119,10 @@ def fuse_views(
 
     def merge_view(carry, v):
         ts, tf = carry
-        ids = jnp.where(view_point_valid[v], view_point_ids[v], num_points)
+        # invalid slots -> OUT-OF-BOUNDS (num_points + 1): dropped by the
+        # scatter, and required for the unique_indices hint to be truthful
+        # (many invalid slots pointing at one in-bounds row would collide)
+        ids = jnp.where(view_point_valid[v], view_point_ids[v], num_points + 1)
         agree = view_logits[v][jnp.arange(Pv), consensus_pad[ids]]
         agree = jnp.where(view_point_valid[v], agree, -jnp.inf)     # [Pv]
         cur_s = ts[ids]                                             # [Pv, k]
@@ -130,8 +133,10 @@ def fuse_views(
         )
         new_s, arg = jax.lax.top_k(cat_s, top_k)
         new_f = jnp.take_along_axis(cat_f, arg[:, :, None], axis=1)
-        ts = ts.at[ids].set(new_s, mode="drop")
-        tf = tf.at[ids].set(new_f, mode="drop")
+        # per-view point ids are unique (the loader samples visible points
+        # without replacement); the hint lets XLA skip serialization
+        ts = ts.at[ids].set(new_s, mode="drop", unique_indices=True)
+        tf = tf.at[ids].set(new_f, mode="drop", unique_indices=True)
         return (ts, tf), None
 
     (top_scores, top_feats), _ = jax.lax.scan(

@@ -113,7 +113,9 @@ def sharded_lift_scene(
 
         def merge_view(carry, v):
             ts_, tf_ = carry
-            idv = jnp.where(vv_pv[v], ids[v], P_pts)
+            # out-of-bounds padding keeps scatter indices unique (see
+            # models/lift.fuse_views)
+            idv = jnp.where(vv_pv[v], ids[v], P_pts + 1)
             agree = vlogits[v][jnp.arange(ids.shape[1]), consensus_pad[idv]]
             agree = jnp.where(vv_pv[v], agree, -jnp.inf)
             cur_s = ts_[idv]
@@ -124,8 +126,8 @@ def sharded_lift_scene(
             )
             new_s, arg = jax.lax.top_k(cat_s, top_k)
             new_f = jnp.take_along_axis(cat_f, arg[:, :, None], axis=1)
-            ts_ = ts_.at[idv].set(new_s, mode="drop")
-            tf_ = tf_.at[idv].set(new_f, mode="drop")
+            ts_ = ts_.at[idv].set(new_s, mode="drop", unique_indices=True)
+            tf_ = tf_.at[idv].set(new_f, mode="drop", unique_indices=True)
             return (ts_, tf_), None
 
         (ts, tf), _ = jax.lax.scan(merge_view, (ts, tf), jnp.arange(vfeats.shape[0]))
