@@ -254,7 +254,24 @@ class GeoPurifyPipeline:
             num_points=P, top_k=self.cfg.xdecoder.fusion_top_k,
             storage_dtype=jnp.bfloat16 if big else jnp.float32,
         )
-        fused = fill_unseen_points(fused, batch.points, count, batch.point_valid)
+        if P >= (1 << 19):
+            # HUGE scenes: the point-to-point fill is O(P^2) (it dominated
+            # preset-scale wall clock); fill at voxel resolution instead —
+            # within one 2 cm voxel of the reference's donor choice. Jitted
+            # with the fused buffer donated: run eagerly this chains several
+            # [P, 512] f32 intermediates and OOMs the 16 GB chip.
+            if not hasattr(self, "_voxel_fill"):
+                from geopurify_tpu.models.lift import fill_unseen_points_voxel
+
+                self._voxel_fill = jax.jit(
+                    fill_unseen_points_voxel, donate_argnums=(0,)
+                )
+            fused = self._voxel_fill(
+                fused, count, batch.point_valid, batch.point2voxel,
+                batch.voxel_coords, batch.voxel_valid,
+            )
+        else:
+            fused = fill_unseen_points(fused, batch.points, count, batch.point_valid)
         return SceneFeatures(fused, count)
 
     def _pool_scene_impl(

@@ -109,3 +109,49 @@ def test_fuse_views_oracle(rng):
         w = w / w.sum()
         ref = sum(wi * feats[recs[j][0], recs[j][1]] for wi, j in zip(w, order))
         np.testing.assert_allclose(fused[p], ref, rtol=1e-3, atol=1e-4)
+
+
+def test_voxel_resolution_fill_matches_point_fill(rng):
+    """The huge-scene voxel-resolution fill must agree with the exact point
+    fill up to within-voxel variation (the donor differs by at most one
+    voxel; features here are constant per voxel so results match exactly)."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.lift import (
+        fill_unseen_points,
+        fill_unseen_points_voxel,
+    )
+
+    M, ppv, C = 40, 4, 6
+    vox = np.unique(rng.integers(0, 12, (M * 2, 3)), axis=0)[:M].astype(np.int32)
+    order = np.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))
+    vox = vox[order]
+    M = len(vox)
+    P = M * ppv
+    p2v = np.repeat(np.arange(M, dtype=np.int32), ppv)
+    points = vox[p2v].astype(np.float32) + rng.uniform(0.1, 0.9, (P, 3)) * 0.0
+    # per-voxel constant features; a third of voxels fully unseen
+    vox_feat = rng.normal(size=(M, C)).astype(np.float32)
+    fused = vox_feat[p2v].copy()
+    count = np.ones(P, np.float32)
+    unseen_vox = rng.choice(M, M // 3, replace=False)
+    for v in unseen_vox:
+        count[p2v == v] = 0
+        fused[p2v == v] = 0
+    valid = np.ones(P, bool)
+
+    exact = np.asarray(fill_unseen_points(
+        jnp.asarray(fused), jnp.asarray(points), jnp.asarray(count),
+        jnp.asarray(valid),
+    ))
+    voxf = np.asarray(fill_unseen_points_voxel(
+        jnp.asarray(fused), jnp.asarray(count), jnp.asarray(valid),
+        jnp.asarray(p2v), jnp.asarray(vox), jnp.ones(M, bool),
+    ))
+    # seen points untouched by both
+    seen = count > 0
+    np.testing.assert_allclose(voxf[seen], fused[seen])
+    np.testing.assert_allclose(exact[seen], fused[seen])
+    # unseen points: both fills pick the nearest seen voxel's feature here
+    # (points sit at voxel corners, features constant per voxel)
+    np.testing.assert_allclose(voxf[~seen], exact[~seen], atol=1e-5)
