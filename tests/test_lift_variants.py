@@ -181,3 +181,66 @@ def test_fused_feature_loader(tmp_path, rng):
     np.testing.assert_array_equal(m, mask)
     np.testing.assert_allclose(full[mask], feat)
     np.testing.assert_allclose(full[~mask], 0.0)
+
+
+def test_fused_features_training_cli_e2e(tmp_path, rng, monkeypatch):
+    """geopurify-train --fused-features end to end: two optimizer steps from
+    an on-disk scene + fused-feature file, no 2D data, tiny model."""
+    import torch
+
+    from geopurify_tpu.run import train as train_mod
+
+    n, c = 150, 16
+    xyz = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+    rgb = rng.uniform(-1, 1, (n, 3))
+    labels = rng.integers(0, 3, n)
+    sid = "scene0077_00"
+    root3d = tmp_path / "3d"
+    root3d.mkdir()
+    torch.save((xyz.astype(np.float64), rgb, labels.astype(np.float64)),
+               root3d / f"{sid}.pth")
+    (root3d / "train.txt").write_text(sid + "\n")
+    featdir = tmp_path / "fused"
+    featdir.mkdir()
+    torch.save({"feat": torch.tensor(rng.normal(size=(n, c)).astype(np.float32))},
+               featdir / f"{sid}_0.pt")
+
+    overrides = [
+        f"data.data_root={root3d}",
+        f"data.data_root_2d={tmp_path / '2d'}",
+        "data.train_scene_list=train.txt",
+        "data.max_points=256", "data.max_voxels=256",
+        "data.max_views=1", "data.max_view_points=64",
+        "data.all_label=['a','b','c']",
+        "student.input_dim=22", "student.hidden_dim=16",
+        "student.embed_dim=8", "student.num_res_blocks=1",
+        "contrastive.num_anchors=16", "contrastive.num_negatives=7",
+        "contrastive.num_macro_negatives=5", "contrastive.num_micro_negatives=2",
+        "contrastive.spatial_knn_k=8",
+        "pooling.feature_dim=16",
+        "sonata.enc_depths=[1,1]", "sonata.enc_channels=[8,16]",
+        "sonata.enc_num_head=[2,4]", "sonata.enc_patch_size=[32,32]",
+        "sonata.dtype=float32",
+        "xdecoder.hidden_dim=16", "xdecoder.conv_dim=16", "xdecoder.mask_dim=16",
+        "xdecoder.num_queries=5", "xdecoder.nheads=2",
+        "xdecoder.dim_feedforward=32", "xdecoder.dec_layers=1",
+        "xdecoder.enc_layers=1", "xdecoder.dtype=float32",
+        "xdecoder.backbone.embed_dim=8", "xdecoder.backbone.depths=[1,1,1,1]",
+        "xdecoder.backbone.focal_levels=[2,2,2,2]",
+        "text.width=16", "text.heads=2", "text.layers=1",
+        "text.dim_proj=16", "text.vocab_size=128", "text.context_length=8",
+        "xdecoder.mask_shape=[32,64]",
+        f"train.save_path={tmp_path / 'run'}",
+        "train.print_freq=1",
+    ]
+    train_mod.main([
+        "--fused-features", str(featdir),
+        "--epochs", "1", "--steps-per-epoch", "2", *overrides,
+    ])
+    metrics = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
+    assert metrics, "no training metrics written"
+    import json as _json
+
+    rec = _json.loads(metrics.splitlines()[-1])
+    assert np.isfinite(rec["loss"])
+    assert rec["step"] >= 1
