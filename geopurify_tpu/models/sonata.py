@@ -162,6 +162,26 @@ class PointBlock(nn.Module):
         return jnp.where(valid[:, None], x, 0)
 
 
+class _SonataScanBody(nn.Module):
+    """scan body: one PointBlock under the fixed name "block" — a stage's
+    identical blocks compile once with depth-stacked params (the serialization
+    perm alternates per block and rides the scan's xs axis)."""
+
+    dim: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, perm, valid, nbr):
+        x = PointBlock(
+            self.dim, self.num_heads, self.patch_size, self.mlp_ratio,
+            self.dtype, name="block",
+        )(x, perm, valid, nbr)
+        return x.astype(self.dtype), None
+
+
 class StageLevel(NamedTuple):
     feats: jax.Array        # [Mi, Ci]
     coords: jax.Array       # [Mi, 3]
@@ -228,13 +248,19 @@ class SonataEncoder(nn.Module):
             # neighbor table needs lexicographically sorted coords: our grid
             # pooling and voxelize_points both produce sorted outputs.
             nbr = build_neighbor_table(cur_coords, cur_valid)
-            for b in range(depth):
-                perm = perm0 if b % 2 == 0 else perm1
-                x = PointBlock(
-                    c, self.enc_num_head[s], self.enc_patch_size[s],
-                    self.mlp_ratio, self.dtype,
-                    name=f"stage{s}_block{b}",
-                )(x, perm, cur_valid, nbr)
+            perms = jnp.stack([perm0 if b % 2 == 0 else perm1
+                               for b in range(depth)])
+            BlockStack = nn.scan(
+                _SonataScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast, nn.broadcast),
+                length=depth,
+            )
+            x, _ = BlockStack(
+                c, self.enc_num_head[s], self.enc_patch_size[s],
+                self.mlp_ratio, self.dtype, name=f"stage{s}_blocks",
+            )(x.astype(self.dtype), perms, cur_valid, nbr)
             levels.append(StageLevel(x, cur_coords, cur_valid, pooling_inverse))
 
             if s < len(self.enc_depths) - 1:

@@ -150,10 +150,14 @@ def convert_sonata_checkpoint(sd: SD, cfg=None) -> Dict[str, Any]:
     enc["embed_norm"], bn = _norm(sd, "embedding.stem.norm", "embedding.stem.1")
     saw_bn |= bn
 
-    # --- stages
+    # --- stages (blocks stack under stage{s}_blocks/block — the scanned
+    # layout of models/sonata.SonataEncoder, leading axis = depth)
+    import jax
+
     depths = []
     s = 0
     while _find(sd, f"enc.enc{s}.block0.attn.qkv.weight") is not None:
+        blocks = []
         b = 0
         while _find(sd, f"enc.enc{s}.block{b}.attn.qkv.weight") is not None:
             p = f"enc.enc{s}.block{b}"
@@ -181,8 +185,13 @@ def convert_sonata_checkpoint(sd: SD, cfg=None) -> Dict[str, Any]:
             }
             blk["mlp_fc1"] = _lin(sd, f"{p}.mlp.0.fc1", f"{p}.mlp.fc1")
             blk["mlp_fc2"] = _lin(sd, f"{p}.mlp.0.fc2", f"{p}.mlp.fc2")
-            enc[f"stage{s}_block{b}"] = blk
+            blocks.append(blk)
             b += 1
+        enc[f"stage{s}_blocks"] = {
+            "block": jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *blocks
+            )
+        }
         depths.append(b)
         if _find(sd, f"enc.enc{s + 1}.down.proj.weight") is not None:
             enc[f"pool_proj{s}"] = _lin(sd, f"enc.enc{s + 1}.down.proj")

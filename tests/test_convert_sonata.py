@@ -87,9 +87,12 @@ def test_spconv_layout_sniffing():
     want = np.transpose(w2, (1, 2, 3, 4, 0)).reshape(27, 6, CHANNELS[0])
     np.testing.assert_allclose(got, want)
 
-    # cpe was authored (kx, ky, kz, in, out) — spconv 1.x
+    # cpe was authored (kx, ky, kz, in, out) — spconv 1.x; block 0 rides the
+    # leading depth axis of the scanned-stage layout
     w1 = sd["enc.enc0.block0.cpe.0.weight"]
-    got = np.asarray(conv["params"]["encoder"]["stage0_block0"]["cpe_kernel"])
+    got = np.asarray(
+        conv["params"]["encoder"]["stage0_blocks"]["block"]["cpe_kernel"]
+    )[0]
     np.testing.assert_allclose(got, w1.reshape(27, CHANNELS[0], CHANNELS[0]))
 
 
@@ -131,11 +134,8 @@ def test_distinctive_values_land_in_place():
         sd["enc.enc1.block1.attn.qkv.weight"], 7.5
     )
     conv = convert_sonata_checkpoint(sd, cfg)
-    leaf = np.asarray(
-        conv["params"]["encoder"]["stage1_block1"]["attn"]["qkv"]["kernel"]
+    stacked = np.asarray(
+        conv["params"]["encoder"]["stage1_blocks"]["block"]["attn"]["qkv"]["kernel"]
     )
-    assert (leaf == 7.5).all()
-    other = np.asarray(
-        conv["params"]["encoder"]["stage1_block0"]["attn"]["qkv"]["kernel"]
-    )
-    assert not (other == 7.5).any()
+    assert (stacked[1] == 7.5).all()      # block 1 on the depth axis
+    assert not (stacked[0] == 7.5).any()
