@@ -229,7 +229,7 @@ class SonataConfig:
     stride: Tuple[int, ...] = _tuple_field(2, 2, 2, 2)
     upcast_levels: int = 2                # concat top-2 levels on the way back down
     stem_kernel: int = 5                  # PTv3 embedding SubMConv3d kernel size
-    pool_reduce: str = "mean"             # grid-pool reduction: mean | max
+    pool_reduce: str = "max"              # grid-pool reduction: max (PTv3 default) | mean
     norm: str = "ln"                      # ln | bn_folded (converted BN ckpts)
     dtype: str = "bfloat16"
     # Released frozen teacher weights (facebook/sonata). Converted by

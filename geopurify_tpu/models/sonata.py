@@ -45,12 +45,24 @@ Dtype = Any
 # Serialization
 # ---------------------------------------------------------------------------
 
-from geopurify_tpu.ops.morton import morton_code  # noqa: E402  (re-export)
+from geopurify_tpu.ops.morton import hilbert_code, morton_code  # noqa: E402
 
 
 def serialize(coords: jax.Array, valid: jax.Array, order: int) -> jax.Array:
-    """Sort permutation by Morton code; invalid rows go last."""
-    code = morton_code(coords, order)
+    """Sort permutation by space-filling-curve code; invalid rows go last.
+
+    ``order`` cycles PTv3/Sonata's four serialization orders
+    (Pointcept PointTransformerV3 default ``order=("z", "z-trans",
+    "hilbert", "hilbert-trans")``): 0 = z (Morton), 1 = z-trans
+    (axes permuted), 2 = hilbert, 3 = hilbert-trans.
+    """
+    if order >= 2:
+        c = jnp.maximum(coords, 0).astype(jnp.int32)
+        if order == 3:
+            c = c[:, jnp.array([1, 0, 2])]
+        code = hilbert_code(c)
+    else:
+        code = morton_code(coords, order)
     big = jnp.int32(2**30)
     code = jnp.where(valid, code, big)
     return jnp.argsort(code)
@@ -210,7 +222,7 @@ class SonataEncoder(nn.Module):
     enc_patch_size: Sequence[int] = (1024, 1024, 1024, 1024, 1024)
     mlp_ratio: float = 4.0
     stem_kernel: int = 5
-    pool_reduce: str = "mean"             # mean | max (PTv3 default is max)
+    pool_reduce: str = "max"              # max (PTv3/Sonata default) | mean
     aux_norm_affine_only: bool = False    # folded-BN mode for converted ckpts
     dtype: Dtype = jnp.float32
 
@@ -243,13 +255,15 @@ class SonataEncoder(nn.Module):
         for s, depth in enumerate(self.enc_depths):
             c = self.enc_channels[s]
             # stage-local serialization orders + neighbor table
-            perm0 = serialize(cur_coords, cur_valid, order=0)
-            perm1 = serialize(cur_coords, cur_valid, order=1)
+            stage_perms = [serialize(cur_coords, cur_valid, order=o)
+                           for o in range(4)]
             # neighbor table needs lexicographically sorted coords: our grid
             # pooling and voxelize_points both produce sorted outputs.
             nbr = build_neighbor_table(cur_coords, cur_valid)
-            perms = jnp.stack([perm0 if b % 2 == 0 else perm1
-                               for b in range(depth)])
+            # blocks cycle z / z-trans / hilbert / hilbert-trans, matching
+            # PTv3's per-block ``order[i % len(order)]`` shuffle of its
+            # 4-order default — attention patch groupings follow the teacher's
+            perms = jnp.stack([stage_perms[b % 4] for b in range(depth)])
             BlockStack = nn.scan(
                 _SonataScanBody,
                 variable_axes={"params": 0},
@@ -331,7 +345,7 @@ class SonataTeacher(nn.Module):
     enc_patch_size: Sequence[int] = (1024, 1024, 1024, 1024, 1024)
     upcast_levels: int = 2
     stem_kernel: int = 5
-    pool_reduce: str = "mean"
+    pool_reduce: str = "max"
     aux_norm_affine_only: bool = False
     dtype: Dtype = jnp.float32
 

@@ -231,10 +231,13 @@ def knn_self_grid(
     def _compact(keep, src_idx, budget):
         """Indices (from src_idx) of keep==True rows, rank-ordered, padded."""
         slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        # Dropped/overflow rows go OUT of bounds so mode="drop" discards them;
+        # an in-bounds trash slot would make unique_indices=True a lie (XLA
+        # scatter UB on duplicate indices — same bug class as fuse_views').
         slot = jnp.where(keep & (slot < budget), slot, budget)
-        out = jnp.zeros((budget + 1,), jnp.int32).at[slot].set(
+        out = jnp.zeros((budget,), jnp.int32).at[slot].set(
             src_idx, mode="drop", unique_indices=True
-        )[:budget]
+        )
         total = jnp.sum(keep.astype(jnp.int32))
         return out, total
 

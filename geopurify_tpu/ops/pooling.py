@@ -174,7 +174,12 @@ def build_banded_operator(
     tile = rows // row_tile
     ws = jnp.clip(tile * row_tile + row_tile // 2 - band // 2, 0, max(M - band, 0))
     li = nbr - ws[:, None]                               # [M, K] local col
-    in_band = (li >= 0) & (li < band)
+    # Unfilled kNN slots carry w==0 and a CLAMPED index (often 0): under the
+    # unique-scatter branch they'd collide with a real neighbor at the same
+    # column (duplicate indices = XLA scatter UB), and in the residual they'd
+    # burn capacity on no-op edges. Treat them as out-of-band trash always.
+    dead = weights == 0.0
+    in_band = (li >= 0) & (li < band) & ~dead
 
     # banded matrix via scatter; out-of-band entries land in trash columns
     # (>= band) that are sliced off. With ``assume_unique_neighbors`` (true
@@ -201,7 +206,7 @@ def build_banded_operator(
     # scene than the residual pass it feeds). Capacity is sized ~4x the
     # typical out-of-band tail; the returned n_dropped counts any overflow so
     # callers can fall back to the exact gather path.
-    out_mask = ~in_band
+    out_mask = ~in_band & ~dead
     out_w = jnp.where(out_mask, weights, 0.0).reshape(-1)
     rank = jnp.cumsum(out_mask.reshape(-1).astype(jnp.int32)) - 1
     n_out = jnp.sum(out_mask.astype(jnp.int32))
