@@ -41,6 +41,10 @@ class DataConfig:
     base_category: Tuple[int, ...] = ()
     novel_category: Tuple[int, ...] = ()
     ignore_category: Tuple[int, ...] = ()
+    # Structural classes excluded from the foreground (f-mIoU/f-mAcc) group —
+    # the metric the reference reports for ScanNet200
+    # (reference README.md:115-117: "excluding wall/floor/ceiling").
+    foreground_exclude: Tuple[str, ...] = ("wall", "floor", "ceiling")
     test_ignore_label: Tuple[int, ...] = ()
     # 2D-label remap: NYU40-style raw ids -> contiguous train ids.
     label_2d: Tuple[int, ...] = ()
@@ -61,6 +65,19 @@ class DataConfig:
     max_views_eval: int = 256
     max_view_points: int = 2 ** 16        # visible points per view
     max_masks: int = 201                  # X-Decoder query count upper bound
+
+    def foreground_category(self) -> Tuple[int, ...]:
+        """Contiguous ids of the foreground (non-structural) classes.
+
+        Exact-name exclusion of ``foreground_exclude`` from ``all_label``
+        (compound names like 'shower wall' stay foreground, matching the
+        reference's published f-mIoU convention, README.md:115-117).
+        """
+        excl = set(self.foreground_exclude)
+        return tuple(
+            i for i, name in enumerate(self.all_label[: self.test_classes])
+            if name not in excl
+        )
 
 
 @dataclass

@@ -39,7 +39,10 @@ from geopurify_tpu.data.batch import SceneBatch
 from geopurify_tpu.models.pipeline import GeoPurifyPipeline
 from geopurify_tpu.parallel.mesh import make_mesh
 from geopurify_tpu.run.optim import make_optimizer
-from geopurify_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from geopurify_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint_with_retry as save_checkpoint,  # 3-attempt retry (ref utils_trainer.py:125-140)
+)
 
 log = logging.getLogger("geopurify.train")
 

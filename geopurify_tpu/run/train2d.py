@@ -45,7 +45,10 @@ from geopurify_tpu.config import GeoPurifyConfig, load_config
 from geopurify_tpu.models.criterion import set_criterion
 from geopurify_tpu.models.xdecoder import XDecoderSegModel
 from geopurify_tpu.parallel.mesh import make_mesh
-from geopurify_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from geopurify_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint_with_retry as save_checkpoint,  # 3-attempt retry (ref utils_trainer.py:125-140)
+)
 
 log = logging.getLogger("geopurify.train2d")
 
@@ -142,6 +145,10 @@ def main(argv=None):
     parser.add_argument("--preset", default="scannet")
     parser.add_argument("--config", default=None)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--data-root", default=None,
+                        help="on-disk dataset (COCO annotations.json or the "
+                             "images/+masks/ folder layout — data/seg2d.py)")
+    parser.add_argument("--max-targets", type=int, default=8)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch-size", type=int, default=1,
                         help="images per device per step")
@@ -221,18 +228,36 @@ def main(argv=None):
     metrics_path = os.path.join(args.save_path, "metrics.jsonl")
     rng_np = np.random.default_rng(cfg.train.manual_seed)
 
+    data_iter = None
+    if args.data_root:
+        # on-disk mapper (data/seg2d.py ≙ reference dataset_mappers/build.py)
+        from geopurify_tpu.data.seg2d import Seg2DDataset
+
+        ds = Seg2DDataset(args.data_root)
+        if ds.class_names:
+            n_cls = len(ds.class_names)
+            key, tkey = jax.random.split(key)
+            text = jax.random.normal(tkey, (n_cls + 1, cfg.xdecoder.hidden_dim))
+            text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+        log.info("dataset: %d images, %d classes (%s layout)",
+                 len(ds), n_cls, ds.mode)
+        data_iter = ds.batches(
+            args.batch_size, (H, W), max_targets=args.max_targets,
+            seed=cfg.train.manual_seed,
+        )
+    elif not args.synthetic:
+        parser.error("pass --synthetic or --data-root")
+
     t0 = time.time()
     for it in range(args.steps):
-        if args.synthetic:
+        if data_iter is not None:
+            batches = [
+                tuple(jnp.asarray(x) for x in next(data_iter))
+                for _ in range(n_dp)
+            ]
+        else:
             batches = [synthetic_batch(rng_np, args.batch_size, (H, W), n_cls)
                        for _ in range(n_dp)]
-        else:
-            raise NotImplementedError(
-                "2D pretraining currently ships the synthetic driver only — "
-                "COCO-style datasets are not available in this environment; "
-                "plug a loader producing (images, gt_classes, gt_masks, "
-                "gt_valid) batches here."
-            )
         stack = lambda j: jnp.stack([b[j] for b in batches])  # noqa: E731
         key, sub = jax.random.split(key)
         state, losses = step_fn(

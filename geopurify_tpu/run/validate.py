@@ -46,6 +46,7 @@ def evaluate_scenes(pipeline, student_vars, scene_iter, cfg: GeoPurifyConfig,
         num_classes=cfg.data.test_classes,
         base_category=cfg.data.base_category,
         novel_category=cfg.data.novel_category,
+        foreground_category=cfg.data.foreground_category(),
     )
     times = []
     for i, batch in enumerate(scene_iter):
@@ -85,10 +86,14 @@ def evaluate_scenes(pipeline, student_vars, scene_iter, cfg: GeoPurifyConfig,
                 num_classes=cfg.data.test_classes, valid=valid,
             )
         if (i + 1) % log_every == 0:
-            s = meter.summary()["all"]
+            full = meter.summary()
+            s = full["all"]
+            fg = full.get("foreground")
             log.info(
-                "scene %d: mIoU=%.4f mAcc=%.4f allAcc=%.4f (%.2fs/scene)",
-                i + 1, s["mIoU"], s["mAcc"], s["allAcc"], np.mean(times),
+                "scene %d: mIoU=%.4f mAcc=%.4f allAcc=%.4f%s (%.2fs/scene)",
+                i + 1, s["mIoU"], s["mAcc"], s["allAcc"],
+                f" f-mIoU={fg['mIoU']:.4f} f-mAcc={fg['mAcc']:.4f}" if fg else "",
+                np.mean(times),
             )
     return meter, times
 

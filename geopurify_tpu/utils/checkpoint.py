@@ -42,6 +42,36 @@ def save_checkpoint(path: str, state: Dict[str, Any], step: int, keep: int = 3):
         mgr.save(step, args=ocp.args.StandardSave(state))
 
 
+def save_checkpoint_with_retry(
+    path: str, state: Dict[str, Any], step: int, keep: int = 3,
+    attempts: int = 3, sleep_s: float = 30.0,
+    _save=None,
+) -> int:
+    """``save_checkpoint`` with the reference's 3-attempt retry loop
+    (trainer/utils_trainer.py:125-140: transient filesystem/NFS failures are
+    retried after a sleep rather than killing a long run). Returns the number
+    of attempts used; raises the last error once exhausted. ``_save`` is the
+    failure-injection seam used by tests."""
+    import time as _time
+
+    save = _save or save_checkpoint
+    last = None
+    for attempt in range(1, attempts + 1):
+        try:
+            save(path, state, step, keep=keep)
+            return attempt
+        except Exception as e:  # noqa: BLE001 — mirrors the reference's broad catch
+            last = e
+            import logging
+
+            logging.getLogger("geopurify.checkpoint").warning(
+                "checkpoint save attempt %d/%d failed: %s", attempt, attempts, e
+            )
+            if attempt < attempts:
+                _time.sleep(sleep_s)
+    raise last
+
+
 def restore_checkpoint(path: str, template: Dict[str, Any], step: Optional[int] = None):
     import orbax.checkpoint as ocp
 

@@ -81,6 +81,9 @@ class SegMeter:
     num_classes: int
     base_category: Sequence[int] = ()
     novel_category: Sequence[int] = ()
+    # Non-structural classes (all minus wall/floor/ceiling) — the reference's
+    # published f-mIoU/f-mAcc group (reference README.md:115-117,123).
+    foreground_category: Sequence[int] = ()
     intersection: np.ndarray = None
     union: np.ndarray = None
     target: np.ndarray = None
@@ -112,6 +115,8 @@ class SegMeter:
             out["base"] = self._group(self.base_category)
         if len(self.novel_category):
             out["novel"] = self._group(self.novel_category)
+        if len(self.foreground_category):
+            out["foreground"] = self._group(self.foreground_category)
         return out
 
     def per_class_iou(self) -> np.ndarray:

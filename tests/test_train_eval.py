@@ -41,6 +41,32 @@ def test_seg_meter_groups():
     assert s["all"]["allAcc"] == pytest.approx(8 / 10)
 
 
+def test_seg_meter_foreground_group():
+    """f-mIoU/f-mAcc hand-computed pin: foreground excludes wall/floor/ceiling
+    by exact name (reference README.md:115-117 defines the published
+    ScanNet200 f-metrics this way)."""
+    from geopurify_tpu.config import DataConfig
+
+    dc = DataConfig(
+        all_label=("wall", "floor", "shower wall", "chair", "ceiling"),
+        test_classes=5,
+    )
+    fg = dc.foreground_category()
+    assert fg == (2, 3)  # compound 'shower wall' stays foreground
+
+    m = SegMeter(num_classes=5, foreground_category=fg)
+    inter = np.array([9, 8, 2, 3, 7], float)
+    union = np.array([10, 9, 4, 6, 8], float)
+    target = np.array([9, 9, 2, 4, 7], float)
+    m.update(inter, union, target)
+    s = m.summary()
+    assert s["foreground"]["mIoU"] == pytest.approx((2 / 4 + 3 / 6) / 2)
+    assert s["foreground"]["mAcc"] == pytest.approx((2 / 2 + 3 / 4) / 2)
+    assert s["foreground"]["allAcc"] == pytest.approx((2 + 3) / (2 + 4))
+    # the all group is untouched by the foreground selection
+    assert s["all"]["allAcc"] == pytest.approx(inter.sum() / target.sum())
+
+
 def test_eval_histogram_psum_across_devices():
     """Cross-shard I/U/T reduction (≙ dist.all_reduce, run/validation.py:441-450):
     psum over the 8-device CPU mesh sums per-device histograms; the host-level
@@ -234,3 +260,30 @@ def test_view_parallel_lift_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(seq.features), atol=2e-3
     )
+
+
+def test_checkpoint_save_retry_failure_injection(tmp_path):
+    """Transient save failures are retried (≙ reference trainer's 3-attempt
+    loop, trainer/utils_trainer.py:125-140); persistent failures re-raise."""
+    from geopurify_tpu.utils.checkpoint import save_checkpoint_with_retry
+
+    calls = {"n": 0}
+
+    def flaky(path, state, step, keep=3):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("injected transient write failure")
+
+    used = save_checkpoint_with_retry(
+        str(tmp_path / "ck"), {"x": 1}, step=0, sleep_s=0.0, _save=flaky
+    )
+    assert used == 3 and calls["n"] == 3
+
+    def always_fails(path, state, step, keep=3):
+        raise OSError("disk on fire")
+
+    with pytest.raises(OSError, match="disk on fire"):
+        save_checkpoint_with_retry(
+            str(tmp_path / "ck"), {"x": 1}, step=0, sleep_s=0.0,
+            _save=always_fails,
+        )
