@@ -23,6 +23,13 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default; flax nn.gelu defaults to
+    the tanh approximation (~1e-3 abs divergence, torch-oracle-pinned)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+
 class DWConv(nn.Module):
     """Depthwise 3x3 conv residual (the CPE, davit.py:76-104)."""
 
@@ -114,7 +121,7 @@ class DualBlock(nn.Module):
     def _mlp(self, x, name):
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name=f"{name}_fc1")(x)
-        h = nn.gelu(h)
+        h = _gelu_exact(h)
         return nn.Dense(self.dim, dtype=self.dtype, name=f"{name}_fc2")(h)
 
     @nn.compact
@@ -122,21 +129,21 @@ class DualBlock(nn.Module):
         B, H, W, C = x.shape
         # spatial block
         x = DWConv(self.dim, self.dtype, name="s_cpe1")(x)
-        h = nn.LayerNorm(dtype=jnp.float32, name="s_norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="s_norm1")(x).astype(self.dtype)
         x = x + WindowAttention(self.dim, self.num_heads, self.window_size,
                                 self.dtype, name="s_attn")(h)
         x = DWConv(self.dim, self.dtype, name="s_cpe2")(x)
-        h = nn.LayerNorm(dtype=jnp.float32, name="s_norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="s_norm2")(x).astype(self.dtype)
         x = x + self._mlp(h, "s_mlp")
         # channel block
         x = DWConv(self.dim, self.dtype, name="c_cpe1")(x)
-        h = nn.LayerNorm(dtype=jnp.float32, name="c_norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="c_norm1")(x).astype(self.dtype)
         flat = h.reshape(B, H * W, C)
         x = x + ChannelAttention(
             self.dim, self.groups, self.dtype, name="c_attn"
         )(flat).reshape(B, H, W, C)
         x = DWConv(self.dim, self.dtype, name="c_cpe2")(x)
-        h = nn.LayerNorm(dtype=jnp.float32, name="c_norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="c_norm2")(x).astype(self.dtype)
         x = x + self._mlp(h, "c_mlp")
         return x
 
@@ -163,13 +170,13 @@ class DaViT(nn.Module):
             else:
                 x = nn.Conv(self.embed_dims[s], (2, 2), strides=(2, 2),
                             dtype=self.dtype, name=f"patch_embed{s}")(x)
-            x = nn.LayerNorm(dtype=jnp.float32, name=f"embed_norm{s}")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"embed_norm{s}")(x).astype(self.dtype)
             for b in range(self.depths[s]):
                 x = DualBlock(
                     self.embed_dims[s], self.num_heads[s], self.num_groups[s],
                     self.window_size, self.mlp_ratio, self.dtype,
                     name=f"stage{s}_block{b}",
                 )(x)
-            out = nn.LayerNorm(dtype=jnp.float32, name=f"norm{s}")(x)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm{s}")(x)
             outs[f"res{s + 2}"] = out.astype(self.dtype)
         return outs

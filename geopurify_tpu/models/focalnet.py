@@ -24,6 +24,13 @@ from geopurify_tpu.models.layers import Mlp
 Dtype = Any
 
 
+def _gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default; flax nn.gelu defaults to
+    the tanh approximation (~1e-3 abs divergence, torch-oracle-pinned)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+
 class PatchEmbed(nn.Module):
     """Overlapped conv patch embedding: stem 7x7/4 pad2, else 3x3/2 pad1 (+LN)."""
 
@@ -43,7 +50,7 @@ class PatchEmbed(nn.Module):
             dtype=self.dtype, name="proj",
         )(x)
         if self.use_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return x
 
 
@@ -71,9 +78,9 @@ class FocalModulation(nn.Module):
                 C, (k, k), padding="SAME", feature_group_count=C, use_bias=False,
                 dtype=self.dtype, name=f"focal_layers{level}",
             )(ctx)
-            ctx = nn.gelu(ctx)
+            ctx = _gelu_exact(ctx)
             ctx_all = ctx_all + ctx * gates[..., level : level + 1]
-        ctx_global = nn.gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True))
+        ctx_global = _gelu_exact(jnp.mean(ctx, axis=(1, 2), keepdims=True))
         ctx_all = ctx_all + ctx_global * gates[..., self.focal_level :]
         if self.scaling_modulator:
             ctx_all = ctx_all / (self.focal_level + 1)
@@ -81,7 +88,7 @@ class FocalModulation(nn.Module):
         modulator = nn.Conv(C, (1, 1), dtype=self.dtype, name="h")(ctx_all)
         out = q * modulator
         if self.use_postln_in_modulation:
-            out = nn.LayerNorm(dtype=jnp.float32, name="ln")(out).astype(self.dtype)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(out).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -111,7 +118,7 @@ class FocalModulationBlock(nn.Module):
             )
         shortcut = x
         if not self.use_postln:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = FocalModulation(
             self.dim, self.focal_level, self.focal_window,
             scaling_modulator=self.scaling_modulator,
@@ -119,11 +126,11 @@ class FocalModulationBlock(nn.Module):
             dtype=self.dtype, name="modulation",
         )(x)
         if self.use_postln:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = shortcut + gamma_1 * x
 
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")
-        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         if self.use_postln:
             x = x + gamma_2 * norm2(mlp(x)).astype(self.dtype)
         else:
@@ -213,7 +220,7 @@ class FocalNet(nn.Module):
                 name=f"layers{i}_blocks",
             )(x, None)
             if i in self.out_indices:
-                out = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(x)
+                out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm{i}")(x)
                 outs[f"res{i + 2}"] = out.astype(self.dtype)
             if i < num_layers - 1:
                 x = PatchEmbed(

@@ -239,13 +239,20 @@ class TextTransformerBlock(nn.Module):
     def __call__(self, x, causal_mask):
         from geopurify_tpu.models.layers import MultiHeadAttention
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
+        # the reference tower's LayerNorm uses eps=1e-12 (TF-style, its own
+        # LayerNorm class) and the MLP uses CLIP's QuickGELU x*sigmoid(1.702x)
+        # — both torch-oracle-pinned (LangEncoder/transformer.py:21-41)
+        h = nn.LayerNorm(
+            epsilon=1e-12, dtype=jnp.float32, name="ln_1"
+        )(x).astype(self.dtype)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(
             h, h, h, mask=causal_mask
         )
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        h = nn.LayerNorm(
+            epsilon=1e-12, dtype=jnp.float32, name="ln_2"
+        )(x).astype(self.dtype)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_c_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = h * jax.nn.sigmoid(1.702 * h)          # QuickGELU
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
         return x + h
 
@@ -277,7 +284,9 @@ class TextTransformer(nn.Module):
             x = TextTransformerBlock(
                 self.width, self.heads, self.dtype, name=f"resblocks{i}"
             )(x, causal)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x).astype(self.dtype)
+        return nn.LayerNorm(
+            epsilon=1e-12, dtype=jnp.float32, name="ln_final"
+        )(x).astype(self.dtype)
 
 
 class LanguageEncoder(nn.Module):

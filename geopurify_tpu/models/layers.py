@@ -8,12 +8,14 @@ with f32 params.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -43,7 +45,8 @@ def position_embedding_sine(
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
-    act: Callable = nn.gelu
+    # torch nn.GELU default = exact erf (flax nn.gelu defaults to tanh-approx)
+    act: Callable = functools.partial(nn.gelu, approximate=False)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -123,7 +126,7 @@ class SelfAttentionLayer(nn.Module):
                 q, k, x, mask=tgt_mask
             )
 
-        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
         if self.pre_norm:
             return tgt + attn_block(norm(tgt))
         return norm(tgt + attn_block(tgt)).astype(self.dtype)
@@ -144,7 +147,7 @@ class CrossAttentionLayer(nn.Module):
                 q, k, memory, mask=memory_mask
             )
 
-        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
         if self.pre_norm:
             return tgt + attn_block(norm(tgt))
         return norm(tgt + attn_block(tgt)).astype(self.dtype)
@@ -164,7 +167,7 @@ class FFNLayer(nn.Module):
             y = self.act(y)
             return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
 
-        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
         if self.pre_norm:
             return x + ffn(norm(x))
         return norm(x + ffn(x)).astype(self.dtype)
@@ -185,8 +188,8 @@ class TransformerEncoderLayer(nn.Module):
             q = k = x if pos is None else x + pos
             return MultiHeadAttention(self.dim, self.num_heads, self.dtype, name="self_attn")(q, k, x)
 
-        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
 
         def ffn(y):
             y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="linear1")(y)
@@ -222,7 +225,7 @@ class ConvGN(nn.Module):
         )(x)
         if self.use_gn:
             groups = math.gcd(32, self.features)  # 32 in production; tiny test dims divide down
-            x = nn.GroupNorm(num_groups=groups, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -239,16 +242,61 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear")
 
 
-def resize_bicubic_antialias(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Bicubic resize with antialiasing on downscale — the semantics of the
-    reference's F.interpolate(mode='bicubic', antialias=True)
-    (affinity_module.py:527-533, interface/xdecoder.py:448-452).
+def _torch_cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Cubic convolution kernel. torch's ANTIALIAS bicubic uses the PIL
+    convention a=-0.5 (oracle-verified: a=-0.75 is only the non-AA path)."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
 
-    jax.image.resize('cubic') uses the Keys kernel (a=-0.5) vs torch's a=-0.75;
-    the resulting masks agree after the 0.5-sigmoid threshold (validated in
-    tests against scipy oracles).
+
+@functools.lru_cache(maxsize=64)
+def _aa_resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] weights of torch's _upsample_bicubic2d_aa along one axis.
+
+    ATen's separable antialias path (PIL-style; UpSampleKernel.h): source
+    center = scale*(i+0.5); kernel a=-0.5 stretched by max(scale, 1) (only
+    widens on downscale); window clipped to bounds and renormalized — which is
+    also how the borders differ from classic 4-tap + clamp. Verified exact
+    against torch for up- AND downscale (tests/test_torch_parity.py).
+    """
+    scale = in_size / out_size
+    support_scale = max(scale, 1.0)
+    support = 2.0 * support_scale
+    W = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        center = scale * (i + 0.5)
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        j = np.arange(lo, hi)
+        w = _torch_cubic((j - center + 0.5) / support_scale)
+        s = w.sum()
+        if s != 0:
+            w = w / s
+        W[i, lo:hi] = w
+    return W.astype(np.float32)
+
+
+def resize_bicubic_antialias(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bicubic resize, exact to the reference's F.interpolate(mode='bicubic',
+    align_corners=False, antialias=True) (affinity_module.py:527-533,
+    interface/xdecoder.py:459) — torch-oracle-pinned in tests/test_torch_parity.
+
+    TPU-native formulation: the separable resample is two dense matmuls with
+    host-precomputed [out, in] weight matrices (static shapes, cached), which
+    ride the MXU instead of gather pipelines.
     """
     b, h, w, c = x.shape
-    return jax.image.resize(
-        x.astype(jnp.float32), (b, out_hw[0], out_hw[1], c), method="cubic", antialias=True
-    ).astype(x.dtype)
+    Wh = jnp.asarray(_aa_resize_weights(h, out_hw[0]))
+    Ww = jnp.asarray(_aa_resize_weights(w, out_hw[1]))
+    y = jnp.einsum(
+        "Hh,bhwc->bHwc", Wh, x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum(
+        "Ww,bhwc->bhWc", Ww, y, preferred_element_type=jnp.float32
+    )
+    return y.astype(x.dtype)

@@ -79,12 +79,12 @@ class MSDeformAttnEncoderLayer(nn.Module):
         loc = ref_points[None, :, None, :, None, :] + offsets / wh[None, None, None, :, None, :]
         out = ms_deform_attn(value, spatial_shapes, loc, attn)  # [B, L, C]
         src = src + nn.Dense(C, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
-        src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src).astype(self.dtype)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(src).astype(self.dtype)
 
         h = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dense(C, dtype=self.dtype, name="linear2")(h)
-        src = nn.LayerNorm(dtype=jnp.float32, name="norm2")(src + h).astype(self.dtype)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(src + h).astype(self.dtype)
         return src
 
 

@@ -126,7 +126,7 @@ class SEEMHead(nn.Module):
             (C, self.dim_proj),
         )
         mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
-        decoder_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="decoder_norm")
 
         # interactive query slots + pos/neg indicator (seem_v0.py:285-289, 260)
         spatial_query = self.param("spatial_query", nn.initializers.normal(1.0), (1, C))
@@ -290,3 +290,325 @@ class SEEMHead(nn.Module):
         if has_grounding:
             out["grounding_masks"] = gm
         return out
+
+
+class SEEMHeadV1(nn.Module):
+    """SEEM v1 decoder semantics (reference architectures/seem_model_v1.py +
+    interface/seem_v1.py:201-352) on top of the v0 group structure:
+
+    - **mask-as-spatial-query**: the spatial query slot initializes from the
+      MEAN of mask_features sampled at the positive prompt points (projected
+      to hidden), not from a bare learned embedding (seem_v1.py:225-232
+      ``spatial_query_pos`` point_sample + mean);
+    - **pos AND neg prompt masks**: points carry a ±1 indicator summed into
+      the per-level sampled tokens (seem_v1.py:258-267);
+    - **spatial memory**: the previous round's predicted mask joins as one
+      extra memory token — mask-sigmoid-weighted mean of mask_features —
+      letting round k attend to round k-1's prediction
+      (seem_model_v1.py evaluate_interactive: ``extra.update(outputs)`` +
+      the decoder's 'memories_spatial' group).
+
+    Per-round point RESAMPLING is the caller's job (host rng —
+    ``interactive_refine``), matching the reference's rand_sample-per-forward.
+    """
+
+    hidden_dim: int = 512
+    dim_proj: int = 512
+    num_queries: int = 101
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    mask_dim: int = 512
+    max_spatial_tokens: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        multi_scale: List[jax.Array],       # 3 NHWC maps, lowest-res first
+        mask_features: jax.Array,           # [B, H4, W4, mask_dim]
+        text_embeddings: jax.Array,         # [n_cls, dim_proj]
+        logit_scale: jax.Array,
+        spatial_points: jax.Array,          # [B, S, 2] norm (y, x)
+        spatial_valid: jax.Array,           # [B, S] bool
+        spatial_posneg: jax.Array,          # [B, S] +1 pos / -1 neg
+        prev_mask: Optional[jax.Array] = None,  # [B, H4, W4] logits (round k-1)
+    ) -> Dict[str, jax.Array]:
+        B = mask_features.shape[0]
+        Q = self.num_queries
+        C = self.hidden_dim
+        S = self.max_spatial_tokens
+        num_levels = len(multi_scale)
+        has_memory = prev_mask is not None
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (num_levels, C)
+        )
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0), (Q, C))
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, C))
+        class_proj = self.param(
+            "class_embed", nn.initializers.truncated_normal(0.02),
+            (C, self.dim_proj),
+        )
+        mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                    name="decoder_norm")
+        spatial_qpe = self.param("spatial_query_pe", nn.initializers.normal(1.0), (1, C))
+        pn_indicator = self.param("pn_indicator", nn.initializers.normal(0.02), (2, C))
+        # mask-feature -> hidden projections: one for the query init, one for
+        # the spatial-memory token
+        mf_proj = self.param(
+            "mask_feat_proj", nn.initializers.truncated_normal(0.02),
+            (mask_features.shape[-1], C),
+        )
+        mem_proj = self.param(
+            "memory_proj", nn.initializers.truncated_normal(0.02),
+            (mask_features.shape[-1], C),
+        )
+
+        srcs, poss, sizes = [], [], []
+        for i, x in enumerate(multi_scale):
+            b, h, w, c = x.shape
+            sizes.append((h, w))
+            pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
+            poss.append(jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C))
+            srcs.append(
+                x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype)
+            )
+
+        mf = mask_features.astype(jnp.float32)
+        Hm, Wm = mf.shape[1:3]
+        pts = spatial_points.astype(jnp.float32)
+
+        def sample_map(fmap_b, pts_b, h, w):
+            ys = pts_b[:, 0] * h - 0.5
+            xs = pts_b[:, 1] * w - 0.5
+            return bilinear_sample(fmap_b, xs, ys)                  # [S, C']
+
+        # mask-as-spatial-query init: mean of mask_features at POSITIVE points
+        mf_at = jax.vmap(lambda fb, p: sample_map(fb, p, Hm, Wm))(mf, pts)
+        pos_w = (spatial_valid & (spatial_posneg > 0)).astype(jnp.float32)
+        pos_mean = jnp.einsum("bs,bsc->bc", pos_w, mf_at) / jnp.maximum(
+            jnp.sum(pos_w, axis=1, keepdims=True), 1.0
+        )
+        spatial_query0 = (pos_mean @ mf_proj)[:, None]              # [B,1,C]
+
+        # per-level spatial tokens (resampled features at the SAME host-drawn
+        # points; ±1 indicator added, seem_v1.py:258-267)
+        spatial_tokens_by_level = []
+        for i, x in enumerate(multi_scale):
+            b, h, w, c = x.shape
+            proj = self.param(
+                f"mask_spatial_embed{i}",
+                nn.initializers.truncated_normal(0.02), (c, C),
+            )
+            feat = x.astype(jnp.float32) @ proj
+            tok = jax.vmap(lambda fb, p: sample_map(fb, p, h, w))(feat, pts)
+            tag = jnp.where(
+                (spatial_posneg > 0)[..., None],
+                pn_indicator[0][None, None], pn_indicator[1][None, None],
+            )
+            tok = jnp.where(spatial_valid[..., None], tok + tag, 0.0)
+            spatial_tokens_by_level.append(tok.astype(self.dtype))
+
+        # spatial memory token from the previous round's mask
+        n_mem = 1 if has_memory else 0
+        if has_memory:
+            pm = jax.nn.sigmoid(prev_mask.astype(jnp.float32))      # [B,H4,W4]
+            mem = jnp.einsum("bhw,bhwc->bc", pm, mf) / jnp.maximum(
+                jnp.sum(pm, axis=(1, 2))[:, None], 1.0
+            )
+            mem_tok = (mem @ mem_proj)[:, None]                     # [B,1,C]
+
+        # layout: [Q obj | 1 spatial query | S spatial tokens | n_mem memory]
+        n_tok = S + n_mem
+        L = Q + 1 + n_tok
+        base_mask = _seem_self_attn_mask(Q, 1, n_tok)
+        sp_q, sp_t0 = Q, Q + 1
+        base_mask[sp_q, sp_q] = False
+        base_mask[sp_q, sp_t0:sp_t0 + S + n_mem] = False            # sees memory too
+        base_mask[sp_t0:sp_t0 + S, sp_t0:sp_t0 + S] = False
+        if has_memory:
+            base_mask[sp_t0 + S, sp_t0 + S] = False
+        base = jnp.asarray(base_mask)[None, None]
+
+        tok_valid = jnp.concatenate(
+            [jnp.ones((B, Q + 1), bool), spatial_valid]
+            + ([jnp.ones((B, 1), bool)] if has_memory else []),
+            axis=1,
+        )
+        self_mask = base | (~tok_valid)[:, None, None, :]
+
+        text_t = text_embeddings.astype(jnp.float32)
+
+        def prediction_heads(output, target_size):
+            dec = decoder_norm(output).astype(jnp.float32)
+            obj = dec[:, :Q]
+            class_embed = obj @ class_proj
+            v = class_embed / (
+                jnp.linalg.norm(class_embed, axis=-1, keepdims=True) + 1e-7
+            )
+            outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
+            m_emb = mask_mlp(dec.astype(self.dtype)).astype(jnp.float32)
+            masks_all = jnp.einsum("blc,bhwc->blhw", m_emb, mf)
+            obj_masks = masks_all[:, :Q]
+            sp_mask = masks_all[:, sp_q]
+
+            am = resize_bicubic_antialias(
+                obj_masks.transpose(0, 2, 3, 1), target_size
+            ).transpose(0, 3, 1, 2)
+            am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5
+            all_blocked = jnp.all(am, axis=-1, keepdims=True)
+            am = am & ~all_blocked
+            extra = jnp.zeros((B, L - Q, am.shape[-1]), bool)
+            attn_mask = jnp.concatenate([am, extra], axis=1)[:, None]
+            return outputs_class, obj_masks, sp_mask, attn_mask
+
+        parts = [
+            jnp.broadcast_to(query_feat[None], (B, Q, C)),
+            spatial_query0,
+            spatial_tokens_by_level[0],
+        ]
+        pe_parts = [
+            jnp.broadcast_to(query_embed[None], (B, Q, C)),
+            jnp.broadcast_to(spatial_qpe[None], (B, 1, C)),
+            jnp.zeros((B, S, C)),
+        ]
+        if has_memory:
+            parts.append(mem_tok)
+            pe_parts.append(jnp.zeros((B, 1, C)))
+        output = jnp.concatenate(parts, axis=1).astype(self.dtype)
+        qpe = jnp.concatenate(pe_parts, axis=1).astype(self.dtype)
+
+        oc, om, sm, attn_mask = prediction_heads(output, sizes[0])
+        for i in range(self.dec_layers):
+            level = i % num_levels
+            output = output.at[:, sp_t0:sp_t0 + S].set(
+                spatial_tokens_by_level[level]
+            )
+            output = CrossAttentionLayer(
+                C, self.nheads, False, self.dtype, name=f"cross_attn{i}",
+            )(output, srcs[level], memory_mask=attn_mask,
+              pos=poss[level], query_pos=qpe)
+            output = SelfAttentionLayer(
+                C, self.nheads, False, self.dtype, name=f"self_attn{i}"
+            )(output, query_pos=qpe, tgt_mask=self_mask)
+            output = FFNLayer(
+                C, self.dim_feedforward, False, dtype=self.dtype, name=f"ffn{i}",
+            )(output)
+            oc, om, sm, attn_mask = prediction_heads(
+                output, sizes[(i + 1) % num_levels]
+            )
+
+        return {"pred_logits": oc, "pred_masks": om, "prev_mask": sm}
+
+
+# ---------------------------------------------------------------------------
+# v1 interactive refinement (host loop)
+# ---------------------------------------------------------------------------
+
+def prepare_next_spatial_mask(
+    pred_mask: np.ndarray,   # [H, W] sigmoid>0.5 bool prediction
+    gt_mask: np.ndarray,     # [H, W] bool
+    pos_mask: np.ndarray,    # [H, W] bool accumulated positive prompts
+    neg_mask: np.ndarray,    # [H, W] bool accumulated negative prompts
+    rng: Optional[np.random.Generator] = None,
+    mode: str = "best",
+    dilation: int = 3,
+    iou_stop: float = 0.925,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Next-click selection (seem_model_v1.py:963-1013): pick the point
+    deepest inside the larger error region (FN -> positive click, FP ->
+    negative), via euclidean distance transform, dilate 3x3, OR into the
+    prompt masks. Returns (pos_mask, neg_mask, iou)."""
+    from scipy import ndimage
+
+    prev = pos_mask | neg_mask
+    fn = gt_mask & ~pred_mask & ~prev
+    fp = ~gt_mask & pred_mask & ~prev
+    inter = (gt_mask & pred_mask).sum()
+    union = (gt_mask | pred_mask).sum()
+    iou = float(inter) / (float(union) + 1e-8)
+    is_positive = fn.sum() > fp.sum()
+    select = fn if is_positive else fp
+    if iou >= iou_stop or not select.any():
+        return pos_mask, neg_mask, iou
+    # distance INTO the selected error region (pad so borders count)
+    dt = ndimage.distance_transform_edt(
+        np.pad(select, 1, constant_values=False)
+    )[1:-1, 1:-1].reshape(-1)
+    if mode == "best":
+        idx = int(np.argmax(dt))
+    else:  # best_random
+        cand = np.nonzero(dt > 0)[0]
+        idx = int((rng or np.random.default_rng()).choice(cand))
+    click = np.zeros(select.shape, bool).reshape(-1)
+    click[idx] = True
+    click = click.reshape(select.shape)
+    click = ndimage.binary_dilation(click, np.ones((dilation, dilation), bool))
+    if is_positive:
+        pos_mask = pos_mask | click
+    else:
+        neg_mask = neg_mask | click
+    return pos_mask, neg_mask, iou
+
+
+def points_from_masks(
+    pos_mask: np.ndarray, neg_mask: np.ndarray, budget: int,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side per-round resampling: up to ``budget`` normalized (y, x)
+    points drawn from pos∪neg masks with ±1 tags (≙ rand_sample per forward,
+    seem_v1.py:225-267)."""
+    H, W = pos_mask.shape
+    pts = np.zeros((budget, 2), np.float32)
+    valid = np.zeros(budget, bool)
+    tags = np.ones(budget, np.int32)
+    entries = []
+    for m, tag in ((pos_mask, 1), (neg_mask, -1)):
+        ys, xs = np.nonzero(m)
+        for y, x in zip(ys, xs):
+            entries.append((y, x, tag))
+    if entries:
+        entries = np.asarray(entries)
+        take = min(len(entries), budget)
+        sel = (rng.choice(len(entries), take, replace=False)
+               if len(entries) > budget else np.arange(len(entries)))
+        chosen = entries[sel]
+        pts[:take, 0] = (chosen[:, 0] + 0.5) / H
+        pts[:take, 1] = (chosen[:, 1] + 0.5) / W
+        tags[:take] = chosen[:, 2]
+        valid[:take] = True
+    return pts, valid, tags
+
+
+def interactive_refine(
+    apply_fn,                 # (points, valid, tags, prev_mask|None) -> out dict
+    gt_mask: np.ndarray,      # [H4, W4] bool (mask-feature grid)
+    init_pos: np.ndarray,     # [H4, W4] bool initial click/mask
+    budget: int = 64,
+    iters: int = 10,
+    seed: int = 0,
+    iou_stop: float = 0.9,
+) -> Tuple[np.ndarray, List[float]]:
+    """The v1 evaluate_interactive loop (seem_model_v1.py:439-516): forward ->
+    IoU -> next click -> repeat, with the previous mask as spatial memory.
+    Returns (final mask logits [H4, W4], per-round IoUs)."""
+    rng = np.random.default_rng(seed)
+    pos, neg = init_pos.copy(), np.zeros_like(init_pos)
+    prev = None
+    ious: List[float] = []
+    last = None
+    for _ in range(iters):
+        pts, valid, tags = points_from_masks(pos, neg, budget, rng)
+        out = apply_fn(pts, valid, tags, prev)
+        last = np.asarray(out["prev_mask"][0])                     # [H4, W4]
+        pred = 1.0 / (1.0 + np.exp(-last)) > 0.5
+        pos, neg, iou = prepare_next_spatial_mask(
+            pred, gt_mask, pos, neg, rng=rng, iou_stop=iou_stop
+        )
+        ious.append(iou)
+        prev = out["prev_mask"]
+        if iou >= iou_stop:
+            break
+    return last, ious

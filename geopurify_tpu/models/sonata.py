@@ -41,6 +41,13 @@ from geopurify_tpu.ops.voxelize import voxelize_points
 Dtype = Any
 
 
+def _gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default; flax nn.gelu defaults to
+    the tanh approximation (~1e-3 abs divergence, torch-oracle-pinned)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+
 # ---------------------------------------------------------------------------
 # Serialization
 # ---------------------------------------------------------------------------
@@ -160,15 +167,15 @@ class PointBlock(nn.Module):
         h = nn.Dense(self.dim, dtype=self.dtype, name="cpe_fc")(h)
         # PTv3 passes the Block's (Layer)norm into cpe; BN only appears in the
         # embedding/pooling sites, so cpe_norm is unconditionally LN
-        h = nn.LayerNorm(dtype=jnp.float32, name="cpe_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="cpe_norm")(h)
         x = x + h.astype(self.dtype)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + PatchAttention(
             self.dim, self.num_heads, self.patch_size, self.dtype, name="attn"
         )(h, perm, valid)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = _gelu_exact(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         x = x + h
         return jnp.where(valid[:, None], x, 0)
@@ -247,7 +254,7 @@ class SonataEncoder(nn.Module):
         else:
             x = nn.Dense(C0, dtype=self.dtype, name="embed")(feats.astype(self.dtype))
         x = NormOrAffine(self.aux_norm_affine_only, name="embed_norm")(x)
-        x = nn.gelu(x).astype(self.dtype)
+        x = _gelu_exact(x).astype(self.dtype)
 
         levels: List[StageLevel] = []
         cur_coords, cur_valid = coords, valid
@@ -304,7 +311,7 @@ class SonataEncoder(nn.Module):
                         proj.astype(jnp.float32), inv, num_segments=M_next
                     ).astype(self.dtype)
                 x = NormOrAffine(self.aux_norm_affine_only, name=f"pool_norm{s}")(pooled)
-                x = nn.gelu(x).astype(self.dtype)
+                x = _gelu_exact(x).astype(self.dtype)
                 x = jnp.where(dv.voxel_valid[:, None], x, 0)
                 cur_coords, cur_valid = dv.voxel_coords, dv.voxel_valid
                 pooling_inverse = jnp.minimum(inv, M_next - 1)  # safe gather; pad rows masked

@@ -23,6 +23,13 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default; flax nn.gelu defaults to
+    the tanh approximation (~1e-3 abs divergence, torch-oracle-pinned)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+
 def _rel_pos_bias(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
     """[q_size, k_size, C] decomposed relative positions (vit.py:301-331);
     assumes q_size == k_size (the backbone's case), table len 2*size-1."""
@@ -86,7 +93,7 @@ class ViTBlock(nn.Module):
     def __call__(self, x):  # [B,H,W,C]
         B, H, W, C = x.shape
         shortcut = x
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         ws = self.window_size
         if ws > 0:
             ph, pw = (-H) % ws, (-W) % ws
@@ -105,9 +112,9 @@ class ViTBlock(nn.Module):
             x = x.reshape(B, nh, nw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
             x = x.reshape(B, Hp, Wp, C)[:, :H, :W]
         x = shortcut + x
-        h2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h2 = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h2)
-        h2 = nn.gelu(h2)
+        h2 = _gelu_exact(h2)
         h2 = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h2)
         return x + h2
 
@@ -122,33 +129,33 @@ class SimpleFPN(nn.Module):
     @nn.compact
     def __call__(self, x) -> Dict[str, jax.Array]:  # [B, H16, W16, C]
         def gn(y, name):
-            return nn.GroupNorm(num_groups=1, dtype=jnp.float32, name=name)(y).astype(self.dtype)
+            return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32, name=name)(y).astype(self.dtype)
 
         c4 = max(self.out_dims[0] * 2, self.in_dim // 2)
         y = nn.ConvTranspose(c4, (2, 2), strides=(2, 2), dtype=self.dtype,
                              name="d4_up1")(x)
-        y = nn.gelu(gn(y, "d4_gn1"))
+        y = _gelu_exact(gn(y, "d4_gn1"))
         y = nn.ConvTranspose(c4 // 2, (2, 2), strides=(2, 2), dtype=self.dtype,
                              name="d4_up2")(y)
         y = gn(y, "d4_gn2")
         y = nn.Conv(self.out_dims[0], (1, 1), dtype=self.dtype, name="d4_out")(y)
-        res2 = nn.gelu(gn(y, "d4_gn3"))
+        res2 = _gelu_exact(gn(y, "d4_gn3"))
 
         c8 = max(self.out_dims[1], self.in_dim // 2)
         y = nn.ConvTranspose(c8, (2, 2), strides=(2, 2), dtype=self.dtype,
                              name="d8_up")(x)
         y = gn(y, "d8_gn1")
         y = nn.Conv(self.out_dims[1], (1, 1), dtype=self.dtype, name="d8_out")(y)
-        res3 = nn.gelu(gn(y, "d8_gn2"))
+        res3 = _gelu_exact(gn(y, "d8_gn2"))
 
         y = nn.Conv(self.out_dims[2], (1, 1), dtype=self.dtype, name="d16_out")(x)
-        res4 = nn.gelu(gn(y, "d16_gn"))
+        res4 = _gelu_exact(gn(y, "d16_gn"))
 
         c32 = max(self.out_dims[3], self.in_dim * 2)
         y = nn.Conv(c32, (2, 2), strides=(2, 2), dtype=self.dtype, name="d32_down")(x)
         y = gn(y, "d32_gn1")
         y = nn.Conv(self.out_dims[3], (1, 1), dtype=self.dtype, name="d32_out")(y)
-        res5 = nn.gelu(gn(y, "d32_gn2"))
+        res5 = _gelu_exact(gn(y, "d32_gn2"))
         return {"res2": res2, "res3": res3, "res4": res4, "res5": res5}
 
 

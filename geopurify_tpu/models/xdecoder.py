@@ -91,7 +91,7 @@ class XDecoderHead(nn.Module):
             (C, self.dim_proj),
         )
         mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
-        decoder_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="decoder_norm")
 
         srcs, poss, sizes = [], [], []
         for i, x in enumerate(multi_scale):
@@ -132,9 +132,11 @@ class XDecoderHead(nn.Module):
             # unmask rows that block everything (xdecoder.py:262)
             all_blocked = jnp.all(am, axis=-1, keepdims=True)
             am = am & ~all_blocked
-            # class token attends everywhere (xdecoder.py:460)
-            q_is_cls = (jnp.arange(Q) == Q - 1)[None, :, None]
-            am = am & ~q_is_cls
+            # NOTE the reference's "fill False for cls token" (xdecoder.py:467,
+            # attn_mask[:, num_queries:num_queries+1]) slices PAST the last row
+            # — an empty slice, so the cls token is mask-gated like any object
+            # query. Torch-oracle-pinned; an earlier unmask here shifted
+            # cls_logits by ~7e-3.
             attn_mask = am[:, None]                                   # [B,1,Q,HW]
             return outputs_class, outputs_mask, class_embed, attn_mask
 

@@ -1,0 +1,247 @@
+"""Jax-side counterpart of parity.oracle: convert + run + diff per stage.
+
+Each ``parity_<stage>`` runs the torch oracle (reference code, seeded random
+weights), converts its state dict through utils/convert_xdecoder.py, applies
+the flax rebuild to the SAME inputs, and returns {stage: (max_abs, rel)} rows.
+rel = max|a-b| / max|b| — the VERDICT target is rel < 1e-4 in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _diff(ours: np.ndarray, theirs: np.ndarray) -> Tuple[float, float]:
+    a = np.asarray(ours, np.float32)
+    b = np.asarray(theirs, np.float32)
+    assert a.shape == b.shape, f"shape {a.shape} vs {b.shape}"
+    d = float(np.max(np.abs(a - b))) if a.size else 0.0
+    return d, d / (float(np.max(np.abs(b))) + 1e-12)
+
+
+def parity_focalnet(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.focalnet import FocalNet
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_focalnet
+
+    kw = oracle.FOCAL_FULL if size == "full" else oracle.FOCAL_SMALL
+    hw = (484, 648) if size == "full" else (64, 96)
+    ref = oracle.focalnet_oracle(image_hw=hw, **kw)
+    params = convert_focalnet(ref["sd"], "backbone", ref["depths"])
+    model = FocalNet(
+        embed_dim=kw["embed_dim"], depths=ref["depths"],
+        focal_levels=(4, 4, 4, 4), focal_windows=(3, 3, 3, 3),
+        dtype=jnp.float32,
+    )
+    outs = model.apply({"params": params}, jnp.asarray(ref["input_nhwc"]))
+    return {
+        f"focalnet/{k}": _diff(np.asarray(outs[k]), v)
+        for k, v in ref["acts"].items()
+    }
+
+
+def parity_pixel_decoder(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.pixel_decoder import TransformerEncoderPixelDecoder
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_pixel_decoder
+
+    if size == "full":
+        kw = dict(base_hw=(121, 162), channels=(192, 384, 768, 1536),
+                  conv_dim=512, mask_dim=512, enc_layers=6, nheads=8,
+                  dim_feedforward=2048)
+    else:
+        kw = dict()
+    ref = oracle.pixel_decoder_oracle(**kw)
+    params = convert_pixel_decoder(
+        ref["sd"], "sem_seg_head.pixel_decoder", ref["enc_layers"]
+    )
+    conv_dim = kw.get("conv_dim", 32)
+    model = TransformerEncoderPixelDecoder(
+        conv_dim=conv_dim, mask_dim=kw.get("mask_dim", 32),
+        num_enc_layers=ref["enc_layers"], num_heads=kw.get("nheads", 8),
+        dim_feedforward=kw.get("dim_feedforward", 64), dtype=jnp.float32,
+    )
+    feats = {k: jnp.asarray(v) for k, v in ref["inputs_nhwc"].items()}
+    mask_features, transformer_features, multi_scale = model.apply(
+        {"params": params}, feats
+    )
+    rows = {
+        "pixel_decoder/mask_features": _diff(
+            np.asarray(mask_features), ref["mask_features"]
+        ),
+        "pixel_decoder/transformer_features": _diff(
+            np.asarray(transformer_features), ref["transformer_features"]
+        ),
+    }
+    for i, (a, b) in enumerate(zip(multi_scale, ref["multi_scale"])):
+        rows[f"pixel_decoder/multi_scale{i}"] = _diff(np.asarray(a), b)
+    return rows
+
+
+def parity_head(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.xdecoder import XDecoderHead
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_predictor
+
+    if size == "full":
+        kw = dict(base_hw=(121, 162), conv_dim=512, mask_dim=512,
+                  hidden_dim=512, dim_proj=512, num_queries=201, nheads=8,
+                  dim_feedforward=2048, dec_layers=9, n_text=8)
+    else:
+        kw = dict()
+    ref = oracle.xdecoder_head_oracle(**kw)
+    params = convert_predictor(
+        ref["sd"], "sem_seg_head.predictor", ref["dec_layers"]
+    )
+    model = XDecoderHead(
+        hidden_dim=kw.get("hidden_dim", 32), dim_proj=kw.get("dim_proj", 32),
+        num_queries=kw.get("num_queries", 13), nheads=kw.get("nheads", 4),
+        dim_feedforward=kw.get("dim_feedforward", 64),
+        dec_layers=ref["dec_layers"], mask_dim=kw.get("mask_dim", 32),
+        dtype=jnp.float32,
+    )
+    out = model.apply(
+        {"params": params},
+        [jnp.asarray(t) for t in ref["multi_scale_nhwc"]],
+        jnp.asarray(ref["mask_features_nhwc"]),
+        jnp.asarray(ref["text"]),
+        jnp.float32(ref["logit_scale"]),
+    )
+    return {
+        "head/pred_logits": _diff(np.asarray(out["pred_logits"]), ref["pred_logits"]),
+        "head/cls_logits": _diff(np.asarray(out["cls_logits"]), ref["cls_logits"]),
+        "head/pred_masks": _diff(np.asarray(out["pred_masks"]), ref["pred_masks"]),
+        "head/mask_embed": _diff(np.asarray(out["mask_embed"]), ref["mask_embed"]),
+    }
+
+
+def parity_lang(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.lang import LanguageEncoder
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_lang_encoder
+
+    if size == "full":
+        kw = dict(vocab_size=49408, width=512, layers=12, heads=8,
+                  dim_proj=512, n_seq=8)
+    else:
+        kw = dict()
+    ref = oracle.lang_transformer_oracle(**kw)
+    params, _ = convert_lang_encoder(ref["sd"], "sem_seg_head.predictor.lang_encoder")
+    model = LanguageEncoder(
+        vocab_size=kw.get("vocab_size", 512), width=kw.get("width", 64),
+        layers=ref["layers"], heads=kw.get("heads", 4),
+        context_length=77, dim_proj=kw.get("dim_proj", 32),
+    )
+    emb = model.apply({"params": params}, jnp.asarray(ref["input_ids"]))
+    return {"lang/emb": _diff(np.asarray(emb), ref["emb"])}
+
+
+def parity_resize(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.layers import resize_bicubic_antialias
+    from geopurify_tpu.parity import oracle
+
+    rows = {}
+    # upscale (lift mask resize, affinity_module.py:527-533) and downscale
+    # (attn-mask target resize, xdecoder.py:459 — antialias matters here)
+    for name, in_hw, out_hw in [
+        ("up", (17, 23), (64, 96)), ("down", (64, 96), (17, 23)),
+    ]:
+        ref = oracle.bicubic_resize_oracle(in_hw=in_hw, out_hw=out_hw)
+        ours = resize_bicubic_antialias(jnp.asarray(ref["input_nhwc"]), out_hw)
+        rows[f"resize/bicubic_aa_{name}"] = _diff(np.asarray(ours), ref["output_nhwc"])
+    return rows
+
+
+def parity_pad(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.parity import oracle
+
+    ref = oracle.imagelist_pad_oracle(hw=(37, 53))
+    x = jnp.asarray(ref["input_hwc"])[None]
+    H, W = x.shape[1:3]
+    Hp, Wp = -(-H // 32) * 32, -(-W // 32) * 32
+    ours = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    return {"pad/imagelist32": _diff(np.asarray(ours), ref["padded_nhwc"])}
+
+
+def parity_lift(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    """Reference lift_xdecoder_features vs our lift_view_features + fuse_views
+    + fill_unseen_points on identical stubbed teacher outputs."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.lift import (
+        fill_unseen_points, fuse_views, lift_view_features,
+    )
+    from geopurify_tpu.parity import oracle
+
+    kw = dict(num_points=200, num_views=4) if size == "full" else dict()
+    ref = oracle.lift_oracle(**kw)
+    N = ref["num_points"]
+    V = len(ref["teacher"])
+    text = ref["text"] / np.linalg.norm(ref["text"], axis=-1, keepdims=True)
+    C = text.shape[1]
+    n_cls = text.shape[0]
+    Pv = max(int(ref["vis"][v].sum()) for v in range(V))
+
+    vf = np.zeros((V, Pv, C), np.float32)
+    vl = np.zeros((V, Pv, n_cls), np.float32)
+    ids = np.full((V, Pv), N, np.int32)
+    pvv = np.zeros((V, Pv), bool)
+    for v in range(V):
+        sel = np.where(ref["vis"][v])[0]
+        t = ref["teacher"][v]
+        out = lift_view_features(
+            jnp.asarray(t["pred_masks"]), jnp.asarray(t["mask_embed"]),
+            jnp.asarray(t["pred_logits"]),
+            jnp.asarray(np.pad(ref["xl"][v, sel], (0, Pv - len(sel)))),
+            jnp.asarray(np.pad(ref["yl"][v, sel], (0, Pv - len(sel)))),
+            jnp.asarray(np.arange(Pv) < len(sel)),
+            jnp.asarray(np.pad(ref["coords"][sel], ((0, Pv - len(sel)), (0, 0)))),
+            jnp.asarray(text), jnp.float32(ref["logit_scale"]),
+            tuple(ref["mask_hw"]),
+        )
+        vf[v] = np.asarray(out.features)
+        vl[v] = np.asarray(out.logits)
+        ids[v, : len(sel)] = sel
+        pvv[v, : len(sel)] = True
+
+    fused, count = fuse_views(
+        jnp.asarray(vf), jnp.asarray(vl), jnp.asarray(ids), jnp.asarray(pvv), N
+    )
+    final = fill_unseen_points(
+        fused, jnp.asarray(ref["coords"]), count, jnp.ones((N,), bool)
+    )
+    return {"lift/final_features": _diff(np.asarray(final), ref["final_features"])}
+
+
+ALL_STAGES = {
+    "pad": parity_pad,
+    "resize": parity_resize,
+    "lang": parity_lang,
+    "focalnet": parity_focalnet,
+    "pixel_decoder": parity_pixel_decoder,
+    "head": parity_head,
+    "lift": parity_lift,
+}
+
+
+def run_all(size: str = "small", stages=None) -> Dict[str, Tuple[float, float]]:
+    rows: Dict[str, Tuple[float, float]] = {}
+    for name, fn in ALL_STAGES.items():
+        if stages and name not in stages:
+            continue
+        rows.update(fn(size))
+    return rows

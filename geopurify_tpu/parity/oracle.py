@@ -1,0 +1,523 @@
+"""Torch-side oracle builders over the mounted reference X-Decoder.
+
+Each builder instantiates the actual reference module (focal.py /
+transformer_encoder_fpn.py / interface/xdecoder.py / LangEncoder/transformer.py
+— the code GeoPurify runs in production) with seeded random weights, runs it on
+a seeded input, and returns (activations, prefixed state_dict) for the jax side
+to convert (utils/convert_xdecoder.py) and diff against.
+
+Everything here is torch-only — no jax imports — so it can run while a JAX
+process owns the TPU tunnel, and so shim installation can't disturb jax.
+
+Weight randomization replaces the reference's init on purpose: LayerScale
+gammas init at 1e-4, which would scale any modulation-path converter bug below
+the comparison threshold; randomize_module_ gives every parameter O(0.02..1)
+magnitudes so layout bugs surface at full size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from geopurify_tpu.parity.shims import add_reference_to_path, install
+
+
+def _torch():
+    install()
+    add_reference_to_path()
+    import torch
+
+    return torch
+
+
+def randomize_module_(m, seed: int) -> None:
+    torch = _torch()
+    import torch.nn as nn
+
+    g = torch.Generator().manual_seed(seed)
+    seen = set()
+
+    def rnd_like(p, std):
+        return torch.randn(p.shape, generator=g, dtype=p.dtype) * std
+
+    for mod in m.modules():
+        if isinstance(mod, (nn.LayerNorm, nn.GroupNorm, nn.BatchNorm2d)):
+            if mod.weight is not None:
+                mod.weight.data = 1.0 + rnd_like(mod.weight, 0.2)
+                seen.add(id(mod.weight))
+            if mod.bias is not None:
+                mod.bias.data = rnd_like(mod.bias, 0.1)
+                seen.add(id(mod.bias))
+        elif isinstance(mod, (nn.Linear, nn.Conv2d)):
+            mod.weight.data = rnd_like(mod.weight, 0.05)
+            seen.add(id(mod.weight))
+            if mod.bias is not None:
+                mod.bias.data = rnd_like(mod.bias, 0.05)
+                seen.add(id(mod.bias))
+        elif isinstance(mod, nn.Embedding):
+            mod.weight.data = rnd_like(mod.weight, 0.05)
+            seen.add(id(mod.weight))
+        elif isinstance(mod, nn.MultiheadAttention):
+            for p in mod.parameters():
+                p.data = rnd_like(p, 0.05)
+                seen.add(id(p))
+    # bare nn.Parameters: layerscale gammas, class_embed, positional embeddings
+    for p in m.parameters():
+        if id(p) not in seen:
+            p.data = rnd_like(p, 0.5)
+
+
+def _nchw_to_nhwc(t) -> np.ndarray:
+    return np.ascontiguousarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# Stage oracles
+# ---------------------------------------------------------------------------
+
+FOCAL_SMALL = dict(embed_dim=16, depths=(1, 2, 2, 1))
+FOCAL_FULL = dict(embed_dim=192, depths=(2, 2, 18, 2))
+
+
+def focalnet_oracle(
+    image_hw: Tuple[int, int] = (64, 96),
+    embed_dim: int = 16,
+    depths: Tuple[int, ...] = (1, 2, 2, 1),
+    seed: int = 0,
+) -> Dict:
+    """Reference FocalNet (vision/backbone/focal.py:340-598, focall config:
+    conv embed, postLN, layerscale, scaling modulator, focal level 4 window 3).
+    """
+    torch = _torch()
+    from xdecoder.modeling.vision.backbone.focal import FocalNet
+
+    torch.manual_seed(seed)
+    m = FocalNet(
+        patch_size=4,
+        embed_dim=embed_dim,
+        depths=list(depths),
+        focal_levels=[4, 4, 4, 4],
+        focal_windows=[3, 3, 3, 3],
+        drop_path_rate=0.0,
+        use_conv_embed=True,
+        use_postln=True,
+        use_postln_in_modulation=False,
+        scaling_modulator=True,
+        use_layerscale=True,
+    )
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, (1, 3) + tuple(image_hw)).astype(np.float32)
+    with torch.no_grad():
+        outs = m(torch.from_numpy(x))
+    return {
+        "input_nhwc": np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
+        "acts": {k: _nchw_to_nhwc(v) for k, v in outs.items()},
+        "sd": {f"backbone.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "depths": tuple(depths),
+    }
+
+
+def pixel_decoder_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    channels: Tuple[int, ...] = (16, 32, 64, 128),
+    conv_dim: int = 32,
+    mask_dim: int = 32,
+    enc_layers: int = 2,
+    nheads: int = 8,
+    dim_feedforward: int = 64,
+    seed: int = 1,
+) -> Dict:
+    """Reference TransformerEncoderPixelDecoder (transformer_encoder_fpn.py:
+    193-322): FPN + 6-layer encoder on res5 with sine PE, GN conv norms."""
+    torch = _torch()
+    from detectron2.layers import ShapeSpec
+    from xdecoder.modeling.body.encoder.transformer_encoder_fpn import (
+        TransformerEncoderPixelDecoder,
+    )
+
+    torch.manual_seed(seed)
+    ishape = {
+        f"res{i+2}": ShapeSpec(channels=channels[i], stride=4 * 2 ** i)
+        for i in range(4)
+    }
+    m = TransformerEncoderPixelDecoder(
+        input_shape=ishape,
+        transformer_dropout=0.0,
+        transformer_nheads=nheads,
+        transformer_dim_feedforward=dim_feedforward,
+        transformer_enc_layers=enc_layers,
+        transformer_pre_norm=False,
+        conv_dim=conv_dim,
+        mask_dim=mask_dim,
+        mask_on=True,
+        norm="GN",
+    )
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    H, W = base_hw
+    feats_np = {
+        f"res{i+2}": rng.normal(
+            0, 1, (1, channels[i], H // 2 ** i, W // 2 ** i)
+        ).astype(np.float32)
+        for i in range(4)
+    }
+    feats = {k: torch.from_numpy(v) for k, v in feats_np.items()}
+    with torch.no_grad():
+        mask_features, transformer_features, multi_scale = m.forward_features(feats)
+    return {
+        "inputs_nhwc": {
+            k: np.ascontiguousarray(v.transpose(0, 2, 3, 1)) for k, v in feats_np.items()
+        },
+        "mask_features": _nchw_to_nhwc(mask_features),
+        "transformer_features": _nchw_to_nhwc(transformer_features),
+        "multi_scale": [_nchw_to_nhwc(t) for t in multi_scale],
+        "sd": {
+            f"sem_seg_head.pixel_decoder.{k}": v.numpy()
+            for k, v in m.state_dict().items()
+        },
+        "enc_layers": enc_layers,
+    }
+
+
+def _lang_adapter(text_emb_np: np.ndarray, logit_scale_log: float):
+    """Matches vlpencoder.compute_similarity (vlpencoder.py:177-183) so the
+    XDecoder head can score class embeds without the full language tower."""
+    torch = _torch()
+    import torch.nn as nn
+
+    class LangAdapter(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer(
+                "default_text_embeddings", torch.from_numpy(text_emb_np)
+            )
+            self.logit_scale = nn.Parameter(
+                torch.tensor(float(logit_scale_log))
+            )
+
+        def compute_similarity(self, v_emb, name="default", fake=False):
+            if fake:
+                return None
+            v_emb = v_emb / (v_emb.norm(dim=-1, keepdim=True) + 1e-7)
+            t_emb = getattr(self, f"{name}_text_embeddings")
+            return self.logit_scale.exp() * v_emb @ t_emb.unsqueeze(0).transpose(1, 2)
+
+    return LangAdapter()
+
+
+def xdecoder_head_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    conv_dim: int = 32,
+    mask_dim: int = 32,
+    hidden_dim: int = 32,
+    dim_proj: int = 32,
+    num_queries: int = 13,
+    nheads: int = 4,
+    dim_feedforward: int = 64,
+    dec_layers: int = 3,
+    n_text: int = 5,
+    seed: int = 2,
+) -> Dict:
+    """Reference XDecoder query decoder (interface/xdecoder.py:25-533), seg
+    task: masked cross-attn over 3 rotating scales, structured self-attn mask,
+    bicubic-antialias attn-mask resize thresholded at 0.5."""
+    torch = _torch()
+    from xdecoder.modeling.interface.xdecoder import XDecoder
+
+    rng = np.random.default_rng(seed)
+    text = rng.normal(0, 1, (n_text, dim_proj)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    logit_scale_log = 1.3
+
+    torch.manual_seed(seed)
+    m = XDecoder(
+        lang_encoder=_lang_adapter(text, logit_scale_log),
+        in_channels=conv_dim,
+        mask_classification=True,
+        hidden_dim=hidden_dim,
+        dim_proj=dim_proj,
+        num_queries=num_queries,
+        contxt_len=77,
+        nheads=nheads,
+        dim_feedforward=dim_feedforward,
+        dec_layers=dec_layers,
+        pre_norm=False,
+        mask_dim=mask_dim,
+        task_switch={
+            "mask": True, "bbox": False, "caption": False,
+            "captioning": False, "grounding": False, "retrieval": False,
+        },
+        captioning_step=50,
+        enforce_input_project=False,
+    )
+    randomize_module_(m, seed)
+    # the lang adapter's logit_scale is a bare nn.Parameter and gets swept up
+    # by randomize_module_ — restore the value the jax side is handed
+    with torch.no_grad():
+        m.lang_encoder.logit_scale.fill_(logit_scale_log)
+    m.eval()
+
+    H, W = base_hw
+    # multi-scale: lowest resolution first (pixel decoder top-down order)
+    ms_np = [
+        rng.normal(0, 1, (1, conv_dim, H // 2 ** i, W // 2 ** i)).astype(np.float32)
+        for i in (2, 1, 0)
+    ]
+    mf_np = rng.normal(0, 1, (1, mask_dim, H, W)).astype(np.float32)
+    with torch.no_grad():
+        out = m(
+            [torch.from_numpy(t) for t in ms_np],
+            torch.from_numpy(mf_np),
+            task="seg",
+        )
+    sd = {
+        f"sem_seg_head.predictor.{k}": v.numpy()
+        for k, v in m.state_dict().items()
+        if not k.startswith("lang_encoder.")
+    }
+    Q = num_queries
+    return {
+        "multi_scale_nhwc": [np.ascontiguousarray(t.transpose(0, 2, 3, 1)) for t in ms_np],
+        "mask_features_nhwc": np.ascontiguousarray(mf_np.transpose(0, 2, 3, 1)),
+        "text": text,
+        "logit_scale": float(np.exp(logit_scale_log)),
+        "pred_logits": out["pred_logits"][:, : Q - 1].numpy(),
+        "cls_logits": out["pred_logits"][:, Q - 1].numpy(),
+        "pred_masks": out["pred_masks"][:, : Q - 1].numpy(),
+        "mask_embed": out["mask_embed"][:, : Q - 1].numpy(),
+        "sd": sd,
+        "dec_layers": dec_layers,
+    }
+
+
+def lang_transformer_oracle(
+    vocab_size: int = 512,
+    width: int = 64,
+    layers: int = 2,
+    heads: int = 4,
+    context_length: int = 77,
+    dim_proj: int = 32,
+    n_seq: int = 6,
+    seed: int = 3,
+) -> Dict:
+    """Reference CLIP-style causal text tower (LangEncoder/transformer.py:
+    81-210) + the vlpencoder projection/selection recipe
+    (vlpencoder.py:145-157): take the hidden state at argmax(input_ids)
+    (EOT = highest token id), project by lang_proj, L2-normalize."""
+    torch = _torch()
+    from xdecoder.modeling.language.LangEncoder.transformer import Transformer
+
+    torch.manual_seed(seed)
+    m = Transformer(
+        context_length=context_length,
+        vocab_size=vocab_size,
+        width=width,
+        layers=layers,
+        heads=heads,
+        autogressive=True,
+    )
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    # CLIP layout: BOS, tokens, EOT(highest id), PAD(0)
+    ids = np.zeros((n_seq, context_length), np.int64)
+    for r in range(n_seq):
+        L = int(rng.integers(3, 12))
+        ids[r, 0] = vocab_size - 2
+        ids[r, 1 : 1 + L] = rng.integers(1, vocab_size - 2, L)
+        ids[r, 1 + L] = vocab_size - 1          # EOT
+    lang_proj = (rng.normal(0, 0.02, (width, dim_proj))).astype(np.float32)
+    with torch.no_grad():
+        hidden = m(torch.from_numpy(ids))["last_hidden_state"]
+        sel = hidden[torch.arange(n_seq), torch.from_numpy(ids).argmax(dim=-1)]
+        emb = sel @ torch.from_numpy(lang_proj)
+        emb = emb / (emb.norm(dim=-1, keepdim=True) + 1e-7)
+    sd = {
+        f"sem_seg_head.predictor.lang_encoder.lang_encoder.{k}": v.numpy()
+        for k, v in m.state_dict().items()
+    }
+    sd["sem_seg_head.predictor.lang_encoder.lang_proj"] = lang_proj
+    sd["sem_seg_head.predictor.lang_encoder.logit_scale"] = np.asarray(0.0, np.float32)
+    return {
+        "input_ids": ids,
+        "hidden": hidden.numpy(),
+        "emb": emb.numpy(),
+        "sd": sd,
+        "layers": layers,
+    }
+
+
+def bicubic_resize_oracle(
+    in_hw: Tuple[int, int] = (17, 23),
+    out_hw: Tuple[int, int] = (64, 96),
+    channels: int = 3,
+    antialias: bool = True,
+    seed: int = 4,
+) -> Dict:
+    """torch F.interpolate(mode='bicubic', align_corners=False, antialias=·) —
+    the exact op of the reference's mask upsampling (affinity_module.py:527-533
+    up, xdecoder.py:459 down)."""
+    torch = _torch()
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, (1, channels) + tuple(in_hw)).astype(np.float32)
+    with torch.no_grad():
+        y = F.interpolate(
+            torch.from_numpy(x), size=out_hw, mode="bicubic",
+            align_corners=False, antialias=antialias,
+        )
+    return {
+        "input_nhwc": np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
+        "output_nhwc": _nchw_to_nhwc(y),
+    }
+
+
+def lift_oracle(
+    num_points: int = 80,
+    num_views: int = 3,
+    mask_hw: Tuple[int, int] = (24, 32),
+    stride4_hw: Tuple[int, int] = (6, 8),
+    num_queries: int = 7,
+    feat_dim: int = 512,   # the reference lift hard-codes feature_dim=512
+    n_cls: int = 5,
+    seed: int = 6,
+) -> Dict:
+    """Run the reference lift_xdecoder_features (affinity_module.py:455-714)
+    with a stubbed X-Decoder teacher on a tiny synthetic scene.
+
+    The trainer is created via __new__ (its __init__ would build the real
+    teachers); only the attributes the lift method touches are set. The stub
+    returns seeded random (pred_masks, pred_logits, mask_embed) per view —
+    recorded so the jax side can consume byte-identical teacher outputs.
+    """
+    torch = _torch()
+    from geopurify_tpu.parity.shims import add_geopurify_to_path, install_geopurify
+
+    install_geopurify()
+    add_geopurify_to_path()
+    import models.affinity_module as am
+
+    rng = np.random.default_rng(seed)
+    N, V = num_points, num_views
+    H, W = mask_hw
+    coords = rng.uniform(0, 10, (N, 3)).astype(np.float32)
+
+    # per-view visibility + pixel coords; ensure >=1 covered point per view
+    vis = rng.uniform(size=(V, N)) < 0.6
+    vis[:, 0] = True
+    xl = rng.integers(0, H, (V, N))            # row in mask_shape space
+    yl = rng.integers(0, W, (V, N))
+
+    # stubbed teacher outputs per view
+    teacher = []
+    for v in range(V):
+        teacher.append({
+            "pred_masks": rng.normal(0, 2, (num_queries,) + tuple(stride4_hw)).astype(np.float32),
+            "pred_logits": rng.normal(0, 1, (num_queries, n_cls + 1)).astype(np.float32),
+            "mask_embed": rng.normal(0, 1, (num_queries, feat_dim)).astype(np.float32),
+        })
+    text = rng.normal(0, 1, (n_cls, feat_dim)).astype(np.float32)
+    logit_scale = 2.5
+
+    class _Cfg:
+        pass
+
+    cfg = _Cfg()
+    cfg.all_label = [f"c{i}" for i in range(n_cls)]
+    cfg.mask_shape = [H, W]
+
+    calls = {"v": 0}
+
+    def forward_seg_all(batched_inputs):
+        v = calls["v"]
+        calls["v"] += 1
+        t = teacher[v]
+        out = {
+            "pred_masks": torch.from_numpy(t["pred_masks"])[None],
+            "pred_logits": torch.from_numpy(t["pred_logits"])[None],
+            "mask_embed": torch.from_numpy(t["mask_embed"])[None],
+            "text_embed": torch.from_numpy(text),
+            "logit_scale": torch.tensor(logit_scale),
+        }
+        return None, out
+
+    import types as _types
+
+    trainer = am.SonataXAffinityTrainer.__new__(am.SonataXAffinityTrainer)
+    trainer.cfg = cfg
+    trainer.device = "cpu"
+    trainer.xdecoder_teacher = _types.SimpleNamespace(
+        model=_types.SimpleNamespace(forward_seg_all=forward_seg_all)
+    )
+
+    # 21-tuple batch (dataset/data_loader_ablation.py:373-394 layout); only the
+    # fields the lift method touches are populated
+    ori_rows = []
+    x_rows, y_rows = [], []
+    mask2d_rows = []
+    for v in range(V):
+        ids = np.where(vis[v])[0]
+        ori = np.zeros((len(ids), 4), np.float32)
+        ori[:, 0] = v
+        ori[:, 1:] = coords[ids]
+        ori_rows.append(ori)
+        x_rows.append(xl[v, ids])
+        y_rows.append(yl[v, ids])
+        m = np.zeros((N, 2), np.int64)
+        m[:, 0] = v
+        m[:, 1] = vis[v]
+        mask2d_rows.append(m)
+    ori_coords_3ds = torch.from_numpy(np.concatenate(ori_rows))
+    x_labels = torch.from_numpy(np.concatenate(x_rows))
+    y_labels = torch.from_numpy(np.concatenate(y_rows))
+    mask_2ds = torch.from_numpy(np.concatenate(mask2d_rows))
+    sum_pv = ori_coords_3ds.shape[0]
+
+    batch = (
+        torch.from_numpy(coords),                 # scene_coords
+        None,                                     # scene_coords_3d
+        None,                                     # scene_inds_reconstruct
+        torch.zeros(N, dtype=torch.long),         # scene_label
+        ori_coords_3ds,
+        None, None, None, None, None,             # coords/feat/gauss/labels/binary
+        torch.zeros(V, H, W),                     # label_2ds
+        torch.zeros(V, H, W, 3),                  # imgs
+        x_labels, y_labels, mask_2ds,
+        torch.zeros(sum_pv, dtype=torch.long),    # inds_reconstructs
+        torch.zeros(V * N, dtype=torch.long),     # unique_maps
+        torch.zeros(sum_pv, 4),                   # mappings
+        None,                                     # captions
+        None,                                     # scene_gauss_features
+    )
+    with torch.no_grad():
+        feats, text_out, ls = trainer.lift_xdecoder_features(batch)
+    return {
+        "coords": coords,
+        "vis": vis, "xl": xl, "yl": yl,
+        "teacher": teacher, "text": text, "logit_scale": logit_scale,
+        "mask_hw": mask_hw,
+        "final_features": feats.numpy(),
+        "num_points": N,
+    }
+
+
+def imagelist_pad_oracle(hw: Tuple[int, int] = (37, 53), seed: int = 5) -> Dict:
+    """detectron2 ImageList./32 padding semantics via the faithful shim —
+    bottom-right zero pad to ceil-multiples (xdecoder_model.py:375-377)."""
+    torch = _torch()
+    from detectron2.structures import ImageList
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, (3,) + tuple(hw)).astype(np.float32)
+    il = ImageList.from_tensors([torch.from_numpy(x)], 32)
+    return {
+        "input_hwc": np.ascontiguousarray(x.transpose(1, 2, 0)),
+        "padded_nhwc": _nchw_to_nhwc(il.tensor),
+        "image_sizes": il.image_sizes,
+    }

@@ -92,15 +92,57 @@ def compare(ours: dict, theirs: dict) -> int:
     return status
 
 
+def run_torch_oracle(size: str, stages=None, report_path=None) -> int:
+    """Stagewise activation parity vs the mounted reference torch code with
+    seeded random weights (no checkpoint needed) — see parity/compare.py."""
+    from geopurify_tpu.parity.compare import run_all
+
+    rows = run_all(size, stages)
+    tol = 1e-4
+    lines = [f"{'stage':40s} {'max|d|':>12s} {'rel':>12s}  verdict"]
+    worst = 0.0
+    for name, (mx, rel) in rows.items():
+        worst = max(worst, rel)
+        lines.append(
+            f"{name:40s} {mx:12.3e} {rel:12.3e}  {'OK' if rel < tol else 'FAIL'}"
+        )
+    lines.append(f"worst rel: {worst:.3e}  (target < {tol:g} f32)")
+    text = "\n".join(lines)
+    print(text)
+    if report_path:
+        with open(report_path, "w") as f:
+            f.write(
+                f"# Torch-oracle activation parity ({size})\n\n"
+                "Reference modules (mounted at /root/reference, seeded random\n"
+                "weights, torch-2.x cpu) vs the flax rebuild through\n"
+                "utils/convert_xdecoder.py. rel = max|a-b| / max|b|.\n\n"
+                "```\n" + text + "\n```\n"
+            )
+        log.info("report written to %s", report_path)
+    return 0 if worst < tol else 1
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--torch-oracle", default=None, choices=["small", "full"],
+                        help="stagewise parity vs the mounted reference torch "
+                             "code with seeded random weights (no ckpt needed)")
+    parser.add_argument("--stages", default=None,
+                        help="comma list: pad,resize,lang,focalnet,pixel_decoder,head,lift")
+    parser.add_argument("--report", default=None, help="write markdown report here")
     parser.add_argument("--image", default=None, help=".npy HxWx3 float 0..255")
     parser.add_argument("--classes", default="wall,floor,chair,table,door")
     parser.add_argument("--dump", default=None)
     parser.add_argument("--compare", default=None, help="torch-side .npz dump")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+
+    if args.torch_oracle:
+        stages = args.stages.split(",") if args.stages else None
+        sys.exit(run_torch_oracle(args.torch_oracle, stages, args.report))
+    if not args.ckpt:
+        parser.error("--ckpt is required unless --torch-oracle is given")
 
     if args.image:
         image = np.load(args.image).astype(np.float32)

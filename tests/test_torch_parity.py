@@ -1,0 +1,47 @@
+"""Torch-oracle activation parity: reference code (mounted, seeded random
+weights) vs the flax rebuild through convert_xdecoder — VERDICT r2 item #1.
+
+These tests settle the numerical-parity guesses (bicubic a=-0.5 vs torch,
+antialias kernels, /32 padding, attn-mask thresholds, converter layouts)
+without the unfetchable released checkpoints. Small configs keep them CPU-fast;
+`geopurify-parity --torch-oracle full` runs the production-size variant.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from geopurify_tpu.parity import compare  # noqa: E402
+
+TOL = 1e-4
+
+
+def _check(rows):
+    for name, (mx, rel) in rows.items():
+        assert rel < TOL, f"{name}: rel={rel:.3e} max|d|={mx:.3e}"
+
+
+def test_parity_pad_and_resize():
+    _check(compare.parity_pad())
+    _check(compare.parity_resize())
+
+
+def test_parity_lang():
+    _check(compare.parity_lang())
+
+
+def test_parity_focalnet():
+    _check(compare.parity_focalnet())
+
+
+def test_parity_pixel_decoder():
+    _check(compare.parity_pixel_decoder())
+
+
+def test_parity_head():
+    _check(compare.parity_head())
+
+
+def test_parity_lift():
+    _check(compare.parity_lift())
