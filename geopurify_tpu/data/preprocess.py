@@ -464,6 +464,230 @@ def run_matterport_2d(args) -> None:
 
 
 # ---------------------------------------------------------------------------
+# nuScenes (outdoor lidar; reference preprocess_{3d,2d}_nuscenes.py)
+# ---------------------------------------------------------------------------
+
+# 32-class nuScenes ontology -> 16 eval classes, then -1 so unlabeled -> 255
+# (protocol table, preprocess_3d_nuscenes.py:9-71)
+def nuscenes_class_remap() -> np.ndarray:
+    remap = 256 * np.ones(32, np.int64)
+    for src, dst in [
+        (2, 7), (3, 7), (4, 7), (6, 7),          # person
+        (9, 1),                                   # barrier
+        (12, 8),                                  # traffic cone
+        (14, 2),                                  # bicycle
+        (15, 3), (16, 3),                         # bus
+        (17, 4),                                  # car
+        (18, 5),                                  # construction vehicle
+        (21, 6),                                  # motorcycle
+        (22, 9),                                  # trailer
+        (23, 10),                                 # truck
+        (24, 11),                                 # drivable surface
+        (25, 12),                                 # other flat
+        (26, 13),                                 # sidewalk
+        (27, 14),                                 # terrain
+        (28, 15),                                 # manmade
+        (30, 16),                                 # vegetation
+    ]:
+        remap[src] = dst
+    return remap - 1                              # 255 stays unlabeled
+
+
+NUSCENES_CAM_LOCS = ("back", "back_left", "back_right",
+                     "front", "front_left", "front_right")
+
+
+def process_nuscenes_3d_sequence(
+    ply_path: str, out_dir: str, annotated_only: bool = False
+) -> str:
+    """One `<scene>/scene.ply` -> `<scene>.pth` holding (coords, 0, labels)
+    — nuScenes exports carry no colors (preprocess_3d_nuscenes.py:74-95)."""
+    from geopurify_tpu.data.ply import read_ply
+
+    scene_name = ply_path.split(os.sep)[-2]
+    v = read_ply(ply_path)["vertex"]
+    coords = np.ascontiguousarray(
+        np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float64)
+    )
+    # label rides the LAST vertex property (ref reads v[:, -1]; property
+    # order is preserved by read_ply)
+    category_id = np.asarray(v[list(v.keys())[-1]], np.int64)
+    if annotated_only:
+        ts_path = ply_path[: -len("scene.ply")] + "scene-timestamps.npy"
+        ts = np.load(ts_path)
+        mask = (ts == ts.max())[:, 0]
+        coords = coords[mask]
+        category_id = category_id[mask]
+    category_id = np.where(category_id == -1, 0, category_id)
+    labels = nuscenes_class_remap()[category_id].astype(np.float64)
+    dst = os.path.join(out_dir, scene_name + ".pth")
+    _torch_save((coords, 0, labels), dst)
+    return dst
+
+
+def run_nuscenes_3d(args) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    scenes = read_scene_list(args.scene_list) if args.scene_list else sorted(
+        d for d in os.listdir(args.scans)
+        if os.path.isdir(os.path.join(args.scans, d))
+    )
+    files = []
+    for scene in scenes:
+        fp = os.path.join(args.scans, scene, "scene.ply")
+        if not os.path.exists(fp):
+            log.warning("no scene.ply under %s", scene)
+            continue
+        files.append(fp)
+    _parallel_map(
+        partial(process_nuscenes_3d_sequence, out_dir=args.out,
+                annotated_only=args.annotated_only),
+        files, args.workers,
+    )
+    log.info("wrote %d sequences to %s", len(files), args.out)
+
+
+def process_nuscenes_2d_sequence(
+    scene: str, data_path: str, out_dir: str,
+    img_size: Tuple[int, int] = (800, 450),
+) -> None:
+    """Last-timestamp 6-camera frame set -> color/pose/K per cam
+    (preprocess_2d_nuscenes.py:26-55; pose = cam2scene, K rescaled from
+    1600x900)."""
+    from PIL import Image
+
+    base = os.path.join(out_dir, scene)
+    for sub in ("color", "pose", "K"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    frames_dir = os.path.join(data_path, scene, "frames")
+    timestamp = sorted(os.listdir(frames_dir))[-1]
+    W, H = img_size
+    for cam in NUSCENES_CAM_LOCS:
+        cam_dir = os.path.join(frames_dir, timestamp, cam)
+        img_path = os.path.join(cam_dir, "color_image.jpg")
+        if not os.path.exists(img_path):
+            log.warning("%s/%s: no color_image.jpg", scene, cam)
+            continue
+        img = _resize_nearest(np.asarray(Image.open(img_path).convert("RGB")),
+                              (H, W))
+        _save_image(os.path.join(base, "color", cam + ".jpg"), img)
+        pose = np.loadtxt(os.path.join(cam_dir, "cam2scene.txt"))
+        np.save(os.path.join(base, "pose", cam + ".npy"), pose)
+        K = np.loadtxt(os.path.join(cam_dir, "K.txt"))
+        K = adjust_intrinsic(K, (1600, 900), img_size)
+        np.save(os.path.join(base, "K", cam + ".npy"), K)
+
+
+def run_nuscenes_2d(args) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    scenes = read_scene_list(args.scene_list) if args.scene_list else sorted(
+        d for d in os.listdir(args.scans)
+        if os.path.isdir(os.path.join(args.scans, d))
+    )
+    _parallel_map(
+        partial(process_nuscenes_2d_sequence, data_path=args.scans,
+                out_dir=args.out, img_size=(args.width, args.height)),
+        scenes, args.workers,
+    )
+    log.info("exported %d sequences to %s", len(scenes), args.out)
+
+
+# ---------------------------------------------------------------------------
+# Replica (reference preprocess_{3d,2d}_replica.py)
+# ---------------------------------------------------------------------------
+
+REPLICA_SCENES = ("office0", "office1", "office2", "office3",
+                  "office4", "room0", "room1", "room2")
+
+
+def process_replica_3d_scene(ply_path: str, out_dir: str) -> str:
+    """`<scene>_mesh.ply` -> `<scene>.pth` (coords, colors in [-1,1],
+    labels=255 — Replica ships no GT) (preprocess_3d_replica.py:9-22)."""
+    from geopurify_tpu.data.ply import read_ply
+
+    scene_name = os.path.basename(ply_path).split("_mesh")[0]
+    v = read_ply(ply_path)["vertex"]
+    coords = np.ascontiguousarray(
+        np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float64)
+    )
+    colors = np.ascontiguousarray(
+        np.stack([v["red"], v["green"], v["blue"]], 1).astype(np.float64)
+    ) / 127.5 - 1.0
+    labels = 255.0 * np.ones((coords.shape[0],), np.float64)
+    dst = os.path.join(out_dir, scene_name + ".pth")
+    _torch_save((coords, colors, labels), dst)
+    return dst
+
+
+def run_replica_3d(args) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    scenes = read_scene_list(args.scene_list) if args.scene_list \
+        else list(REPLICA_SCENES)
+    files = []
+    for scene in scenes:
+        fp = os.path.join(args.scans, f"{scene}_mesh.ply")
+        if not os.path.exists(fp):
+            log.warning("no %s_mesh.ply", scene)
+            continue
+        files.append(fp)
+    _parallel_map(partial(process_replica_3d_scene, out_dir=args.out),
+                  files, args.workers)
+    log.info("wrote %d scenes to %s", len(files), args.out)
+
+
+def process_replica_2d_scene(
+    scene: str, in_path: str, out_dir: str,
+    sample_freq: int = 10, img_dim: Tuple[int, int] = (640, 360),
+) -> None:
+    """`results/frameNNNNN.jpg` + `depthNNNNN.png` + `traj.txt` -> subsampled
+    color/depth/pose streams (preprocess_2d_replica.py:9-81)."""
+    from PIL import Image
+
+    traj = os.path.join(in_path, scene, "traj.txt")
+    if not os.path.exists(traj):
+        log.warning("%s: no traj.txt, skipping", scene)
+        return
+    base = os.path.join(out_dir, scene)
+    for sub in ("color", "depth", "pose"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    poses = np.loadtxt(traj).reshape(-1, 4, 4)
+    pose_list = poses[::sample_freq]
+    files = sorted(glob.glob(os.path.join(in_path, scene, "results", "*.jpg")))
+    files = files[::sample_freq]
+    W, H = img_dim
+    for fn in files:
+        img_name = os.path.basename(fn)
+        img_id = int(img_name.split("frame")[-1].split(".")[0]) // sample_freq
+        img = _resize_nearest(np.asarray(Image.open(fn).convert("RGB")), (H, W))
+        _save_image(os.path.join(base, "color", f"{img_id}.jpg"), img)
+        depth_name = img_name.replace(".jpg", ".png").replace("frame", "depth")
+        fn_depth = os.path.join(os.path.dirname(fn), depth_name)
+        if os.path.exists(fn_depth):
+            depth = np.asarray(Image.open(fn_depth)).astype(np.uint16)
+            _save_png16(os.path.join(base, "depth", f"{img_id}.png"),
+                        _resize_nearest(depth, (H, W)))
+        if img_id < len(pose_list):
+            np.savetxt(os.path.join(base, "pose", f"{img_id}.txt"),
+                       pose_list[img_id])
+
+
+def run_replica_2d(args) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    # Replica renders share one pinhole model (preprocess_2d_replica.py:50-55)
+    intr = make_intrinsic(fx=600.0, fy=600.0, mx=599.5, my=339.5)
+    intr = adjust_intrinsic(intr, (1200, 680), (args.width, args.height))
+    np.savetxt(os.path.join(args.out, "intrinsics.txt"), intr)
+    scenes = read_scene_list(args.scene_list) if args.scene_list \
+        else list(REPLICA_SCENES)
+    _parallel_map(
+        partial(process_replica_2d_scene, in_path=args.scans, out_dir=args.out,
+                sample_freq=args.sample_freq,
+                img_dim=(args.width, args.height)),
+        scenes, args.workers,
+    )
+    log.info("exported %d scenes to %s", len(scenes), args.out)
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -521,6 +745,43 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--workers", type=int, default=os.cpu_count())
     p.set_defaults(fn=run_matterport_2d)
+
+    p = sub.add_parser("nuscenes-3d")
+    p.add_argument("--scans", required=True, help="nuscenes split root "
+                   "(<scene>/scene.ply exports)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--scene-list", default=None)
+    p.add_argument("--annotated-only", action="store_true",
+                   help="keep only last-timestamp (annotated) points")
+    p.add_argument("--workers", type=int, default=os.cpu_count())
+    p.set_defaults(fn=run_nuscenes_3d)
+
+    p = sub.add_parser("nuscenes-2d")
+    p.add_argument("--scans", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--scene-list", default=None)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--workers", type=int, default=os.cpu_count())
+    p.set_defaults(fn=run_nuscenes_2d)
+
+    p = sub.add_parser("replica-3d")
+    p.add_argument("--scans", required=True, help="Replica root "
+                   "(<scene>_mesh.ply files)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--scene-list", default=None)
+    p.add_argument("--workers", type=int, default=os.cpu_count())
+    p.set_defaults(fn=run_replica_3d)
+
+    p = sub.add_parser("replica-2d")
+    p.add_argument("--scans", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--scene-list", default=None)
+    p.add_argument("--sample-freq", type=int, default=10)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--workers", type=int, default=os.cpu_count())
+    p.set_defaults(fn=run_replica_2d)
 
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,

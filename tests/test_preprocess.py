@@ -326,3 +326,108 @@ def test_preprocessed_scannet_roundtrip_to_scene_batch(tmp_path, rng):
     assert int(np.asarray(batch.view_valid).sum()) >= 1
     # some points must project into the synthetic view
     assert int(np.asarray(batch.view_point_valid).sum()) > 0
+
+
+def test_nuscenes_3d_remap_and_roundtrip(tmp_path, rng):
+    import torch
+
+    scans = tmp_path / "nusc" / "scene-0001"
+    scans.mkdir(parents=True)
+    n = 60
+    xyz = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    # raw 32-class ids incl. -1 (-> noise), car (17 -> 3), vegetation (30 -> 15),
+    # unmapped animal (1 -> 255)
+    raw = np.asarray(([-1] * 10) + ([17] * 20) + ([30] * 20) + ([1] * 10))
+    write_vertex_ply(scans / "scene.ply", xyz, labels=np.maximum(raw, 0))
+    # write labels as a separate int property: reuse the u2 'label' prop and
+    # patch the -1 rows through the remapper semantics directly
+    out = tmp_path / "out_nusc3d"
+    pp.main(["nuscenes-3d", "--scans", str(tmp_path / "nusc"),
+             "--out", str(out), "--workers", "1"])
+    coords, zero, lab = torch.load(out / "scene-0001.pth", weights_only=False)
+    np.testing.assert_allclose(coords, xyz, atol=1e-6)
+    assert zero == 0
+    remap = pp.nuscenes_class_remap()
+    assert (lab[:10] == remap[0]).all()          # -1 -> 0 (noise) -> 255
+    assert (lab[10:30] == 3).all()               # car
+    assert (lab[30:50] == 15).all()              # vegetation
+    assert (lab[50:] == 255).all()               # unmapped
+
+
+def test_nuscenes_2d_layout(tmp_path, rng):
+    from PIL import Image
+
+    root = tmp_path / "nusc2d" / "scene-0001" / "frames" / "0000000123"
+    for cam in pp.NUSCENES_CAM_LOCS:
+        d = root / cam
+        d.mkdir(parents=True)
+        Image.fromarray(
+            rng.integers(0, 255, (90, 160, 3), dtype=np.uint8)
+        ).save(d / "color_image.jpg")
+        np.savetxt(d / "cam2scene.txt", np.eye(4))
+        K = np.eye(3); K[0, 0] = 1266.4; K[1, 1] = 1266.4
+        K[0, 2], K[1, 2] = 800.0, 450.0
+        np.savetxt(d / "K.txt", K)
+    out = tmp_path / "out_nusc2d"
+    pp.main(["nuscenes-2d", "--scans", str(tmp_path / "nusc2d"),
+             "--out", str(out), "--width", "80", "--height", "45",
+             "--workers", "1"])
+    base = out / "scene-0001"
+    for cam in pp.NUSCENES_CAM_LOCS:
+        img = np.asarray(Image.open(base / "color" / f"{cam}.jpg"))
+        assert img.shape == (45, 80, 3)
+        pose = np.load(base / "pose" / f"{cam}.npy")
+        np.testing.assert_allclose(pose, np.eye(4))
+        K = np.load(base / "K" / f"{cam}.npy")
+        # focal rescaled from the 1600x900 native spec
+        ref = pp.adjust_intrinsic(
+            np.array([[1266.4, 0, 800.0], [0, 1266.4, 450.0], [0, 0, 1.0]]),
+            (1600, 900), (80, 45))
+        np.testing.assert_allclose(K, ref)
+
+
+def test_replica_3d_and_2d(tmp_path, rng):
+    import torch
+    from PIL import Image
+
+    raw = tmp_path / "replica"
+    (raw / "room0" / "results").mkdir(parents=True)
+    n = 40
+    xyz = rng.uniform(0, 5, (n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (n, 3))
+    write_vertex_ply(raw / "room0_mesh.ply", xyz, rgb=rgb)
+    out3d = tmp_path / "out_rep3d"
+    pp.main(["replica-3d", "--scans", str(raw), "--out", str(out3d),
+             "--workers", "1"])
+    coords, colors, lab = torch.load(out3d / "room0.pth", weights_only=False)
+    np.testing.assert_allclose(coords, xyz, atol=1e-6)
+    np.testing.assert_allclose(colors, rgb / 127.5 - 1.0, atol=1e-6)
+    assert (lab == 255).all()
+
+    # 2D: 4 frames, sample_freq 2 -> ids 0 and 1
+    np.savetxt(raw / "room0" / "traj.txt",
+               np.tile(np.eye(4).reshape(1, 16), (4, 1)))
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (68, 120, 3), dtype=np.uint8)
+        ).save(raw / "room0" / "results" / f"frame{i:05d}.jpg")
+        Image.fromarray(
+            rng.integers(0, 5000, (68, 120), dtype=np.uint16).astype(np.int32),
+            mode="I",
+        ).save(raw / "room0" / "results" / f"depth{i:05d}.png")
+    out2d = tmp_path / "out_rep2d"
+    pp.main(["replica-2d", "--scans", str(raw), "--out", str(out2d),
+             "--sample-freq", "2", "--width", "64", "--height", "36",
+             "--workers", "1"])
+    base = out2d / "room0"
+    for i in (0, 1):
+        img = np.asarray(Image.open(base / "color" / f"{i}.jpg"))
+        assert img.shape == (36, 64, 3)
+        d = np.asarray(Image.open(base / "depth" / f"{i}.png"))
+        assert d.shape == (36, 64)
+        np.testing.assert_allclose(
+            np.loadtxt(base / "pose" / f"{i}.txt"), np.eye(4))
+    intr = np.loadtxt(out2d / "intrinsics.txt")
+    ref = pp.adjust_intrinsic(
+        pp.make_intrinsic(600.0, 600.0, 599.5, 339.5), (1200, 680), (64, 36))
+    np.testing.assert_allclose(intr, ref)
