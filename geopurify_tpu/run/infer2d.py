@@ -47,6 +47,9 @@ def main(argv=None):
     parser.add_argument("--preset", default="scannet")
     parser.add_argument("--out", default=None, help="overlay png (default: <image>_seg.png)")
     parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--rich-overlay", action="store_true",
+                        help="detectron2-style drawing: boundaries + label "
+                             "text at region centers (utils/visualizer2d.py)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -93,8 +96,19 @@ def main(argv=None):
         out["pred_logits"][0][:, : len(classes)], out["pred_masks"][0], (mh, mw)
     )
     seg_np = np.asarray(seg)
-    overlay = overlay_2d_semantic(work, seg_np, num_classes=len(classes),
-                                  alpha=args.alpha)
+    if args.rich_overlay:
+        # detectron2-style drawing: region fills + boundaries + label text
+        # (utils/visualizer2d.py ≙ reference utils/visualizer.py:447-482)
+        from geopurify_tpu.utils.visualizer2d import Visualizer2D
+
+        overlay = (
+            Visualizer2D(work.astype(np.uint8), class_names=classes)
+            .draw_sem_seg(seg_np, alpha=args.alpha)
+            .get_image()
+        )
+    else:
+        overlay = overlay_2d_semantic(work, seg_np, num_classes=len(classes),
+                                      alpha=args.alpha)
     dst = args.out or os.path.splitext(args.image)[0] + "_seg.png"
     Image.fromarray(overlay).save(dst)
     counts = {classes[c]: int((seg_np == c).sum()) for c in range(len(classes))}

@@ -126,3 +126,41 @@ def test_query_embedding_plot(tmp_path, rng):
     ok = plot_query_embeddings(p, q, t, class_names=["a", "b", "c", "d"])
     if ok:
         assert os.path.getsize(p) > 0
+
+
+def test_visualizer2d_sem_seg_and_instances(rng):
+    from geopurify_tpu.utils.visualizer2d import Visualizer2D, _mask_boundary
+
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    seg = np.full((48, 64), 255, np.int64)
+    seg[5:20, 5:30] = 0
+    seg[25:45, 10:60] = 2
+    out = (
+        Visualizer2D(img, class_names=["wall", "floor", "chair"])
+        .draw_sem_seg(seg)
+        .get_image()
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # untouched (ignore) pixels stay identical; painted regions change
+    assert (out[0, 0] == img[0, 0]).all()
+    assert (out[10, 10] != img[10, 10]).any()
+
+    # boundary helper: a filled box has a 1-px ring
+    m = np.zeros((10, 10), bool)
+    m[2:8, 3:9] = True
+    b = _mask_boundary(m)
+    assert b[2, 3] and b[7, 8] and not b[4, 5]
+    assert b.sum() == (6 * 2 + 6 * 2 - 4)
+
+    inst = np.zeros((2, 48, 64), bool)
+    inst[0, 2:10, 2:10] = True
+    inst[1, 30:40, 30:50] = True
+    out2 = (
+        Visualizer2D(img, class_names=["wall", "floor", "chair"])
+        .draw_instance_predictions(
+            inst, classes=[1, 2], scores=[0.9, 0.4],
+            boxes=np.array([[2, 2, 10, 10], [30, 30, 50, 40]], np.float32),
+        )
+        .get_image()
+    )
+    assert (out2[35, 35] != img[35, 35]).any()
