@@ -1,5 +1,7 @@
 """2D pretraining loop pieces + 2D inference demo semantics."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,3 +70,84 @@ def test_semseg2d_evaluator_oracle(rng):
     assert res["pACC"] == pytest.approx(100 * 3 / 5)
     ev.reset()
     assert ev.conf.sum() == 0
+
+
+def _tiny2d_overrides(tmp_path):
+    return [
+        "data.all_label=['a','b','c']",
+        "xdecoder.hidden_dim=16", "xdecoder.conv_dim=16", "xdecoder.mask_dim=16",
+        "xdecoder.num_queries=5", "xdecoder.nheads=2",
+        "xdecoder.dim_feedforward=32", "xdecoder.dec_layers=1",
+        "xdecoder.enc_layers=1", "xdecoder.dtype=float32",
+        "xdecoder.backbone.embed_dim=8", "xdecoder.backbone.depths=[1,1,1,1]",
+        "xdecoder.backbone.focal_levels=[2,2,2,2]",
+    ]
+
+
+def test_train2d_on_disk_folder_layout(tmp_path, rng):
+    """`train2d --data-root` runs two optimizer steps from generated files
+    (folder layout: images/ + masks/<stem>/<cls>_<k>.png) — VERDICT r2 #5."""
+    from PIL import Image
+
+    from geopurify_tpu.run import train2d as t2d
+
+    root = tmp_path / "ds"
+    (root / "images").mkdir(parents=True)
+    (root / "classes.txt").write_text("thing\nstuff\nother\n")
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        ).save(root / "images" / f"img{i}.jpg")
+        mdir = root / "masks" / f"img{i}"
+        mdir.mkdir(parents=True)
+        m = np.zeros((64, 96), np.uint8)
+        m[10:40, 20:70] = 255
+        Image.fromarray(m).save(mdir / "1_0.png")
+
+    t2d.main([
+        "--data-root", str(root), "--steps", "2", "--image-hw", "64x96",
+        "--num-points", "64", "--save-every", "0", "--print-every", "1",
+        "--save-path", str(tmp_path / "run"),
+        *_tiny2d_overrides(tmp_path),
+    ])
+    metrics = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
+    rec = json.loads(metrics.splitlines()[-1])
+    assert rec["step"] == 2 and np.isfinite(rec["loss"])
+
+
+def test_seg2d_coco_json_layout(tmp_path, rng):
+    """COCO-instance annotations.json parsing: polygons + uncompressed RLE."""
+    from PIL import Image
+
+    from geopurify_tpu.data.seg2d import Seg2DDataset, _rle_to_mask
+
+    root = tmp_path / "coco"
+    root.mkdir()
+    Image.fromarray(
+        rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    ).save(root / "0.jpg")
+    # uncompressed RLE: col-major runs — 10 off, 20 on
+    rle = {"size": [32, 48], "counts": [10, 20, 32 * 48 - 30]}
+    ann = {
+        "images": [{"id": 0, "file_name": "0.jpg", "height": 32, "width": 48}],
+        "annotations": [
+            {"image_id": 0, "category_id": 7,
+             "segmentation": [[4, 4, 30, 4, 30, 20, 4, 20]]},
+            {"image_id": 0, "category_id": 9, "segmentation": rle},
+        ],
+        "categories": [{"id": 7, "name": "chair"}, {"id": 9, "name": "table"}],
+    }
+    (root / "annotations.json").write_text(json.dumps(ann))
+    ds = Seg2DDataset(str(root))
+    assert ds.class_names == ["chair", "table"]
+    img, masks, classes = ds.sample(0)
+    assert img.shape == (32, 48, 3) and len(masks) == 2
+    assert classes == [0, 1]
+    # polygon mask covers its interior
+    assert masks[0][10, 10] and not masks[0][25, 40]
+    # RLE col-major: flat index 10..29 -> column 0 rows 10..29
+    m = _rle_to_mask(rle, (32, 48))
+    assert m[10, 0] and m[29, 0] and not m[9, 0] and not m[30, 0]
+    b = next(ds.batches(2, (32, 48), max_targets=4, seed=0))
+    assert b[0].shape == (2, 32, 48, 3) and b[2].shape == (2, 4, 8, 12)
+    assert b[3][:, :2].all()
