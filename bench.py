@@ -140,6 +140,18 @@ def main():
                              "(M=2^18 voxels, V=32 views) instead of the "
                              "fixed comparison spec — the honest real-scene "
                              "upper-bound shape (VERDICT r1 weak #4)")
+    parser.add_argument("--views", type=int, default=None,
+                        help="override views/scene on the driver spec (e.g. 64 "
+                             "or 128 — the view-dominated regime real ScanNet "
+                             "eval lives in; ~100-300 usable views/scene at "
+                             "the reference's every-20th-frame rule). The "
+                             "baseline estimate scales with V (150 ms/view "
+                             "A100 X-Decoder forward on both sides).")
+    parser.add_argument("--view-parallel", type=int, default=0,
+                        help="shard the view loop over an N-device mesh "
+                             "(parallel/view_parallel.py); requires N devices")
+    parser.add_argument("overrides", nargs="*",
+                        help="dotted config overrides, e.g. xdecoder.view_batch=4")
     args = parser.parse_args()
 
     if args.smoke:
@@ -182,7 +194,7 @@ def main():
         )
         P, M, V, Pv = 512, 256, 2, 128
     elif args.preset_scale:
-        cfg = load_config("scannet")
+        cfg = load_config("scannet", overrides=args.overrides)
         # memory-lean pooling knobs for the 4x voxel count on one 16 GB chip:
         # narrower band (S is [M, band] bf16) with a proportionally larger
         # exact COO residual
@@ -195,8 +207,10 @@ def main():
         )
         P, M, V, Pv = 2 ** 20, 2 ** 18, 32, 2 ** 16
     else:
-        cfg = load_config("scannet")
+        cfg = load_config("scannet", overrides=args.overrides)
         P, M, V, Pv = 131072, 65536, 8, 16384
+    if args.views:
+        V = args.views
 
     hw = tuple(cfg.xdecoder.mask_shape)
     n_cls = len(cfg.data.all_label)
@@ -231,10 +245,32 @@ def main():
         jnp.full((8, 27), 8, jnp.int32), jnp.ones(8, bool), train=False,
     )
 
+    evaluate = lambda sc: pipe.evaluate_scene(student_vars, sc, n_valid_views=V)
+    if args.view_parallel:
+        # within-scene view parallelism over an n-device mesh (VERDICT r2 #3):
+        # the sharded lift replaces lift_scene; the pooled tail is unchanged
+        from geopurify_tpu.parallel.mesh import make_mesh
+        from geopurify_tpu.parallel.view_parallel import sharded_lift_scene
+
+        n_dev = len(jax.devices())
+        if n_dev < args.view_parallel:
+            raise SystemExit(
+                f"--view-parallel {args.view_parallel} needs {args.view_parallel}"
+                f" devices, have {n_dev}"
+            )
+        vp_mesh = make_mesh(dp=args.view_parallel)
+
+        def evaluate(sc):
+            fused, count = sharded_lift_scene(pipe, sc, vp_mesh)
+            refined, overflow, logits, pred = pipe._pool_classify(
+                student_vars, fused, sc, pipe.text_embeddings, pipe.logit_scale
+            )
+            return {"pred": pred, "band_overflow": overflow}
+
     # warmup / compile
     t0 = time.time()
     scene = build_scene(0, P, M, V, Pv, hw)
-    out = pipe.evaluate_scene(student_vars, scene)
+    out = evaluate(scene)
     jax.block_until_ready(out["pred"])
     log(f"warmup (compile + run): {time.time() - t0:.1f}s")
 
@@ -277,27 +313,35 @@ def main():
         t0 = time.time()
         for i in range(args.scenes):
             sc = build_scene(i + 1, P, M, V, Pv, hw)
-            out = pipe.evaluate_scene(student_vars, sc, n_valid_views=V)
+            out = evaluate(sc)
             jax.block_until_ready(out["pred"])
             del out, sc
         dt = time.time() - t0
     else:
         scenes = [build_scene(i + 1, P, M, V, Pv, hw) for i in range(args.scenes)]
         t0 = time.time()
-        outs = [pipe.evaluate_scene(student_vars, sc, n_valid_views=V) for sc in scenes]
+        outs = [evaluate(sc) for sc in scenes]
         jax.block_until_ready([o["pred"] for o in outs])
         dt = time.time() - t0
     sps = args.scenes / dt
     log(f"{args.scenes} scenes in {dt:.2f}s -> {sps:.3f} scenes/sec")
 
     metric = "stage2_scenes_per_sec"
+    baseline = BASELINE_SCENES_PER_SEC
     if args.preset_scale:
         metric += "_preset_scale"
+    if args.views:
+        metric += f"_v{V}"
+    if args.views and not args.preset_scale:
+        # scale the A100 estimate's view stage with V: 5 s at V=8 decomposes
+        # into 1.2 s of views (150 ms/view) + 3.8 s of kNN/fills/pooling glue
+        # (module docstring); both sides pay per-view cost linearly
+        baseline = 1.0 / (3.8 + 0.15 * V)
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 4),
         "unit": "scenes/sec",
-        "vs_baseline": round(sps / BASELINE_SCENES_PER_SEC, 3),
+        "vs_baseline": round(sps / baseline, 3),
     }))
 
 

@@ -104,6 +104,9 @@ class StudentConfig:
     num_res_blocks: int = 4
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    # "bfloat16" runs inference conv compute in bf16 (params/BN stay f32);
+    # embedding-vs-f32 error bound pinned in tests/test_sparse_conv.py
+    compute_dtype: str = "float32"
 
 
 @dataclass

@@ -82,6 +82,7 @@ class GeoPurifyPipeline:
             embed_dim=s.embed_dim,
             num_res_blocks=s.num_res_blocks,
             bn_momentum=s.bn_momentum,
+            compute_dtype=s.compute_dtype,
         )
         sc = self.cfg.sonata
         self.sonata = SonataTeacher(

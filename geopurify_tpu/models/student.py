@@ -74,7 +74,8 @@ class SparseConv3Layer(nn.Module):
             (KERNEL_VOLUME, self.in_dim, self.out_dim),
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return sparse_conv3(x, neighbor_idx, w, valid, bias=b)
+        # params stay f32; compute rides the input dtype (bf16 path)
+        return sparse_conv3(x, neighbor_idx, w.astype(x.dtype), valid, bias=b)
 
 
 class SparseConv1Layer(nn.Module):
@@ -87,7 +88,7 @@ class SparseConv1Layer(nn.Module):
             "kernel", nn.initializers.he_normal(), (self.in_dim, self.out_dim)
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return sparse_conv1(x, w, valid, bias=b)
+        return sparse_conv1(x, w.astype(x.dtype), valid, bias=b)
 
 
 class ResBlock(nn.Module):
@@ -117,7 +118,14 @@ class ResBlock(nn.Module):
 
 
 class AffinityPredictor(nn.Module):
-    """input 3^3 conv -> 4 res blocks -> 1^3 projection (affinity_module.py:51-85)."""
+    """input 3^3 conv -> 4 res blocks -> 1^3 projection (affinity_module.py:51-85).
+
+    ``compute_dtype="bfloat16"`` runs the conv gathers/matmuls in bf16 (params
+    and BN statistics stay f32; taps accumulate f32 via preferred_element_type)
+    — MXU 2x and half the gather HBM traffic. Embedding error vs f32 is
+    bounded in tests against the downstream sharpened-softmax affinity
+    weights, the only consumer (scripts/bench_pool.py measures the wall win).
+    """
 
     input_dim: int = 518
     hidden_dim: int = 512
@@ -125,6 +133,7 @@ class AffinityPredictor(nn.Module):
     num_res_blocks: int = 4
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -134,6 +143,8 @@ class AffinityPredictor(nn.Module):
         valid: jax.Array,         # [M] bool
         train: bool = False,
     ) -> jax.Array:
+        if self.compute_dtype == "bfloat16":
+            features = features.astype(jnp.bfloat16)
         x = SparseConv3Layer(self.input_dim, self.hidden_dim, name="input_conv")(
             features, neighbor_idx, valid
         )

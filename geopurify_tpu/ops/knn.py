@@ -300,7 +300,11 @@ def knn_self_grid(
     n_failed = fcnt[-1]
     FT = 1024
     n_ft = -(-Mp // FT)                        # worst case: everything failed
-    fpos = jnp.searchsorted(fcnt, jnp.arange(1, n_ft * FT + 1, dtype=jnp.int32))
+    # method="sort" beats the binary-search scan ~4x on TPU (see
+    # ops/sparse_conv.build_neighbor_table)
+    fpos = jnp.searchsorted(
+        fcnt, jnp.arange(1, n_ft * FT + 1, dtype=jnp.int32), method="sort"
+    )
     fpos = jnp.clip(fpos, 0, Mp - 1)           # sorted-row positions of failures
     f_qid = perm_p[fpos]
     f_live = jnp.arange(n_ft * FT) < n_failed
@@ -407,13 +411,72 @@ def nearest_fill(
     """Fill rows without features from their nearest (by coords) row that has one.
 
     Device-side replacement for the per-view / global KDTree fills
-    (affinity_module.py:604-625, 687-696). All rows are treated as queries; rows
-    that already have a value keep it (select at the end), so shapes stay static.
+    (affinity_module.py:604-625, 687-696). Only the rows that NEED a donor run
+    the argmin: they are compacted into ``query_tile``-sized tiles, each gated
+    by a runtime ``lax.cond`` (the kNN fallback pattern) — typical unseen
+    fractions are small, so the O(N^2) distance sweep shrinks to
+    O(n_unseen * N) while worst-case cost and all shapes stay static.
     """
-    db_valid = has_value & valid
-    idx = argmin_search(
-        coords, coords, db_valid, query_tile=query_tile, db_chunk=db_chunk
+    N = coords.shape[0]
+    n_dc = -(-N // db_chunk)
+    Np = n_dc * db_chunk
+    db_valid = _pad_to(has_value & valid, Np, value=False)
+    db = _pad_to(coords.astype(jnp.float32), Np)
+    db_sq = jnp.sum(db * db, axis=-1)
+
+    need = valid & ~has_value
+    cnt = jnp.cumsum(need.astype(jnp.int32))
+    n_need = cnt[-1]
+    n_qt = -(-N // query_tile)
+    qpos = jnp.searchsorted(
+        cnt, jnp.arange(1, n_qt * query_tile + 1, dtype=jnp.int32), method="sort"
     )
-    donated = features[idx]
-    keep = has_value[:, None]
-    return jnp.where(keep, features, donated)
+    qpos = jnp.clip(qpos, 0, N - 1)
+    q_live = jnp.arange(n_qt * query_tile) < n_need
+
+    def one_tile(args):
+        qp, live = args                       # [T] positions, [T] liveness
+
+        def run():
+            q = db[qp]
+            q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+            def scan_chunk(carry, c):
+                best_d, best_i = carry
+                start = c * db_chunk
+                d_rows = jax.lax.dynamic_slice_in_dim(db, start, db_chunk)
+                d_sq = jax.lax.dynamic_slice_in_dim(db_sq, start, db_chunk)
+                v = jax.lax.dynamic_slice_in_dim(db_valid, start, db_chunk)
+                dots = jax.lax.dot_general(
+                    q, d_rows, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                d2 = jnp.where(v[None, :], q_sq + d_sq[None, :] - 2.0 * dots, _INF)
+                c_best = jnp.min(d2, axis=1)
+                c_arg = (start + jnp.argmin(d2, axis=1)).astype(jnp.int32)
+                upd = c_best < best_d
+                return (jnp.where(upd, c_best, best_d),
+                        jnp.where(upd, c_arg, best_i)), None
+
+            init = (jnp.full((query_tile,), _INF),
+                    jnp.zeros((query_tile,), jnp.int32))
+            (_, i), _ = jax.lax.scan(scan_chunk, init, jnp.arange(n_dc))
+            return i
+
+        def skip():
+            return jnp.zeros((query_tile,), jnp.int32)
+
+        return jax.lax.cond(jnp.any(live), run, skip)
+
+    donor = jax.lax.map(
+        one_tile,
+        (qpos.reshape(n_qt, query_tile), q_live.reshape(n_qt, query_tile)),
+    ).reshape(-1)
+
+    # scatter donated features back to the needing rows (OOB-drop the dead slots)
+    scatter_rows = jnp.where(q_live, qpos, N)
+    out = features.at[scatter_rows].set(
+        features[donor], mode="drop", unique_indices=True
+    )
+    return jnp.where(has_value[:, None], features, out)

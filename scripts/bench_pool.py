@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Decompose the Stage-2 pool tail (kNN / banded build / smoothing / student /
+segment) at the driver bench spec — the r3 perf target is pool < 0.7 s.
+
+Timing rule (CLAUDE.md): block_until_ready alone under-measures through the
+axon tunnel; every trial forces int(jnp.sum(out)).
+
+Usage: python scripts/bench_pool.py [--m 65536] [--trials 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def t_sync(fn, *args, trials=3):
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    first = jnp.sum(out[0] if isinstance(out, tuple) else out)
+    float(first)  # compile + first run
+    ts = []
+    for _ in range(trials):
+        t0 = time.time()
+        out = fn(*args)
+        s = jnp.sum(out[0] if isinstance(out, tuple) else out)
+        float(s)
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=65536)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from geopurify_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from geopurify_tpu.config import load_config
+    from geopurify_tpu.models.student import AffinityPredictor
+    from geopurify_tpu.ops.knn import knn_self_grid
+    from geopurify_tpu.ops.pooling import (
+        build_affinity_graph,
+        build_banded_operator,
+        geometry_guided_pooling,
+        iterate_pooling_banded,
+    )
+    from geopurify_tpu.ops.segment import segment_mean
+    from geopurify_tpu.ops.sparse_conv import build_neighbor_table
+
+    cfg = load_config("scannet")
+    pc = cfg.pooling
+    M = args.m
+    P = 2 * M
+    rng = np.random.default_rng(0)
+
+    # surface-like voxel scene (bench.py build_scene shape family)
+    E, Ez = 200, 120
+    n_draw = 3 * M
+    q = n_draw // 4
+    pts = np.concatenate([
+        np.stack([rng.integers(0, E, q), rng.integers(0, E, q),
+                  rng.integers(0, 3, q)], 1),
+        np.stack([rng.integers(0, 3, q), rng.integers(0, E, q),
+                  rng.integers(0, Ez, q)], 1),
+        np.stack([rng.integers(0, E, q), rng.integers(0, 3, q),
+                  rng.integers(0, Ez, q)], 1),
+        np.stack([rng.integers(0, E, q), rng.integers(0, E, q),
+                  rng.integers(0, Ez, q)], 1),
+    ])
+    vox = np.unique(pts, axis=0)
+    if len(vox) < M:
+        extra = rng.integers(0, E, (M - len(vox), 3))
+        vox = np.unique(np.concatenate([vox, extra]), axis=0)
+    vox = vox[np.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))][:M]
+    coords = jnp.asarray(vox, jnp.int32)
+    valid = jnp.ones((M,), bool)
+    emb = jnp.asarray(rng.normal(0, 1, (M, 128)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(0, 1, (M, 518)).astype(np.float32))
+
+    knn = jax.jit(lambda c, v: knn_self_grid(
+        c, v, k=pc.knn_k, radius=pc.knn_radius, num_candidates=pc.knn_candidates
+    ))
+    print("knn_self_grid:", t_sync(knn, coords, valid, trials=args.trials))
+
+    graph = jax.jit(lambda e, c, v: build_affinity_graph(
+        e, c, v, k=pc.knn_k, sharpen=pc.sharpen,
+        knn_radius=pc.knn_radius, knn_candidates=pc.knn_candidates,
+    ))
+    print("graph build (knn+affinity):",
+          t_sync(graph, emb, coords, valid, trials=args.trials))
+
+    nbr, w = graph(emb, coords, valid)
+    banded = jax.jit(lambda ww, nn_: build_banded_operator(
+        ww, nn_, band=pc.band, max_residual=pc.max_residual,
+        assume_unique_neighbors=True,
+    ))
+    print("banded build:", t_sync(banded, w, nbr, trials=args.trials))
+
+    S, rr, rc, rw, _ = banded(w, nbr)
+    smooth = jax.jit(lambda s, a, b, c_, f: iterate_pooling_banded(
+        s, a, b, c_, f, num_iterations=pc.num_iterations, band=pc.band,
+    ))
+    print("19x banded smoothing:",
+          t_sync(smooth, S, rr, rc, rw, feats, trials=args.trials))
+
+    pool = jax.jit(lambda e, f, c, v: geometry_guided_pooling(
+        e, f, c, v, k=pc.knn_k, sharpen=pc.sharpen,
+        num_iterations=pc.num_iterations, spmm_mode=pc.spmm_mode,
+        band=pc.band, max_residual=pc.max_residual,
+        knn_radius=pc.knn_radius, knn_candidates=pc.knn_candidates,
+    ))
+    print("geometry_guided_pooling total:",
+          t_sync(pool, emb, feats, coords, valid, trials=args.trials))
+
+    # student + segment tail
+    student = AffinityPredictor(
+        input_dim=cfg.student.input_dim, hidden_dim=cfg.student.hidden_dim,
+        embed_dim=cfg.student.embed_dim,
+        num_res_blocks=cfg.student.num_res_blocks,
+    )
+    svars = student.init(jax.random.key(0), feats[:8], jnp.full((8, 27), 8,
+                         jnp.int32), jnp.ones(8, bool), train=False)
+    nbr_tab = jax.jit(build_neighbor_table)(coords, valid)
+    stud = jax.jit(lambda f, nb, v: student.apply(svars, f, nb, v, train=False))
+    print("neighbor table:", t_sync(
+        jax.jit(build_neighbor_table), coords, valid, trials=args.trials))
+    print("student fwd:", t_sync(stud, feats, nbr_tab, valid, trials=args.trials))
+
+    p2v = jnp.asarray(rng.integers(0, M, P, ), jnp.int32)
+    f2d = jnp.asarray(rng.normal(0, 1, (P, 512)).astype(np.float32))
+    seg = jax.jit(lambda f, i: segment_mean(f, i, num_segments=M))
+    print("segment_mean P->M:", t_sync(seg, f2d, p2v, trials=args.trials))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,3 +108,99 @@ def test_sample_mask_points():
     # empty prompt
     pts, valid = sample_mask_points(np.zeros((4, 4), bool), 4, rng)
     assert not valid.any()
+
+
+def _head_v1(C=16, S=8):
+    from geopurify_tpu.models.seem import SEEMHeadV1
+
+    return SEEMHeadV1(hidden_dim=C, dim_proj=C, num_queries=5, nheads=2,
+                      dim_feedforward=32, dec_layers=2, mask_dim=C,
+                      max_spatial_tokens=S)
+
+
+def test_seem_v1_shapes_and_memory(rng):
+    """v1 head: mask-pooled spatial query init, pos/neg points, and the
+    previous round's mask as spatial memory changes the interactive output
+    but NOT the object queries (group isolation)."""
+    C, S = 16, 8
+    ms, mf, text = _inputs(rng, C=C)
+    head = _head_v1(C, S)
+    pts = jnp.asarray(rng.uniform(0, 1, (1, S, 2)).astype(np.float32))
+    pv = jnp.asarray(np.array([[True] * 6 + [False] * 2]))
+    pn = jnp.asarray(np.array([[1] * 4 + [-1] * 4], np.int32))
+    vars_ = head.init(jax.random.key(0), ms, mf, text, jnp.float32(10.0),
+                      pts, pv, pn)
+    out = head.apply(vars_, ms, mf, text, jnp.float32(10.0), pts, pv, pn)
+    assert out["pred_logits"].shape == (1, 5, 4)
+    assert out["prev_mask"].shape == (1, 16, 24)
+
+    # round 2 with the round-1 mask as memory: interactive output shifts,
+    # object queries stay bit-identical (self-attn group isolation)
+    out2 = head.apply(vars_, ms, mf, text, jnp.float32(10.0), pts, pv, pn,
+                      prev_mask=out["prev_mask"])
+    assert not np.allclose(np.asarray(out2["prev_mask"]),
+                           np.asarray(out["prev_mask"]))
+    np.testing.assert_array_equal(np.asarray(out2["pred_logits"]),
+                                  np.asarray(out["pred_logits"]))
+    np.testing.assert_array_equal(np.asarray(out2["pred_masks"]),
+                                  np.asarray(out["pred_masks"]))
+
+
+def test_prepare_next_spatial_mask_click_placement():
+    """Next click lands at the deepest point of the dominant error region
+    (FN -> positive), dilated 3x3 (seem_model_v1.py:963-1013)."""
+    from geopurify_tpu.models.seem import prepare_next_spatial_mask
+
+    H = W = 20
+    gt = np.zeros((H, W), bool)
+    gt[4:16, 4:16] = True
+    pred = np.zeros((H, W), bool)       # all FN
+    pos = np.zeros((H, W), bool)
+    neg = np.zeros((H, W), bool)
+    pos2, neg2, iou = prepare_next_spatial_mask(pred, gt, pos, neg)
+    assert iou == 0.0 and not neg2.any()
+    ys, xs = np.nonzero(pos2)
+    # the click centers at the FN region's deepest point (9or10, 9or10)
+    assert 8 <= ys.mean() <= 11 and 8 <= xs.mean() <= 11
+    assert 4 <= pos2.sum() <= 9          # 3x3 dilation
+
+    # false-positive-dominant case -> negative click
+    pred2 = np.ones((H, W), bool)
+    gt2 = np.zeros((H, W), bool)
+    gt2[0:2, 0:2] = True
+    p3, n3, _ = prepare_next_spatial_mask(pred2, gt2, pos, neg)
+    assert n3.any() and not p3.any()
+
+    # early stop at high IoU: masks unchanged
+    p4, n4, iou4 = prepare_next_spatial_mask(gt, gt, pos, neg)
+    assert iou4 > 0.99 and not p4.any() and not n4.any()
+
+
+def test_interactive_refine_improves_iou(rng):
+    """The v1 click-refinement loop on a tiny random-weight model: IoU is
+    tracked per round and the loop terminates; points resample each round."""
+    import jax
+
+    from geopurify_tpu.models.seem import interactive_refine
+
+    C, S = 16, 8
+    ms, mf, text = _inputs(rng, C=C)
+    head = _head_v1(C, S)
+    pts0 = jnp.zeros((1, S, 2))
+    vars_ = head.init(jax.random.key(0), ms, mf, text, jnp.float32(10.0),
+                      pts0, jnp.zeros((1, S), bool), jnp.ones((1, S), jnp.int32))
+
+    def apply_fn(pts, valid, tags, prev):
+        return head.apply(
+            vars_, ms, mf, text, jnp.float32(10.0),
+            jnp.asarray(pts)[None], jnp.asarray(valid)[None],
+            jnp.asarray(tags)[None], prev_mask=prev,
+        )
+
+    gt = np.zeros((16, 24), bool)
+    gt[4:12, 6:18] = True
+    init = np.zeros((16, 24), bool)
+    init[8, 12] = True
+    logits, ious = interactive_refine(apply_fn, gt, init, budget=S, iters=3)
+    assert logits.shape == (16, 24)
+    assert 1 <= len(ious) <= 3 and all(np.isfinite(ious))

@@ -129,3 +129,43 @@ def test_param_group_labels():
             assert lab == "middle"
         got.add(lab)
     assert got == {"input", "middle", "output"}
+
+
+def test_student_bf16_compute_affinity_bound(rng):
+    """bf16 student inference vs f32: the downstream sharpened-softmax
+    affinity weights (the embeddings' only consumer) stay within ~2%
+    relative — the parity budget for enabling student.compute_dtype=bfloat16
+    on the eval path."""
+    import jax
+
+    from geopurify_tpu.models.student import AffinityPredictor
+    from geopurify_tpu.ops.sparse_conv import build_neighbor_table
+
+    M, C = 512, 22
+    coords = np.unique(rng.integers(0, 12, (2 * M, 3)), axis=0)
+    coords = coords[np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))][:M]
+    M = coords.shape[0]
+    valid = jnp.ones((M,), bool)
+    feats = jnp.asarray(rng.normal(0, 1, (M, C)).astype(np.float32))
+    nbr = build_neighbor_table(jnp.asarray(coords, jnp.int32), valid)
+
+    kw = dict(input_dim=C, hidden_dim=32, embed_dim=16, num_res_blocks=2)
+    f32 = AffinityPredictor(**kw)
+    bf16 = AffinityPredictor(**kw, compute_dtype="bfloat16")
+    vars_ = f32.init(jax.random.key(0), feats, nbr, valid, train=False)
+    e32 = np.asarray(f32.apply(vars_, feats, nbr, valid, train=False))
+    e16 = np.asarray(bf16.apply(vars_, feats, nbr, valid, train=False),
+                     np.float32)
+    assert e16.dtype == np.float32
+
+    def weights(e):
+        e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        aff = e @ e.T
+        z = 20.0 * aff
+        z = z - z.max(1, keepdims=True)
+        w = np.exp(z)
+        return w / w.sum(1, keepdims=True)
+
+    w32, w16 = weights(e32), weights(e16.astype(np.float64))
+    rel = np.abs(w32 - w16).max() / np.abs(w32).max()
+    assert rel < 0.05, f"affinity weight drift {rel:.3f}"
