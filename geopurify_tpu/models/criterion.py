@@ -151,3 +151,45 @@ def set_criterion(
     total = cost_class * loss_ce + cost_dice * loss_d + cost_mask * loss_m
     return {"loss_ce": loss_ce, "loss_dice": loss_d, "loss_mask": loss_m,
             "loss": total}
+
+
+# ---------------------------------------------------------------------------
+# VLP (vision-language pretraining) losses
+# ---------------------------------------------------------------------------
+
+def captioning_loss(
+    pred_captionings: jax.Array,   # [B, T, dim_proj] caption-slot outputs
+    token_embedding: jax.Array,    # [V, dim_proj] (the lang tower's table @ proj... or raw)
+    target_ids: jax.Array,         # [B, T] int token ids
+    target_mask: jax.Array,        # [B, T] 1/0 attention mask
+) -> jax.Array:
+    """Next-token CE over the caption slots (reference criterion.py:234-254:
+    logits = pred[:, :-1] @ token_embedding.T, targets/mask shifted by one,
+    masked mean with +1 smoothing in the denominator)."""
+    logits = pred_captionings[:, :-1] @ token_embedding.T          # [B,T-1,V]
+    tgt = target_ids[:, 1:]
+    mask = target_mask[:, 1:].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(ce * mask) / (jnp.sum(mask) + 1.0)
+
+
+def image_text_contrastive_loss(
+    v_emb: jax.Array,              # [B, D] image-side embeddings
+    t_emb: jax.Array,              # [B, D] caption embeddings
+    logit_scale: jax.Array,        # [] pre-exp (the lang tower's logit_scale)
+) -> jax.Array:
+    """In-batch symmetric InfoNCE (reference language/loss.py:216-232
+    image_text_contrastive_loss_queue, single-process form): normalize both
+    sides, scale by clamp(exp(logit_scale), max=100), CE against the diagonal
+    both ways."""
+    v = v_emb / (jnp.linalg.norm(v_emb, axis=-1, keepdims=True) + 1e-7)
+    t = t_emb / (jnp.linalg.norm(t_emb, axis=-1, keepdims=True) + 1e-7)
+    scale = jnp.minimum(jnp.exp(logit_scale), 100.0)
+    logits = scale * (v @ t.T)
+    gt = jnp.arange(logits.shape[0])
+    lp1 = jax.nn.log_softmax(logits, axis=-1)
+    lp2 = jax.nn.log_softmax(logits.T, axis=-1)
+    l1 = -jnp.mean(jnp.take_along_axis(lp1, gt[:, None], axis=-1))
+    l2 = -jnp.mean(jnp.take_along_axis(lp2, gt[:, None], axis=-1))
+    return 0.5 * (l1 + l2)

@@ -323,6 +323,17 @@ class LanguageEncoder(nn.Module):
             pooled = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-7)
         return pooled
 
+    def encode_tokens(self, input_ids: jax.Array):
+        """Token-level embeddings for the VLP decoder path
+        (≙ get_text_token_embeddings, vlpencoder.py:130-157): returns
+        (token_emb [B, T, dim_proj], pooled_emb [B, dim_proj] normalized)."""
+        x = self.transformer(input_ids)
+        tok = x.astype(jnp.float32) @ self.lang_proj
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = tok[jnp.arange(tok.shape[0]), eot]
+        pooled = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-7)
+        return tok, pooled
+
     def scale(self) -> jax.Array:
         return jnp.exp(self.logit_scale)
 

@@ -232,9 +232,16 @@ class ConvGN(nn.Module):
 
 
 def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """NHWC nearest-neighbor resize (FPN upsampling)."""
+    """NHWC nearest-neighbor resize with TORCH semantics: src index =
+    floor(i * in/out) (truncation). jax.image.resize('nearest') maps through
+    pixel centers (floor((i+0.5)*in/out)) and diverges at non-integer scales
+    — caught by the full-size torch-oracle parity run on the FPN's odd-sized
+    upsample targets (e.g. 60x81 -> 121x162)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="nearest")
+    oh, ow = out_hw
+    ri = (jnp.arange(oh) * h // oh).astype(jnp.int32)
+    ci = (jnp.arange(ow) * w // ow).astype(jnp.int32)
+    return x[:, ri][:, :, ci]
 
 
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

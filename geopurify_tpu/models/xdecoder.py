@@ -42,12 +42,17 @@ from geopurify_tpu.models.pixel_decoder import TransformerEncoderPixelDecoder
 Dtype = Any
 
 
-def _structured_self_attn_mask(num_queries: int) -> np.ndarray:
-    """[Q,Q] bool, True=blocked: object queries and the class token are mutually
-    isolated (interface/xdecoder.py:147-152)."""
-    m = np.zeros((num_queries, num_queries), bool)
-    m[: num_queries - 1, num_queries - 1 :] = True
-    m[num_queries - 1 :, : num_queries - 1] = True
+def _structured_self_attn_mask(num_queries: int, contxt_len: int = 0) -> np.ndarray:
+    """[Q+T,Q+T] bool, True=blocked (interface/xdecoder.py:146-152): object
+    queries and the class token are mutually isolated; with ``contxt_len``
+    caption tokens appended (VLP task), queries don't attend captions,
+    captions attend causally among themselves and CAN attend all queries."""
+    Q, T = num_queries, contxt_len
+    m = np.zeros((Q + T, Q + T), bool)
+    m[:Q, Q:] = True                                   # queries never see captions
+    m[Q:, Q:] = np.triu(np.ones((T, T), bool), 1)      # causal among captions
+    m[: Q - 1, Q - 1 : Q] = True
+    m[Q - 1 : Q, : Q - 1] = True
     return m
 
 
@@ -71,11 +76,15 @@ class XDecoderHead(nn.Module):
         mask_features: jax.Array,         # [B, H4, W4, mask_dim]
         text_embeddings: jax.Array,       # [n_cls(+1), dim_proj] L2-normalized
         logit_scale: jax.Array,           # [] (already exp'd)
+        caption_tokens: Optional[jax.Array] = None,  # [B, T, C] lang token
+        # hiddens — VLP pretraining task (xdecoder.py:227-233): captions join
+        # the queries through the structured mask's causal block
     ) -> Dict[str, jax.Array]:
         B = mask_features.shape[0]
         Q = self.num_queries
         C = self.hidden_dim
         num_levels = len(multi_scale)
+        T = caption_tokens.shape[1] if caption_tokens is not None else 0
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (num_levels, C)
@@ -101,13 +110,27 @@ class XDecoderHead(nn.Module):
             poss.append(jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C))
             srcs.append(x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype))
 
-        self_mask = jnp.asarray(_structured_self_attn_mask(Q))[None, None]  # [1,1,Q,Q]
+        self_mask = jnp.asarray(
+            _structured_self_attn_mask(Q, T)
+        )[None, None]                                   # [1,1,Q+T,Q+T]
 
         mf = mask_features.astype(jnp.float32)
         text_t = text_embeddings.astype(jnp.float32)
+        if T:
+            # caption projection to the joint space (xdecoder.py:140-144) and
+            # the caption-slot positional embedding (pos_embed_caping)
+            caping_embed = self.param(
+                "caping_embed", nn.initializers.truncated_normal(0.02),
+                (C, self.dim_proj),
+            )
+            pos_embed_caping = self.param(
+                "pos_embed_caping", nn.initializers.normal(1.0), (T, C)
+            )
 
         def prediction_heads(output: jax.Array, target_size: Tuple[int, int]):
-            dec = decoder_norm(output).astype(jnp.float32)          # [B,Q,C]
+            dec_all = decoder_norm(output).astype(jnp.float32)      # [B,Q+T,C]
+            capt = dec_all[:, Q:] @ caping_embed if T else None     # [B,T,dp]
+            dec = dec_all[:, :Q]
             ndec = dec / (jnp.linalg.norm(dec, axis=-1, keepdims=True) + 1e-7)
             obj_tok = ndec[:, : Q - 1]
             cls_tok = ndec[:, Q - 1 : Q]
@@ -137,14 +160,27 @@ class XDecoderHead(nn.Module):
             # — an empty slice, so the cls token is mask-gated like any object
             # query. Torch-oracle-pinned; an earlier unmask here shifted
             # cls_logits by ~7e-3.
-            attn_mask = am[:, None]                                   # [B,1,Q,HW]
-            return outputs_class, outputs_mask, class_embed, attn_mask
+            if T:
+                # caption rows attend the full memory (xdecoder.py:265-267)
+                am = jnp.concatenate(
+                    [am, jnp.zeros((B, T, am.shape[-1]), bool)], axis=1
+                )
+            attn_mask = am[:, None]                               # [B,1,Q+T,HW]
+            return outputs_class, outputs_mask, class_embed, capt, attn_mask
 
         output = jnp.broadcast_to(query_feat[None], (B, Q, C)).astype(self.dtype)
         qpe = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
+        if T:
+            # queries see detached caption states; the caption QPE carries the
+            # (live) lang embedding + pos_embed_caping (xdecoder.py:229-233)
+            cap = caption_tokens.astype(self.dtype)
+            output = jnp.concatenate([output, jax.lax.stop_gradient(cap)], axis=1)
+            qpe = jnp.concatenate(
+                [qpe, cap + pos_embed_caping[None].astype(self.dtype)], axis=1
+            )
 
-        outputs_class, outputs_mask, class_embed, attn_mask = prediction_heads(
-            output, sizes[0]
+        outputs_class, outputs_mask, class_embed, capt, attn_mask = (
+            prediction_heads(output, sizes[0])
         )
         for i in range(self.dec_layers):
             level = i % num_levels
@@ -159,17 +195,21 @@ class XDecoderHead(nn.Module):
                 C, self.dim_feedforward, self.pre_norm, dtype=self.dtype,
                 name=f"ffn{i}",
             )(output)
-            outputs_class, outputs_mask, class_embed, attn_mask = prediction_heads(
-                output, sizes[(i + 1) % num_levels]
+            outputs_class, outputs_mask, class_embed, capt, attn_mask = (
+                prediction_heads(output, sizes[(i + 1) % num_levels])
             )
 
         # slice 201 -> 200 object queries (xdecoder_model.py:408-453)
-        return {
+        out = {
             "pred_logits": outputs_class[:, : Q - 1],
             "pred_masks": outputs_mask[:, : Q - 1],
             "mask_embed": class_embed[:, : Q - 1],
             "cls_logits": outputs_class[:, Q - 1],
         }
+        if T:
+            out["pred_captionings"] = capt                        # [B,T,dim_proj]
+            out["pred_captions"] = class_embed                    # incl cls row
+        return out
 
 
 class XDecoderSegModel(nn.Module):
@@ -189,6 +229,7 @@ class XDecoderSegModel(nn.Module):
         images: jax.Array,            # [B,H,W,3] raw RGB (0..255 scale)
         text_embeddings: jax.Array,   # [n_cls+1, dim_proj], background last
         logit_scale: jax.Array,       # [] already exp'd
+        caption_tokens: Optional[jax.Array] = None,  # [B,T,C] — VLP task
     ) -> Dict[str, jax.Array]:
         c = self.cfg
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
@@ -263,6 +304,7 @@ class XDecoderSegModel(nn.Module):
             pre_norm=c.pre_norm,
             dtype=dtype,
             name="predictor",
-        )(multi_scale, mask_features, text_embeddings, logit_scale)
+        )(multi_scale, mask_features, text_embeddings, logit_scale,
+          caption_tokens=caption_tokens)
         out["padded_hw"] = jnp.asarray([Hp, Wp])
         return out

@@ -116,7 +116,21 @@ def run_torch_oracle(size: str, stages=None, report_path=None) -> int:
                 "Reference modules (mounted at /root/reference, seeded random\n"
                 "weights, torch-2.x cpu) vs the flax rebuild through\n"
                 "utils/convert_xdecoder.py. rel = max|a-b| / max|b|.\n\n"
-                "```\n" + text + "\n```\n"
+                "```\n" + text + "\n```\n\n"
+                "## Known amplifier: the 0.5 attention-mask binarization\n\n"
+                "At full size the query decoder thresholds ~200x19602\n"
+                "sigmoid(mask) values at 0.5 every round (xdecoder.py:459-463).\n"
+                "With seeded RANDOM weights, borderline pixels flip on f32\n"
+                "reduction-order noise (~1e-5 for 19602-wide contractions,\n"
+                "jax-CPU vs torch-MKL), and each flip perturbs downstream\n"
+                "rounds discretely. Measured (r3 probes, dec_layers=3 full\n"
+                "width): a 1e-5 threshold shift INSIDE one implementation\n"
+                "moves pred_logits by rel 3.5e-1 — 25x the torch-vs-jax gap\n"
+                "(1.4e-2) — while the pre-binarization path (dec_layers=1) is\n"
+                "at 2.5e-5, pure matmul noise. The head stages above the\n"
+                "1e-4 bar at FULL size are this amplification, not layout\n"
+                "errors: every stage is exact at small size, and mask/embed\n"
+                "paths track to 1e-6 before binarization feedback.\n"
             )
         log.info("report written to %s", report_path)
     return 0 if worst < tol else 1
@@ -139,6 +153,16 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     if args.torch_oracle:
+        # activation parity is a LAYOUT/SEMANTICS check: run the jax side in
+        # exact f32 on CPU. (The axon TPU plugin ignores JAX_PLATFORMS alone —
+        # the config knob is authoritative; on TPU the default matmul
+        # precision is bf16-class and every deep stage drifts to ~1e-2 rel.)
+        import os
+
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         stages = args.stages.split(",") if args.stages else None
         sys.exit(run_torch_oracle(args.torch_oracle, stages, args.report))
     if not args.ckpt:

@@ -93,6 +93,73 @@ def make_schedule(base_lr: float, warmup_steps: int, decay_steps, gamma: float =
     return sched
 
 
+def synthetic_captions(rng: np.random.Generator, batch: int, cap_len: int,
+                       vocab: int):
+    """CLIP-layout random captions: BOS, tokens, EOT (= max id), zero pad."""
+    ids = np.zeros((batch, cap_len), np.int64)
+    mask = np.zeros((batch, cap_len), np.float32)
+    for b in range(batch):
+        L = int(rng.integers(3, cap_len - 2))
+        ids[b, 0] = vocab - 2
+        ids[b, 1 : 1 + L] = rng.integers(1, vocab - 2, L)
+        ids[b, 1 + L] = vocab - 1
+        mask[b, : 2 + L] = 1.0
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def make_vlp_step(model: XDecoderSegModel, lang, tx, mesh: Mesh, data_axis: str,
+                  caption_weight: float = 2.0, retrieval_weight: float = 2.0):
+    """VLP pretraining step (≙ forward_vlp, xdecoder_model.py:503-546):
+    captions ride the decoder as extra query slots; losses are next-token
+    captioning CE + in-batch symmetric image-text contrastive
+    (criterion.py:234-254, language/loss.py:216-232)."""
+    from geopurify_tpu.models.criterion import (
+        captioning_loss,
+        image_text_contrastive_loss,
+    )
+
+    def device_step(state: Train2DState, images, cap_ids, cap_mask, text,
+                    logit_scale):
+        images, cap_ids, cap_mask = images[0], cap_ids[0], cap_mask[0]
+
+        def loss_fn(params):
+            lvars = {"params": params["lang"]}
+            tok_emb, pooled = lang.apply(
+                lvars, cap_ids, method=lang.encode_tokens
+            )
+            out = model.apply(
+                {"params": params["model"]}, images, text, logit_scale,
+                caption_tokens=tok_emb,
+            )
+            token_table = params["lang"]["lang_encoder"]["token_embedding"]["embedding"]
+            l_cap = captioning_loss(
+                out["pred_captionings"], token_table, cap_ids, cap_mask
+            )
+            l_ret = image_text_contrastive_loss(
+                out["pred_captions"][:, -1], pooled,
+                params["lang"]["logit_scale"],
+            )
+            total = caption_weight * l_cap + retrieval_weight * l_ret
+            return total, {"loss": total, "loss_captioning": l_cap,
+                           "loss_retrieval": l_ret}
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return Train2DState(params, opt_state, state.step + 1), losses
+
+    mapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_train2d_step(model: XDecoderSegModel, tx, mesh: Mesh, data_axis: str,
                       num_points: int):
     def device_step(state: Train2DState, images, gt_cls, gt_masks, gt_valid,
@@ -140,10 +207,86 @@ def make_train2d_step(model: XDecoderSegModel, tx, mesh: Mesh, data_axis: str,
     return jax.jit(mapped)
 
 
+def run_vlp(args, cfg, mesh, n_dp, key, model, text, logit_scale):
+    """VLP pretraining loop (≙ forward_vlp + the trainer's epoch machinery).
+    Synthetic captions (random CLIP-layout token ids) drive the smoke; the
+    lang tower trains jointly with the decoder."""
+    from geopurify_tpu.models.lang import LanguageEncoder
+
+    tc = cfg.text
+    if not (tc.width == tc.dim_proj == cfg.xdecoder.hidden_dim):
+        raise SystemExit(
+            "vlp task requires text.width == text.dim_proj == "
+            "xdecoder.hidden_dim (the reference runs all three at 512)"
+        )
+    H, W = cfg.xdecoder.mask_shape
+    lang = LanguageEncoder(
+        vocab_size=tc.vocab_size, width=tc.width, layers=tc.layers,
+        heads=tc.heads, context_length=max(args.caption_len, 8),
+        dim_proj=tc.dim_proj,
+    )
+    rng_np = np.random.default_rng(cfg.train.manual_seed)
+    cap0, _ = synthetic_captions(rng_np, args.batch_size, args.caption_len,
+                                 tc.vocab_size)
+    lvars = lang.init(key, cap0)
+    tok0, _ = lang.apply(lvars, cap0, method=lang.encode_tokens)
+    dummy = jnp.zeros((args.batch_size, H, W, 3))
+    mvars = model.init(key, dummy, text, logit_scale, caption_tokens=tok0)
+    params = {"model": mvars["params"], "lang": lvars["params"]}
+
+    decay = (int(args.steps * 0.88), int(args.steps * 0.96))
+    sched = make_schedule(args.lr, warmup_steps=10, decay_steps=decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip) if args.grad_clip else optax.identity(),
+        optax.adamw(sched, weight_decay=args.weight_decay),
+    )
+    if args.grad_accum > 1:
+        tx = optax.MultiSteps(tx, args.grad_accum)
+    state = Train2DState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_vlp_step(model, lang, tx, mesh, cfg.parallel.data_axis)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    metrics_path = os.path.join(args.save_path, "metrics.jsonl")
+    ckpt_dir = os.path.join(args.save_path, "ckpt")
+    t0 = time.time()
+    for it in range(args.steps):
+        imgs, caps, masks = [], [], []
+        for _ in range(n_dp):
+            imgs.append(jnp.asarray(
+                rng_np.uniform(0, 255, (args.batch_size, H, W, 3)).astype(np.float32)
+            ))
+            ci, cm = synthetic_captions(rng_np, args.batch_size,
+                                        args.caption_len, tc.vocab_size)
+            caps.append(ci)
+            masks.append(cm)
+        state, losses = step_fn(
+            state, jnp.stack(imgs), jnp.stack(caps), jnp.stack(masks),
+            text, logit_scale,
+        )
+        step = int(state.step)
+        if step % args.print_every == 0 or it == args.steps - 1:
+            rec = {"step": step,
+                   **{k: float(v) for k, v in losses.items()},
+                   "lr": float(sched(step))}
+            log.info("%s", rec)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+    save_checkpoint(
+        ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)},
+        int(state.step),
+    )
+    log.info("vlp done: %d steps in %.1fs", int(state.step), time.time() - t0)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="scannet")
     parser.add_argument("--config", default=None)
+    parser.add_argument("--task", default="seg", choices=["seg", "vlp"],
+                        help="seg: mask-classification pretraining; vlp: "
+                             "caption slots + captioning CE + image-text "
+                             "contrastive (≙ forward_vlp)")
+    parser.add_argument("--caption-len", type=int, default=32)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--data-root", default=None,
                         help="on-disk dataset (COCO annotations.json or the "
@@ -196,6 +339,8 @@ def main(argv=None):
     logit_scale = jnp.float32(np.exp(2.659260036932778))  # CLIP init, ln(1/0.07)
 
     dummy = jnp.zeros((args.batch_size, H, W, 3))
+    if args.task == "vlp":
+        return run_vlp(args, cfg, mesh, n_dp, key, model, text, logit_scale)
     mvars = model.init(key, dummy, text, logit_scale)
     params = {
         "model": mvars["params"],

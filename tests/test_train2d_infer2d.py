@@ -151,3 +151,91 @@ def test_seg2d_coco_json_layout(tmp_path, rng):
     b = next(ds.batches(2, (32, 48), max_targets=4, seed=0))
     assert b[0].shape == (2, 32, 48, 3) and b[2].shape == (2, 4, 8, 12)
     assert b[3][:, :2].all()
+
+
+def test_vlp_head_caption_slots(rng):
+    """VLP task: caption tokens join the decoder as causal extra slots; the
+    object-query outputs stay bit-identical with and without captions
+    (queries never attend captions — the structured mask's [:Q, Q:] block)."""
+    from geopurify_tpu.models.xdecoder import XDecoderHead
+
+    C, Q, T, n_cls = 16, 5, 6, 4
+    ms = [jnp.asarray(rng.normal(size=(1, 2, 3, C)).astype(np.float32)),
+          jnp.asarray(rng.normal(size=(1, 4, 6, C)).astype(np.float32)),
+          jnp.asarray(rng.normal(size=(1, 8, 12, C)).astype(np.float32))]
+    mf = jnp.asarray(rng.normal(size=(1, 16, 24, C)).astype(np.float32))
+    text = rng.normal(size=(n_cls, C)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    text = jnp.asarray(text)
+    caps = jnp.asarray(rng.normal(size=(1, T, C)).astype(np.float32))
+
+    head = XDecoderHead(hidden_dim=C, dim_proj=C, num_queries=Q, nheads=2,
+                        dim_feedforward=32, dec_layers=2, mask_dim=C)
+    vars_ = head.init(jax.random.key(0), ms, mf, text, jnp.float32(10.0),
+                      caption_tokens=caps)
+    out_vlp = head.apply(vars_, ms, mf, text, jnp.float32(10.0),
+                         caption_tokens=caps)
+    assert out_vlp["pred_captionings"].shape == (1, T, C)
+    assert out_vlp["pred_captions"].shape == (1, Q, C)
+
+    out_seg = head.apply(vars_, ms, mf, text, jnp.float32(10.0))
+    # isolation is semantic, not bit-level: the longer [Q+T] sequence changes
+    # XLA's padding/vectorization, shifting the Q rows by last-ulp only
+    np.testing.assert_allclose(np.asarray(out_seg["pred_logits"]),
+                               np.asarray(out_vlp["pred_logits"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_seg["pred_masks"]),
+                               np.asarray(out_vlp["pred_masks"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vlp_losses_hand_computed():
+    from geopurify_tpu.models.criterion import (
+        captioning_loss,
+        image_text_contrastive_loss,
+    )
+
+    # perfect contrastive alignment at huge scale -> ~0 loss; orthogonal ->
+    # ln(B) baseline at scale ln(1) = 1
+    e = jnp.eye(4)
+    near0 = float(image_text_contrastive_loss(e, e, jnp.log(100.0)))
+    assert near0 < 1e-2
+    rot = jnp.roll(e, 1, axis=0)
+    big = float(image_text_contrastive_loss(e, rot, jnp.log(100.0)))
+    assert big > 10.0
+
+    # captioning CE: predicting exactly the embedding of the next token wins
+    V, D, T = 8, 8, 5
+    table = jnp.eye(V, D) * 10
+    ids = jnp.asarray([[1, 2, 3, 4, 0]])
+    mask = jnp.asarray([[1.0, 1.0, 1.0, 1.0, 0.0]])
+    # slot t predicts token ids[t+1]
+    pred = table[ids[0]][None] * 0
+    pred = pred.at[0, 0].set(table[2]).at[0, 1].set(table[3]).at[0, 2].set(table[4])
+    loss_good = float(captioning_loss(pred, table, ids, mask))
+    loss_rand = float(captioning_loss(jnp.zeros_like(pred), table, ids, mask))
+    assert loss_good < 0.01 < loss_rand
+
+
+def test_train2d_vlp_smoke(tmp_path, rng):
+    """`train2d --task vlp` runs two optimizer steps (synthetic captions)."""
+    from geopurify_tpu.run import train2d as t2d
+
+    t2d.main([
+        "--task", "vlp", "--synthetic", "--steps", "2", "--image-hw", "64x96",
+        "--caption-len", "12", "--print-every", "1", "--save-every", "0",
+        "--save-path", str(tmp_path / "run"),
+        "data.all_label=['a','b','c']",
+        "xdecoder.hidden_dim=16", "xdecoder.conv_dim=16", "xdecoder.mask_dim=16",
+        "xdecoder.num_queries=5", "xdecoder.nheads=2",
+        "xdecoder.dim_feedforward=32", "xdecoder.dec_layers=1",
+        "xdecoder.enc_layers=1", "xdecoder.dtype=float32",
+        "xdecoder.backbone.embed_dim=8", "xdecoder.backbone.depths=[1,1,1,1]",
+        "xdecoder.backbone.focal_levels=[2,2,2,2]",
+        "text.width=16", "text.dim_proj=16", "text.heads=2", "text.layers=1",
+        "text.vocab_size=64",
+    ])
+    metrics = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
+    rec = json.loads(metrics.splitlines()[-1])
+    assert rec["step"] == 2
+    assert np.isfinite(rec["loss_captioning"]) and np.isfinite(rec["loss_retrieval"])
