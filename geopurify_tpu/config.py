@@ -124,10 +124,10 @@ class PoolingConfig:
     # smaller residual wins the tie.
     band: int = 12288
     # COO residual capacity for out-of-band edges. The per-round residual
-    # scatter costs ~linearly in CAPACITY (not actual edges: measured 324 ms
-    # vs 537 ms for 19 rounds at 2^18 vs 2^19 capacity, M=65k), so size it
-    # snugly — overflow falls back to the exact gather path. Hilbert order
-    # leaves ~3.5% of M*96 edges out-of-band at band 12288 (~220k at M=65k).
+    # scatter costs ~linearly in CAPACITY when ungated (runtime chunk gating
+    # makes it linear in actual edges), so size it snugly — overflow falls
+    # back to the exact gather path. Hilbert order + adaptive window starts
+    # leave ~2-3.5% of M*96 edges out-of-band at band 12288 at M=65k.
     max_residual: int = 262144
     # kNN strategy: 'grid' = Morton-tiled bbox-pruned exact kNN (certificate
     # + full-row fallback; ~7x faster on v5e at M=65k), 'full' = brute force.

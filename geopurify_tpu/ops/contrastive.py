@@ -98,46 +98,28 @@ def sample_contrastive_pairs_hybrid(
     def one_tile(args):                      # ([T], [T, K])
         aidx, nb = args
         fa = f[aidx]                         # [T, D]
+        # One full-row similarity block + chunked top-k: the old running
+        # (argmax, bottom-49) merge issued n_dc sequential top_k calls of
+        # width db_chunk+49 per tile — lax.top_k's slow regime (see
+        # ops/knn._chunked_topk_min). [T, Np] f32 is ~268 MB at T=1024,
+        # N=65536; lax.map keeps one tile live at a time.
+        sims = jax.lax.dot_general(
+            fa, f_pad, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                    # [T, Np]
+        idx = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        is_self = idx == aidx[:, None]
+        dead = ~valid_pad[None, :]
+        # positive: max excluding self (first index on exact ties, matching
+        # the chunk-scan's earliest-chunk-wins merge)
+        s_pos = jnp.where(is_self | dead, _NEG_INF, sims)
+        pos_i = jnp.argmax(s_pos, axis=1).astype(jnp.int32)
+        # macro negatives: bottom-k excluding self (positive excluded later)
+        s_neg = jnp.where(is_self | dead, jnp.inf, sims)
+        from geopurify_tpu.ops.knn import _chunked_topk_min
 
-        def scan_chunk(carry, c):
-            best_pos_s, best_pos_i, worst_s, worst_i = carry
-            start = c * db_chunk
-            fc = jax.lax.dynamic_slice_in_dim(f_pad, start, db_chunk)
-            vc = jax.lax.dynamic_slice_in_dim(valid_pad, start, db_chunk)
-            sims = jax.lax.dot_general(
-                fa, fc, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )                                # [T, C]
-            idx = start + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-            is_self = idx == aidx[:, None]
-            dead = ~vc[None, :]
-            # positive: max excluding self
-            s_pos = jnp.where(is_self | dead, _NEG_INF, sims)
-            c_best = jnp.max(s_pos, axis=1)
-            c_arg = idx[jnp.arange(fa.shape[0]), jnp.argmax(s_pos, axis=1)]
-            upd = c_best > best_pos_s
-            best_pos_s = jnp.where(upd, c_best, best_pos_s)
-            best_pos_i = jnp.where(upd, c_arg, best_pos_i)
-            # macro negatives: bottom-k excluding self (positive excluded later)
-            s_neg = jnp.where(is_self | dead, jnp.inf, sims)
-            cat_s = jnp.concatenate([worst_s, s_neg], axis=1)
-            cat_i = jnp.concatenate([worst_i, idx], axis=1)
-            top, arg = jax.lax.top_k(-cat_s, num_macro + 1)
-            worst_s = -top
-            worst_i = jnp.take_along_axis(cat_i, arg, axis=1)
-            return (best_pos_s, best_pos_i, worst_s, worst_i), None
-
-        T = fa.shape[0]
-        init = (
-            jnp.full((T,), _NEG_INF),
-            jnp.zeros((T,), jnp.int32),
-            jnp.full((T, num_macro + 1), jnp.inf),
-            jnp.zeros((T, num_macro + 1), jnp.int32),
-        )
-        (pos_s, pos_i, worst_s, worst_i), _ = jax.lax.scan(
-            scan_chunk, init, jnp.arange(n_dc, dtype=jnp.int32)
-        )
+        _, worst_i = _chunked_topk_min(s_neg, num_macro + 1)
         # exclude the positive from the bottom set (it is the argmax so it can
         # only appear under exact-duplicate ties): stable-sort positives to the
         # back of the (num_macro+1)-candidate list, keep the first num_macro.

@@ -103,10 +103,12 @@ def knn_search(
                 bad = bad | (idx == qid[:, None])
             return jnp.where(bad, _INF, d2), idx
 
-        if n_dc == 1:  # full-row fast path: single top_k, no running merge
+        if n_dc == 1:  # full-row fast path: chunked top_k, no running merge
+            # _chunked_topk_min splits the row at lax.top_k's ~4096-wide fast
+            # path and merges — ~4x cheaper than one full-width top_k call
             d2, idx = chunk_dists(0)
-            neg_top, arg = jax.lax.top_k(-d2, k)
-            return -neg_top, jnp.take_along_axis(idx, arg, axis=1)
+            best_d, loc = _chunked_topk_min(d2, k)
+            return best_d, jnp.take_along_axis(idx, loc, axis=1)
 
         def scan_chunk(carry, c):
             best_d, best_i = carry

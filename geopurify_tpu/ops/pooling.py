@@ -11,7 +11,7 @@ regular gather + weighted-sum — no CSR, no host round-trips, fully jittable.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -142,43 +142,92 @@ def iterate_pooling(
     return out.astype(out_dtype)
 
 
+class BandedOperator(NamedTuple):
+    """Banded-dense smoothing operator + exact sorted-COO residual.
+
+    ``S`` holds the in-window edges relative to per-tile window starts
+    (``starts``, chosen per scene — see build); out-of-window edges live in a
+    row-sorted COO list applied per round with a sorted segment_sum.
+
+    (A fixed-degree gather+einsum residual was measured and REJECTED: padding
+    rows to the max out-of-band degree (~48) inflates the per-round gather 3x
+    over the true edge count and loses to the segment_sum, whose cost is
+    ~12 ns per scattered row — see ROADMAP round-3 log.)
+    """
+
+    S: jax.Array          # [M, band] compute dtype
+    starts: jax.Array     # [n_t] i32 per-tile window starts
+    res_row: jax.Array    # [R] i32 non-decreasing, padded with M
+    res_col: jax.Array    # [R] i32
+    res_w: jax.Array      # [R] f32
+    n_dropped: jax.Array  # [] i32: edges beyond capacity (inexact if > 0)
+
+
 def build_banded_operator(
     weights: jax.Array,   # [M, K] f32
     nbr: jax.Array,       # [M, K] i32
     band: int = 12288,    # window width (rows), multiple of row_tile
     row_tile: int = 2048,
-    max_residual: int = 524288,
+    max_residual: int = 262144,
     dtype=jnp.bfloat16,
     assume_unique_neighbors: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    adaptive_starts: bool = True,
+) -> BandedOperator:
     """Reshape the fixed-degree graph into a banded-dense operator.
 
     Voxels are spatially sorted, so almost all kNN edges live inside a sliding
     index window. One banded-dense matrix S [M, band] (column j of row i means
-    neighbor index ws(i)+j, where ws is the per-tile window start) replaces
-    the gather: each smoothing round becomes tile-wise MXU matmuls
-    S_tile @ feats[ws : ws+band] — the MXU multiplies mostly zeros but beats
-    the HBM random-gather by ~an order of magnitude. Out-of-window edges
-    (tail of the band distribution) go to a COO residual list applied with
-    segment-sum per round, keeping the result exact.
+    neighbor index starts[tile(i)]+j) replaces the gather: each smoothing
+    round becomes tile-wise MXU matmuls S_tile @ feats[ws : ws+band] — the MXU
+    multiplies mostly zeros but beats the HBM random-gather by ~an order of
+    magnitude. Out-of-window edges (tail of the band distribution) go to a
+    row-sorted COO residual applied with segment-sum per round, keeping the
+    result exact.
 
-    Returns (S [M, band] dtype, res_row [R], res_col [R], res_w [R],
-    n_dropped [] int32 — out-of-band edges beyond ``max_residual`` capacity;
-    when > 0 the operator is INEXACT and callers must fall back to the gather
-    path or surface the count).
+    ``adaptive_starts`` centers each tile's window on the outlier-clipped mean
+    of its neighbor indices instead of the tile center — a free per-scene
+    optimization (the residual keeps any placement exact).
+
+    Returns a BandedOperator; ``n_dropped`` > 0 means out-of-band edges
+    exceeded ``max_residual`` and the operator is INEXACT — callers must fall
+    back to the gather path or surface the count.
     """
     M, K = weights.shape
     n_t = -(-M // row_tile)
 
     rows = jnp.arange(M, dtype=jnp.int32)
     tile = rows // row_tile
-    ws = jnp.clip(tile * row_tile + row_tile // 2 - band // 2, 0, max(M - band, 0))
+    dead = weights == 0.0
+    if adaptive_starts and M > band:
+        # per-tile outlier-clipped mean neighbor deviation from tile center
+        center = tile * row_tile + row_tile // 2
+        dev = jnp.clip(nbr - center[:, None], -band, band)
+        live = (~dead).astype(jnp.float32)
+        Mp_t = n_t * row_tile
+        dev_p = jnp.pad((dev * live), ((0, Mp_t - M), (0, 0)))
+        live_p = jnp.pad(live, ((0, Mp_t - M), (0, 0)))
+        t_dev = jnp.sum(dev_p.reshape(n_t, -1), axis=1) / jnp.maximum(
+            jnp.sum(live_p.reshape(n_t, -1), axis=1), 1.0
+        )
+        t_center = (
+            jnp.arange(n_t, dtype=jnp.int32) * row_tile + row_tile // 2
+        )
+        starts = jnp.clip(
+            t_center + t_dev.astype(jnp.int32) - band // 2,
+            0, max(M - band, 0),
+        )
+    else:
+        starts = jnp.clip(
+            jnp.arange(n_t, dtype=jnp.int32) * row_tile
+            + row_tile // 2 - band // 2,
+            0, max(M - band, 0),
+        )
+    ws = starts[tile]
     li = nbr - ws[:, None]                               # [M, K] local col
     # Unfilled kNN slots carry w==0 and a CLAMPED index (often 0): under the
     # unique-scatter branch they'd collide with a real neighbor at the same
     # column (duplicate indices = XLA scatter UB), and in the residual they'd
     # burn capacity on no-op edges. Treat them as out-of-band trash always.
-    dead = weights == 0.0
     in_band = (li >= 0) & (li < band) & ~dead
 
     # banded matrix via scatter; out-of-band entries land in trash columns
@@ -201,54 +250,45 @@ def build_banded_operator(
         S = jnp.zeros((M, band + 1), jnp.float32)
         S = S.at[flat_rows, flat_cols].add(weights.reshape(-1)).astype(dtype)[:, :band]
 
-    # residual COO: sort-free fixed-capacity compaction — stable cumsum rank
-    # over out-of-band entries (an argsort over M*K elements costs more per
-    # scene than the residual pass it feeds). Capacity is sized ~4x the
-    # typical out-of-band tail; the returned n_dropped counts any overflow so
-    # callers can fall back to the exact gather path.
-    out_mask = ~in_band & ~dead
-    out_w = jnp.where(out_mask, weights, 0.0).reshape(-1)
-    rank = jnp.cumsum(out_mask.reshape(-1).astype(jnp.int32)) - 1
+    # Residual COO via edge-id compaction: ONE M*K-element scatter (TPU
+    # scatters cost ~12 ns per update regardless of drops — the old
+    # three-array form paid that three times); rows/cols/weights then derive
+    # from the packed edge id by cheap gathers at the compact size. Stable
+    # cumsum rank keeps edge order row-major, so res_row stays NON-DECREASING
+    # end to end (padded with M) — the smoothing loop's sorted-segment fast
+    # path depends on it.
+    out_mask = (~in_band & ~dead).reshape(-1)
+    rank = jnp.cumsum(out_mask.astype(jnp.int32)) - 1
     n_out = jnp.sum(out_mask.astype(jnp.int32))
-    n_dropped = jnp.maximum(n_out - max_residual, 0)
-    keep = out_mask.reshape(-1) & (rank < max_residual)
-    slot = jnp.where(keep, rank, max_residual)      # trash slot, sliced off
-    res_w = jnp.zeros((max_residual + 1,), jnp.float32).at[slot].set(
-        out_w, mode="drop"
-    )[:max_residual]
-    # pad unfilled slots with M (dropped by segment_sum's num_segments bound)
-    # so res_row stays NON-DECREASING end to end — the smoothing loop's
-    # sorted-scatter fast path depends on it
-    res_row = jnp.full((max_residual + 1,), M, jnp.int32).at[slot].set(
-        flat_rows, mode="drop"
-    )[:max_residual]
-    res_col = jnp.zeros((max_residual + 1,), jnp.int32).at[slot].set(
-        nbr.reshape(-1), mode="drop"
-    )[:max_residual]
-    return S, res_row, res_col, res_w, n_dropped
+    R = max_residual
+    keep = out_mask & (rank < R)
+    slot = jnp.where(keep, rank, R + 1)                  # out of bounds -> drop
+    E = jnp.zeros((R + 1,), jnp.int32).at[slot].set(
+        jnp.arange(M * K, dtype=jnp.int32), mode="drop", unique_indices=True
+    )[:R]
+    e_live = jnp.arange(R) < jnp.minimum(n_out, R)
+    res_row = jnp.where(e_live, E // K, M)               # non-decreasing
+    res_col = jnp.where(e_live, nbr.reshape(-1)[E], 0)
+    res_w = jnp.where(e_live, weights.reshape(-1)[E], 0.0)
+    n_dropped = jnp.maximum(n_out - R, 0)
+    return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped)
 
 
 @partial(jax.jit, static_argnames=("num_iterations", "band", "row_tile"))
 def iterate_pooling_banded(
-    S: jax.Array,         # [M, band]
-    res_row: jax.Array,   # [R]
-    res_col: jax.Array,   # [R]
-    res_w: jax.Array,     # [R]
+    op: BandedOperator,
     feats: jax.Array,     # [M, C]
     num_iterations: int = 19,
     band: int = 12288,
     row_tile: int = 2048,
 ) -> jax.Array:
     """19 rounds of F <- A @ F with the banded-dense operator + COO residual."""
+    S = op.S
     M, C = feats.shape
     n_t = -(-M // row_tile)
     out_dtype = feats.dtype
-    starts = jnp.clip(
-        jnp.arange(n_t, dtype=jnp.int32) * row_tile + row_tile // 2 - band // 2,
-        0, max(M - band, 0),
-    )
 
-    R = res_col.shape[0]
+    R = op.res_col.shape[0]
     # chunk sizing trades per-call segment_sum overhead against gating
     # granularity: 65536 (8 calls at cap 2^19) measured 0.55 s vs 0.30 at one
     # call on an all-live scene — per-call overhead dominates below ~2^18
@@ -258,11 +298,11 @@ def iterate_pooling_banded(
     # gating each chunk on the ACTUAL edge count makes it linear in the real
     # out-of-band tail instead, while capacity stays generously sized.
     # res_row is non-decreasing with M-padding, so edges count = rows < M.
-    n_res = jnp.sum((res_row < M).astype(jnp.int32)) if R else jnp.int32(0)
+    n_res = jnp.sum((op.res_row < M).astype(jnp.int32)) if R else jnp.int32(0)
     Mp = n_t * row_tile
     S3 = jnp.pad(S, ((0, Mp - M), (0, 0))).reshape(n_t, row_tile, band)
     win_idx = jnp.minimum(
-        starts[:, None] + jnp.arange(band, dtype=jnp.int32)[None], M - 1
+        op.starts[:, None] + jnp.arange(band, dtype=jnp.int32)[None], M - 1
     )                                                    # [n_t, band]
 
     def one_round(f):
@@ -276,18 +316,20 @@ def iterate_pooling_banded(
         )
         banded = banded.reshape(Mp, C)[:M]
         # exact residual: out-of-window edges, applied in fixed chunks so the
-        # gathered [chunk, C] f32 transient stays bounded (a 2M-edge residual
-        # at C=518 would otherwise materialize 4.3 GB per round)
-        f32 = f.astype(jnp.float32)
+        # gathered [chunk, C] transient stays bounded (a 2M-edge residual
+        # at C=518 would otherwise materialize 4.3 GB per round). The gather
+        # rides fb's dtype (bf16 between rounds) and upcasts AFTER — f is
+        # already bf16-valued so this is bit-identical at half the HBM traffic.
 
         def resid_chunk(c, acc):
             def live(acc):
-                rc = jax.lax.dynamic_slice_in_dim(res_col, c * res_chunk, res_chunk)
-                rw_ = jax.lax.dynamic_slice_in_dim(res_w, c * res_chunk, res_chunk)
-                rr_ = jax.lax.dynamic_slice_in_dim(res_row, c * res_chunk, res_chunk)
-                g = f32[rc] * rw_[:, None]
-                # res_row is non-decreasing by construction (the compaction rank
-                # preserves row-major edge order) — sorted-scatter is much faster
+                rc = jax.lax.dynamic_slice_in_dim(
+                    op.res_col, c * res_chunk, res_chunk)
+                rw_ = jax.lax.dynamic_slice_in_dim(
+                    op.res_w, c * res_chunk, res_chunk)
+                rr_ = jax.lax.dynamic_slice_in_dim(
+                    op.res_row, c * res_chunk, res_chunk)
+                g = fb[rc].astype(jnp.float32) * rw_[:, None]
                 return acc + jax.ops.segment_sum(
                     g, rr_, num_segments=M, indices_are_sorted=True
                 )
@@ -315,7 +357,7 @@ def geometry_guided_pooling(
     num_iterations: int = 19,
     spmm_mode: str = "banded",
     band: int = 12288,
-    max_residual: int = 524288,
+    max_residual: int = 262144,
     knn_mode: str = "grid",
     knn_radius: int = 12,
     knn_candidates: int = 4096,
@@ -353,18 +395,18 @@ def geometry_guided_pooling(
         w_h = w[order]
         nbr_h = rank[nbr[order]]
         feats_h = feats[order]
-        S, rr, rc, rw, n_dropped = build_banded_operator(
+        op = build_banded_operator(
             w_h, nbr_h, band=band, max_residual=max_residual,
             assume_unique_neighbors=True,
         )
         out_h = jax.lax.cond(
-            n_dropped > 0,
+            op.n_dropped > 0,
             lambda: iterate_pooling(w_h, nbr_h, feats_h,
                                     num_iterations=num_iterations),
             lambda: iterate_pooling_banded(
-                S, rr, rc, rw, feats_h, num_iterations=num_iterations, band=band
+                op, feats_h, num_iterations=num_iterations, band=band
             ),
         )
-        return out_h[rank], n_dropped
+        return out_h[rank], op.n_dropped
     out = iterate_pooling(w, nbr, feats, num_iterations=num_iterations)
     return out, jnp.zeros((), jnp.int32)

@@ -73,26 +73,12 @@ def main():
     P = 2 * M
     rng = np.random.default_rng(0)
 
-    # surface-like voxel scene (bench.py build_scene shape family)
-    E, Ez = 200, 120
-    n_draw = 3 * M
-    q = n_draw // 4
-    pts = np.concatenate([
-        np.stack([rng.integers(0, E, q), rng.integers(0, E, q),
-                  rng.integers(0, 3, q)], 1),
-        np.stack([rng.integers(0, 3, q), rng.integers(0, E, q),
-                  rng.integers(0, Ez, q)], 1),
-        np.stack([rng.integers(0, E, q), rng.integers(0, 3, q),
-                  rng.integers(0, Ez, q)], 1),
-        np.stack([rng.integers(0, E, q), rng.integers(0, E, q),
-                  rng.integers(0, Ez, q)], 1),
-    ])
-    vox = np.unique(pts, axis=0)
-    if len(vox) < M:
-        extra = rng.integers(0, E, (M - len(vox), 3))
-        vox = np.unique(np.concatenate([vox, extra]), axis=0)
-    vox = vox[np.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))][:M]
-    coords = jnp.asarray(vox, jnp.int32)
+    # the DRIVER BENCH scene family (floor/walls/ellipsoid shells) — the old
+    # fog-quarter synthetic inflated kNN certificate failures ~10x
+    import bench as bench_mod
+
+    batch = bench_mod.build_scene(0, P, M, 1, 1024, (32, 48))
+    coords = jnp.asarray(np.asarray(batch.voxel_coords), jnp.int32)
     valid = jnp.ones((M,), bool)
     emb = jnp.asarray(rng.normal(0, 1, (M, 128)).astype(np.float32))
     feats = jnp.asarray(rng.normal(0, 1, (M, 518)).astype(np.float32))
@@ -116,12 +102,12 @@ def main():
     ))
     print("banded build:", t_sync(banded, w, nbr, trials=args.trials))
 
-    S, rr, rc, rw, _ = banded(w, nbr)
-    smooth = jax.jit(lambda s, a, b, c_, f: iterate_pooling_banded(
-        s, a, b, c_, f, num_iterations=pc.num_iterations, band=pc.band,
+    op = banded(w, nbr)
+    smooth = jax.jit(lambda o, f: iterate_pooling_banded(
+        o, f, num_iterations=pc.num_iterations, band=pc.band,
     ))
     print("19x banded smoothing:",
-          t_sync(smooth, S, rr, rc, rw, feats, trials=args.trials))
+          t_sync(smooth, op, feats, trials=args.trials))
 
     pool = jax.jit(lambda e, f, c, v: geometry_guided_pooling(
         e, f, c, v, k=pc.knn_k, sharpen=pc.sharpen,

@@ -161,56 +161,71 @@ def test_banded_spmm_matches_gather(rng):
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)), jnp.asarray(feats),
         num_iterations=3, row_tile=128,
     )
-    S, rr, rc, rw, n_drop = build_banded_operator(
+    op = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
         band=128, row_tile=64, max_residual=M * K,
     )
-    assert int(n_drop) == 0
+    assert int(op.n_dropped) == 0
     out = iterate_pooling_banded(
-        S, rr, rc, rw, jnp.asarray(feats),
-        num_iterations=3, band=128, row_tile=64,
+        op, jnp.asarray(feats), num_iterations=3, band=128, row_tile=64,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.1, atol=0.05)
     # and with full-width band (no residual) it's the same too
-    S2, rr2, rc2, rw2, n_drop2 = build_banded_operator(
+    op2 = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
         band=M, row_tile=64, max_residual=8,
     )
-    assert float(jnp.sum(rw2)) == 0.0  # nothing out of band
-    assert int(n_drop2) == 0
+    assert float(jnp.sum(op2.res_w)) == 0.0  # nothing out of band
+    assert int(op2.n_dropped) == 0
     out2 = iterate_pooling_banded(
-        S2, rr2, rc2, rw2, jnp.asarray(feats),
-        num_iterations=3, band=M, row_tile=64,
+        op2, jnp.asarray(feats), num_iterations=3, band=M, row_tile=64,
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=0.1, atol=0.05)
     # overflow counting: a tiny residual capacity under-counts edges and the
-    # banded operator reports exactly how many were dropped
-    S3, rr3, rc3, rw3, n_drop3 = build_banded_operator(
+    # banded operator reports exactly how many were dropped (fixed tile-center
+    # windows so the expected count is computable here)
+    op3 = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
-        band=64, row_tile=64, max_residual=4,
+        band=64, row_tile=64, max_residual=4, adaptive_starts=False,
     )
     li = nbr - np.clip(
         (np.arange(M) // 64) * 64 + 32 - 32, 0, M - 64
     )[:, None]
     n_out = int((~((li >= 0) & (li < 64))).sum())
-    assert int(n_drop3) == max(n_out - 4, 0)
+    assert int(op3.n_dropped) == max(n_out - 4, 0)
+    # adaptive window starts stay exact (residual catches whatever the
+    # mean-centered window misses)
+    op3b = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)),
+        band=64, row_tile=64, max_residual=M * K, adaptive_starts=True,
+    )
+    assert int(op3b.n_dropped) == 0
+    out3b = iterate_pooling_banded(
+        op3b, jnp.asarray(feats), num_iterations=3, band=64, row_tile=64,
+    )
+    ref3 = iterate_pooling(
+        jnp.asarray(w), jnp.asarray(nbr.astype(np.int32)), jnp.asarray(feats),
+        num_iterations=3, row_tile=64,
+    )
+    np.testing.assert_allclose(np.asarray(out3b), np.asarray(ref3),
+                               rtol=0.1, atol=0.05)
 
     # unique-scatter fast path (exact-kNN rows have distinct neighbors):
     # must match the duplicate-safe build exactly
     nbr_u = np.stack([
         rng.choice(M, K, replace=False) for _ in range(M)
     ]).astype(np.int32)
-    Su, ru, cu, wu, ndu = build_banded_operator(
+    opu = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr_u), band=128, row_tile=64,
         max_residual=M * K, assume_unique_neighbors=True,
     )
-    Sd, rd, cd_, wd, ndd = build_banded_operator(
+    opd = build_banded_operator(
         jnp.asarray(w), jnp.asarray(nbr_u), band=128, row_tile=64,
         max_residual=M * K,
     )
-    np.testing.assert_allclose(np.asarray(Su), np.asarray(Sd), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(wu), np.asarray(wd))
-    assert int(ndu) == int(ndd) == 0
+    np.testing.assert_allclose(np.asarray(opu.S), np.asarray(opd.S), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(opu.res_w), np.asarray(opd.res_w))
+    assert int(opu.n_dropped) == int(opd.n_dropped) == 0
 
 
 def test_contrastive_sampler_small_scene(rng):
