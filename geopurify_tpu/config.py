@@ -134,6 +134,19 @@ class PoolingConfig:
     knn_mode: str = "grid"
     knn_radius: int = 12                  # certificate radius (voxel units)
     knn_candidates: int = 4096            # per-tile candidate budget
+    # Space the 19 smoothing rounds run in. The rounds are LINEAR in the
+    # features (F <- A @ F) and classification is argmax(scale *
+    # normalize(f) @ T^t) — per-row normalization cannot change the argmax,
+    # so smoothing the projected class logits S^19(F @ T) = (S^19 F) @ T is
+    # ARGMAX-EXACT while cutting the smoothed channel dim from 512 to
+    # n_classes (ref applies sparse.mm to 512-d feats then classifies,
+    # affinity_module.py:1569-1589 — identical predictions by linearity).
+    # 'logit' (default): smooth [M, n_cls] projections; returned per-point
+    #   logits are scale * (S^19 F) @ T (unnormalized — same argmax, different
+    #   magnitudes), and `scene_features` is the PRE-smoothing fused surface.
+    # 'feature': reference-shaped path — smooth 512-d features, normalize,
+    #   then project; use when smoothed per-point features must be exported.
+    smooth_space: str = "logit"
 
 
 @dataclass

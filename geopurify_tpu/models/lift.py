@@ -25,7 +25,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from geopurify_tpu.ops.knn import nearest_fill
+from geopurify_tpu.ops.knn import nearest_fill, nearest_fill_grid
 from geopurify_tpu.ops.segment import segment_sum
 from geopurify_tpu.models.layers import resize_bicubic_antialias
 
@@ -71,8 +71,10 @@ def lift_view_features(
         covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0
     )                                                         # [Pv, C]
 
-    # per-view nearest fill for visible-but-uncovered points (ref :604-625)
-    feats = nearest_fill(feats, view_coords.astype(jnp.float32), covered, pv_valid)
+    # per-view nearest fill for visible-but-uncovered points (ref :604-625);
+    # grid-pruned variant: the ungated sweep is O(n_unseen * Pv) and cost
+    # ~65 ms/view at Pv=65536 (the preset-scale view-stage whale)
+    feats = nearest_fill_grid(feats, view_coords.astype(jnp.float32), covered, pv_valid)
     feats = jnp.where(pv_valid[:, None], feats, 0.0)
 
     norm = jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -164,7 +166,7 @@ def fill_unseen_points(
     point_valid: jax.Array,  # [P] bool
 ) -> jax.Array:
     """Global nearest fill for never-seen points (ref :687-696)."""
-    return nearest_fill(fused, points.astype(jnp.float32), count > 0, point_valid)
+    return nearest_fill_grid(fused, points.astype(jnp.float32), count > 0, point_valid)
 
 
 def fill_unseen_points_voxel(

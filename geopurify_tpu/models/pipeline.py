@@ -275,11 +275,10 @@ class GeoPurifyPipeline:
             fused = fill_unseen_points(fused, batch.points, count, batch.point_valid)
         return SceneFeatures(fused, count)
 
-    def _pool_scene_impl(
-        self, student_vars, f2d: jax.Array, batch: SceneBatch
-    ) -> jax.Array:
-        """Voxelize features, run the student, smooth over the affinity graph,
-        de-voxelize (evaluate_scene core, affinity_module.py:1524-1589)."""
+    def _voxel_embed(self, student_vars, f2d: jax.Array, batch: SceneBatch):
+        """Shared Stage-2 head: voxel scatter-mean (semantic || geometric
+        518-d) + student forward (affinity_module.py:1524-1545). Returns
+        (voxel_in [M, 518], student embed [M, E], p2v [P])."""
         M = batch.voxel_coords.shape[0]
         p2v = jnp.where(batch.point_valid, batch.point2voxel, M)
         voxel_sem = segment_mean(f2d, p2v, num_segments=M)
@@ -290,18 +289,38 @@ class GeoPurifyPipeline:
         embed = self.student.apply(
             student_vars, voxel_in, nbr, batch.voxel_valid, train=False
         )
+        return voxel_in, embed, p2v
+
+    def _smooth(self, embed, feats, batch: SceneBatch):
         pc = self.cfg.pooling
-        refined, band_overflow = geometry_guided_pooling(
-            embed, voxel_in, batch.voxel_coords, batch.voxel_valid,
+        return geometry_guided_pooling(
+            embed, feats, batch.voxel_coords, batch.voxel_valid,
             k=pc.knn_k, sharpen=pc.sharpen, num_iterations=pc.num_iterations,
             spmm_mode=pc.spmm_mode, band=pc.band, max_residual=pc.max_residual,
             knn_mode=pc.knn_mode, knn_radius=pc.knn_radius,
             knn_candidates=pc.knn_candidates,
         )
+
+    def _pool_scene_impl(
+        self, student_vars, f2d: jax.Array, batch: SceneBatch
+    ) -> jax.Array:
+        """Voxelize features, run the student, smooth over the affinity graph,
+        de-voxelize (evaluate_scene core, affinity_module.py:1524-1589).
+
+        Smoothing runs on the first ``feature_dim`` (512 semantic) channels
+        only: the rounds are per-channel independent and the smoothed
+        geometric tail was discarded by the de-voxelize slice anyway — 512
+        also avoids the 518->640 lane padding in the banded matmul."""
+        M = batch.voxel_coords.shape[0]
+        pc = self.cfg.pooling
+        voxel_in, embed, p2v = self._voxel_embed(student_vars, f2d, batch)
+        refined, band_overflow = self._smooth(
+            embed, voxel_in[:, : pc.feature_dim], batch
+        )
         refined = jnp.concatenate(
             [refined, jnp.zeros((1, refined.shape[1]), refined.dtype)], axis=0
         )
-        out = refined[jnp.minimum(p2v, M)][:, : pc.feature_dim]
+        out = refined[jnp.minimum(p2v, M)]
         return jnp.where(batch.point_valid[:, None], out, 0), band_overflow
 
     def evaluate_scene(
@@ -325,6 +344,39 @@ class GeoPurifyPipeline:
         }
 
     def _pool_classify_impl(self, student_vars, f2d, batch, text, logit_scale):
+        if self.cfg.pooling.smooth_space == "logit":
+            # Argmax-exact fast path (see PoolingConfig.smooth_space): project
+            # the 512-d voxel semantics onto the normalized text embeddings
+            # FIRST, then smooth [M, n_cls] — linearity commutes the rounds
+            # with the projection, and per-row normalization cannot move the
+            # argmax. 512 -> n_cls cuts the banded-matmul/residual channel
+            # work ~4x (lane-padded 512 -> 128 at 19 classes).
+            M = batch.voxel_coords.shape[0]
+            pc = self.cfg.pooling
+            voxel_in, embed, p2v = self._voxel_embed(student_vars, f2d, batch)
+            text_nb = text[:-1].astype(jnp.float32)
+            proj = voxel_in[:, : pc.feature_dim] @ text_nb.T      # [M, n_cls]
+            smoothed, band_overflow = self._smooth(embed, proj, batch)
+            smoothed = jnp.concatenate(
+                [smoothed, jnp.zeros((1, smoothed.shape[1]), smoothed.dtype)], 0
+            )
+            pt = smoothed[jnp.minimum(p2v, M)]
+            logits = logit_scale * jnp.where(batch.point_valid[:, None], pt, 0.0)
+            pred = jnp.argmax(logits, axis=-1)
+            # debug/visualization surface: the PRE-smoothing fused features.
+            # Slice to the semantic dims and (at HBM-straining scales)
+            # downcast BEFORE the [P, C] point gather — gathering the full
+            # [P, 518] f32 then slicing materializes ~4.3 GB of transients
+            # at preset scale (OOMed the 16 GB chip).
+            P = batch.point_valid.shape[0]
+            vi = voxel_in[:, : pc.feature_dim]
+            if P * pc.feature_dim >= (1 << 28):
+                vi = vi.astype(jnp.bfloat16)
+            vi = jnp.concatenate([vi, jnp.zeros((1, vi.shape[1]), vi.dtype)], 0)
+            refined = jnp.where(
+                batch.point_valid[:, None], vi[jnp.minimum(p2v, M)], 0.0
+            ).astype(vi.dtype)
+            return refined, band_overflow, logits, pred
         refined, band_overflow = self._pool_scene_impl(student_vars, f2d, batch)
         logits, pred = self._classify_impl(refined, text, logit_scale)
         # at HBM-straining scales the returned per-point features ride bf16

