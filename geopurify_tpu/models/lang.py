@@ -190,6 +190,24 @@ class ClipBPETokenizer:
             mask[i, : len(toks)] = 1
         return ids, mask
 
+    def decode(self, ids: Sequence[int]) -> str:
+        """Ids -> text, stopping at EOT and dropping SOT (the captioning
+        batch_decode + '<|endoftext|>' split, interface/xdecoder.py:411-419)."""
+        if not hasattr(self, "_decoder"):
+            self._decoder = {v: k for k, v in self.encoder.items()}
+            self._byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        parts = []
+        for i in ids:
+            i = int(i)
+            if i == self.eot:
+                break
+            if i == self.sot:
+                continue
+            parts.append(self._decoder.get(i, ""))
+        text = "".join(parts)
+        raw = bytearray(self._byte_decoder[c] for c in text.replace("</w>", "Ġ"))
+        return raw.decode("utf-8", errors="replace").replace("Ġ", " ").strip()
+
 
 class HashTokenizer:
     """Deterministic stand-in with the CLIP interface: per-word hashing, SOT/EOT
@@ -218,6 +236,19 @@ class HashTokenizer:
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1
         return ids, mask
+
+    def decode(self, ids: Sequence[int]) -> str:
+        """Hashing is one-way — emit ``<id>`` placeholders (stops at EOT,
+        drops SOT) so decode round-trips structurally for smoke tests."""
+        out = []
+        for i in ids:
+            i = int(i)
+            if i == self.eot:
+                break
+            if i == self.sot:
+                continue
+            out.append(f"<{i}>")
+        return " ".join(out)
 
 
 def build_tokenizer(vocab_path: Optional[str] = None, context_length: int = 77):

@@ -205,11 +205,137 @@ class XDecoderHead(nn.Module):
             "pred_masks": outputs_mask[:, : Q - 1],
             "mask_embed": class_embed[:, : Q - 1],
             "cls_logits": outputs_class[:, Q - 1],
+            # class-token embedding — the retrieval image descriptor
+            # (evaluate_retrieval, xdecoder_model.py:623: pred_captions[:,-1])
+            "cls_embed": class_embed[:, Q - 1],
         }
         if T:
             out["pred_captionings"] = capt                        # [B,T,dim_proj]
             out["pred_captions"] = class_embed                    # incl cls row
         return out
+
+
+def _model_dtype(cfg: XDecoderConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def _normalize_and_pad(cfg: XDecoderConfig, images: jax.Array) -> jax.Array:
+    """Pixel normalization + /size_divisibility padding
+    (ImageList.from_tensors, xdecoder_model.py:375-377)."""
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    x = (images.astype(jnp.float32) - mean) / std
+    H, W = x.shape[1:3]
+    div = cfg.size_divisibility
+    Hp = -(-H // div) * div
+    Wp = -(-W // div) * div
+    return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+
+
+def _make_backbone(cfg: XDecoderConfig, name: Optional[str] = None) -> nn.Module:
+    dtype = _model_dtype(cfg)
+    if cfg.backbone_type == "davit":
+        from geopurify_tpu.models.davit import DaViT
+
+        return DaViT(dtype=dtype, name=name)
+    if cfg.backbone_type == "vit":
+        from geopurify_tpu.models.vit_backbone import ViTBackbone
+
+        return ViTBackbone(dtype=dtype, name=name)
+    return FocalNet(
+        embed_dim=cfg.backbone.embed_dim,
+        depths=tuple(cfg.backbone.depths),
+        focal_levels=tuple(cfg.backbone.focal_levels),
+        focal_windows=tuple(cfg.backbone.focal_windows),
+        mlp_ratio=cfg.backbone.mlp_ratio,
+        use_postln=cfg.backbone.use_postln,
+        use_postln_in_modulation=cfg.backbone.use_postln_in_modulation,
+        scaling_modulator=cfg.backbone.scaling_modulator,
+        use_layerscale=cfg.backbone.use_layerscale,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def _make_pixel_decoder(cfg: XDecoderConfig, name: Optional[str] = None) -> nn.Module:
+    dtype = _model_dtype(cfg)
+    if cfg.pixel_decoder == "deform":
+        from geopurify_tpu.models.pixel_decoder_deform import (
+            MSDeformAttnPixelDecoder,
+        )
+
+        return MSDeformAttnPixelDecoder(
+            conv_dim=cfg.conv_dim,
+            mask_dim=cfg.mask_dim,
+            num_enc_layers=cfg.enc_layers,
+            num_heads=cfg.nheads,
+            dim_feedforward=cfg.dim_feedforward,
+            dtype=dtype,
+            name=name,
+        )
+    return TransformerEncoderPixelDecoder(
+        conv_dim=cfg.conv_dim,
+        mask_dim=cfg.mask_dim,
+        num_enc_layers=cfg.enc_layers,
+        num_heads=cfg.nheads,
+        dim_feedforward=cfg.dim_feedforward,
+        pre_norm=cfg.pre_norm,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def _make_head(cfg: XDecoderConfig, name: Optional[str] = None) -> "XDecoderHead":
+    return XDecoderHead(
+        hidden_dim=cfg.hidden_dim,
+        dim_proj=cfg.hidden_dim,
+        num_queries=cfg.num_queries,
+        nheads=cfg.nheads,
+        dim_feedforward=cfg.dim_feedforward,
+        dec_layers=cfg.dec_layers,
+        mask_dim=cfg.mask_dim,
+        pre_norm=cfg.pre_norm,
+        dtype=_model_dtype(cfg),
+        name=name,
+    )
+
+
+def encode_pixel_features(
+    cfg: XDecoderConfig, variables, images: jax.Array
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """The image-encoding half of ``XDecoderSegModel`` (normalize/pad +
+    backbone + pixel decoder), driven standalone with the full model's param
+    tree sliced by submodule name. Lets inference loops that re-run only the
+    query decoder (captioning greedy decode, interactive refinement) pay for
+    the backbone once — equivalence with the assembled model is test-pinned
+    (tests/test_inference2d.py). Returns (mask_features, multi_scale)."""
+    x = _normalize_and_pad(cfg, images)
+    params = variables["params"]
+    feats = _make_backbone(cfg).apply(
+        {"params": params["backbone"]}, x.astype(_model_dtype(cfg))
+    )
+    mask_features, _, multi_scale = _make_pixel_decoder(cfg).apply(
+        {"params": params["pixel_decoder"]}, feats
+    )
+    return mask_features, multi_scale
+
+
+def apply_head(
+    cfg: XDecoderConfig,
+    variables,
+    multi_scale: Sequence[jax.Array],
+    mask_features: jax.Array,
+    text_embeddings: jax.Array,
+    logit_scale: jax.Array,
+    caption_tokens: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """The query-decoder half of ``XDecoderSegModel``, standalone (see
+    encode_pixel_features)."""
+    return _make_head(cfg).apply(
+        {"params": variables["params"]["predictor"]},
+        list(multi_scale), mask_features, text_embeddings, logit_scale,
+        caption_tokens=caption_tokens,
+    )
 
 
 class XDecoderSegModel(nn.Module):
@@ -232,79 +358,17 @@ class XDecoderSegModel(nn.Module):
         caption_tokens: Optional[jax.Array] = None,  # [B,T,C] — VLP task
     ) -> Dict[str, jax.Array]:
         c = self.cfg
-        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
-        mean = jnp.asarray(c.pixel_mean, jnp.float32)
-        std = jnp.asarray(c.pixel_std, jnp.float32)
-        x = (images.astype(jnp.float32) - mean) / std
+        dtype = _model_dtype(c)
+        x = _normalize_and_pad(c, images)
+        Hp, Wp = x.shape[1:3]
 
-        # pad to size_divisibility (ImageList.from_tensors, xdecoder_model.py:375-377)
-        H, W = x.shape[1:3]
-        div = c.size_divisibility
-        Hp = -(-H // div) * div
-        Wp = -(-W // div) * div
-        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
-
-        if c.backbone_type == "davit":
-            from geopurify_tpu.models.davit import DaViT
-
-            feats = DaViT(dtype=dtype, name="backbone")(x.astype(dtype))
-        elif c.backbone_type == "vit":
-            from geopurify_tpu.models.vit_backbone import ViTBackbone
-
-            feats = ViTBackbone(dtype=dtype, name="backbone")(x.astype(dtype))
-        else:
-            feats = FocalNet(
-                embed_dim=c.backbone.embed_dim,
-                depths=tuple(c.backbone.depths),
-                focal_levels=tuple(c.backbone.focal_levels),
-                focal_windows=tuple(c.backbone.focal_windows),
-                mlp_ratio=c.backbone.mlp_ratio,
-                use_postln=c.backbone.use_postln,
-                use_postln_in_modulation=c.backbone.use_postln_in_modulation,
-                scaling_modulator=c.backbone.scaling_modulator,
-                use_layerscale=c.backbone.use_layerscale,
-                dtype=dtype,
-                name="backbone",
-            )(x.astype(dtype))
-
-        if c.pixel_decoder == "deform":
-            from geopurify_tpu.models.pixel_decoder_deform import (
-                MSDeformAttnPixelDecoder,
-            )
-
-            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
-                conv_dim=c.conv_dim,
-                mask_dim=c.mask_dim,
-                num_enc_layers=c.enc_layers,
-                num_heads=c.nheads,
-                dim_feedforward=c.dim_feedforward,
-                dtype=dtype,
-                name="pixel_decoder",
-            )(feats)
-        else:
-            mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
-                conv_dim=c.conv_dim,
-                mask_dim=c.mask_dim,
-                num_enc_layers=c.enc_layers,
-                num_heads=c.nheads,
-                dim_feedforward=c.dim_feedforward,
-                pre_norm=c.pre_norm,
-                dtype=dtype,
-                name="pixel_decoder",
-            )(feats)
-
-        out = XDecoderHead(
-            hidden_dim=c.hidden_dim,
-            dim_proj=c.hidden_dim,
-            num_queries=c.num_queries,
-            nheads=c.nheads,
-            dim_feedforward=c.dim_feedforward,
-            dec_layers=c.dec_layers,
-            mask_dim=c.mask_dim,
-            pre_norm=c.pre_norm,
-            dtype=dtype,
-            name="predictor",
-        )(multi_scale, mask_features, text_embeddings, logit_scale,
-          caption_tokens=caption_tokens)
+        feats = _make_backbone(c, name="backbone")(x.astype(dtype))
+        mask_features, _, multi_scale = _make_pixel_decoder(
+            c, name="pixel_decoder"
+        )(feats)
+        out = _make_head(c, name="predictor")(
+            multi_scale, mask_features, text_embeddings, logit_scale,
+            caption_tokens=caption_tokens,
+        )
         out["padded_hw"] = jnp.asarray([Hp, Wp])
         return out

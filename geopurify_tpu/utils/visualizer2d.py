@@ -165,6 +165,40 @@ class Visualizer2D:
                 self.draw_box(boxes[i], _brightness(color, -0.3))
         return self
 
+    def draw_panoptic_seg(
+        self,
+        panoptic_seg: np.ndarray,          # [H, W] int segment ids, 0 = void
+        category_ids: Sequence[int],       # per segment id (1-based indexing)
+        isthing: Sequence[bool],
+        alpha: float = 0.6,
+    ) -> "Visualizer2D":
+        """≙ Visualizer.draw_panoptic_seg (reference utils/visualizer.py:
+        draw_panoptic_seg_predictions): stuff segments use the class palette
+        color, thing instances get distinct jittered colors; every segment is
+        labeled at its mass center. ``category_ids[s-1]`` / ``isthing[s-1]``
+        describe segment id ``s``."""
+        ids, areas = np.unique(panoptic_seg, return_counts=True)
+        order = np.argsort(-areas)
+        for k in order:
+            sid = int(ids[k])
+            if sid == 0 or sid - 1 >= len(category_ids):
+                continue
+            cid = int(category_ids[sid - 1])
+            base = self.palette[cid % len(self.palette)]
+            color = (
+                _brightness(base, 0.25 * ((sid * 3) % 3 - 1))
+                if isthing[sid - 1]
+                else base
+            )
+            name = (
+                self.class_names[cid]
+                if self.class_names and cid < len(self.class_names)
+                else str(cid)
+            )
+            self.draw_binary_mask(panoptic_seg == sid, color, alpha=alpha,
+                                  text=name)
+        return self
+
     # ------------------------------------------------------------------
 
     def get_image(self) -> np.ndarray:

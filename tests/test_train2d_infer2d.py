@@ -239,3 +239,93 @@ def test_train2d_vlp_smoke(tmp_path, rng):
     rec = json.loads(metrics.splitlines()[-1])
     assert rec["step"] == 2
     assert np.isfinite(rec["loss_captioning"]) and np.isfinite(rec["loss_retrieval"])
+
+
+# ---------------------------------------------------------------------------
+# infer2d --task family (≙ the reference's 7 standalone inference scripts)
+# ---------------------------------------------------------------------------
+
+_INFER_TINY = [
+    "xdecoder.hidden_dim=16", "xdecoder.conv_dim=16", "xdecoder.mask_dim=16",
+    "xdecoder.num_queries=5", "xdecoder.nheads=2",
+    "xdecoder.dim_feedforward=32", "xdecoder.dec_layers=1",
+    "xdecoder.enc_layers=1", "xdecoder.dtype=float32",
+    "xdecoder.mask_shape=[32,48]",
+    "xdecoder.backbone.embed_dim=8", "xdecoder.backbone.depths=[1,1,1,1]",
+    "xdecoder.backbone.focal_levels=[2,2,2,2]",
+    "text.width=16", "text.dim_proj=16", "text.heads=2", "text.layers=1",
+    "text.vocab_size=64", "text.context_length=12",
+]
+
+
+@pytest.fixture(scope="module")
+def infer_image(tmp_path_factory):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    p = tmp_path_factory.mktemp("infer2d") / "scene.png"
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    img[10:40, 20:60] = [200, 40, 40]
+    Image.fromarray(img).save(p)
+    return str(p)
+
+
+@pytest.mark.parametrize("task,extra", [
+    ("semseg", ["--rich-overlay"]),
+    ("panoseg", ["--things", "b", "--object-threshold", "0.2",
+                 "--overlap-threshold", "0.0"]),
+    ("instseg", ["--topk", "3"]),
+])
+def test_infer2d_mask_tasks_cli(task, extra, infer_image, tmp_path):
+    from geopurify_tpu.run import infer2d
+
+    out = str(tmp_path / f"{task}.png")
+    dst = infer2d.main([
+        "--image", infer_image, "--task", task, "--classes", "a,b,c",
+        "--out", out, *extra, *_INFER_TINY,
+    ])
+    assert dst == out
+    import os
+    assert os.path.exists(out)
+
+
+def test_infer2d_refseg_cli(infer_image, tmp_path):
+    from geopurify_tpu.run import infer2d
+
+    out = str(tmp_path / "ref.png")
+    infer2d.main([
+        "--image", infer_image, "--task", "refseg",
+        "--phrases", "the red box,the floor", "--out", out, *_INFER_TINY,
+    ])
+    import os
+    assert os.path.exists(out)
+
+
+def test_infer2d_captioning_cli(infer_image, tmp_path):
+    from geopurify_tpu.run import infer2d
+
+    out = str(tmp_path / "cap.png")
+    infer2d.main([
+        "--image", infer_image, "--task", "captioning", "--caption-steps", "3",
+        "--out", out, *_INFER_TINY,
+    ])
+    txt = (tmp_path / "cap.txt").read_text()
+    assert isinstance(txt, str)  # greedy decode produced a (possibly empty) caption
+
+
+def test_infer2d_retrieval_cli(infer_image, tmp_path, rng):
+    from PIL import Image
+
+    from geopurify_tpu.run import infer2d
+
+    gal = tmp_path / "gallery"
+    gal.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        ).save(gal / f"g{i}.jpg")
+    infer2d.main([
+        "--image", infer_image, "--task", "retrieval",
+        "--phrases", "a red box", "--gallery", str(gal),
+        "--out", str(tmp_path / "r.png"), *_INFER_TINY,
+    ])
