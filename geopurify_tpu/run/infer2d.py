@@ -85,7 +85,7 @@ def _build_lang(cfg, rng_key):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--image", required=True)
+    parser.add_argument("--image", default=None)
     parser.add_argument("--task", default="semseg",
                         choices=["semseg", "panoseg", "instseg", "refseg",
                                  "captioning", "retrieval"])
@@ -113,6 +113,16 @@ def main(argv=None):
     parser.add_argument("--rich-overlay", action="store_true",
                         help="detectron2-style drawing: boundaries + label "
                              "text at region centers (utils/visualizer2d.py)")
+    parser.add_argument("--eval-list", default=None,
+                        help="semseg batch evaluation (≙ infer_semseg_all.py): "
+                             "file of '<image> <gt_label_png>' lines; per-image "
+                             "predictions accumulate a confusion-matrix mIoU "
+                             "(utils/eval2d.SemSeg2DEvaluator)")
+    parser.add_argument("--label-map", default=None,
+                        help="eval-list: 'raw:train' comma pairs remapping gt "
+                             "label-png ids to contiguous train ids, unmapped "
+                             "-> ignore (the ScanNet raw->train table, "
+                             "infer_semseg_all.py:93-121); default identity")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -137,6 +147,8 @@ def main(argv=None):
         parser.error(f"--task {args.task} requires --classes")
     if args.task in ("refseg", "retrieval") and not args.phrases:
         parser.error(f"--task {args.task} requires --phrases")
+    if not args.image and not args.eval_list:
+        parser.error("--image (or --eval-list for batch semseg) is required")
 
     classes = [c.strip() for c in (args.classes or "object").split(",") if c.strip()]
     cfg = load_config(args.preset, overrides=args.overrides)
@@ -147,8 +159,47 @@ def main(argv=None):
         cfg, jax.random.key(0), require_teachers=True
     )
 
-    work = _load_work_image(args.image, cfg.xdecoder.mask_shape)
     mh, mw = cfg.xdecoder.mask_shape
+    if args.eval_list:
+        # batch semseg evaluation over an on-disk list — the rebuild of
+        # infer_semseg_all.py:30-225 (per-image forward, confusion-matrix
+        # I/U accumulation, raw->train gt remap, final mIoU/pACC report)
+        from geopurify_tpu.utils.eval2d import SemSeg2DEvaluator
+
+        remap = np.full(256, 255, np.uint8)
+        if args.label_map:
+            for pair in args.label_map.split(","):
+                raw, train = pair.split(":")
+                remap[int(raw)] = int(train)
+        else:
+            remap[: len(classes)] = np.arange(len(classes), dtype=np.uint8)
+
+        ev = SemSeg2DEvaluator(len(classes), class_names=classes,
+                               ignore_label=255)
+        pairs = [
+            ln.split() for ln in open(args.eval_list).read().splitlines() if ln
+        ]
+        for img_path, gt_path in pairs:
+            w2 = _load_work_image(img_path, cfg.xdecoder.mask_shape)
+            o2 = pipeline.xdecoder.apply(
+                pipeline.teacher_params, jnp.asarray(w2)[None],
+                pipeline.text_embeddings, pipeline.logit_scale,
+            )
+            seg = np.asarray(semseg_from_outputs(
+                o2["pred_logits"][0][:, : len(classes)], o2["pred_masks"][0],
+                (mh, mw),
+            ))
+            gt_raw = np.asarray(Image.open(gt_path))
+            ri = (np.arange(mh) * (gt_raw.shape[0] / mh)).astype(np.int64)
+            ci = (np.arange(mw) * (gt_raw.shape[1] / mw)).astype(np.int64)
+            gt = remap[np.clip(gt_raw[ri][:, ci], 0, 255)]
+            ev.process(seg, gt)
+        res = ev.evaluate()
+        log.info("2D eval over %d images: mIoU=%.2f pACC=%.2f", len(pairs),
+                 res["mIoU"], res["pACC"])
+        return res
+
+    work = _load_work_image(args.image, cfg.xdecoder.mask_shape)
 
     out = pipeline.xdecoder.apply(
         pipeline.teacher_params, jnp.asarray(work)[None],

@@ -329,3 +329,25 @@ def test_infer2d_retrieval_cli(infer_image, tmp_path, rng):
         "--phrases", "a red box", "--gallery", str(gal),
         "--out", str(tmp_path / "r.png"), *_INFER_TINY,
     ])
+
+
+def test_infer2d_eval_list_batch(infer_image, tmp_path, rng):
+    """--eval-list batch semseg mIoU (≙ infer_semseg_all.py): two images with
+    gt label pngs, raw->train remap, finite confusion-matrix metrics."""
+    from PIL import Image
+
+    from geopurify_tpu.run import infer2d
+
+    gt = np.full((64, 96), 7, np.uint8)          # raw id 7 -> train 1
+    gt[:16] = 5                                  # raw id 5 -> train 0
+    gt[60:] = 99                                 # unmapped -> ignore
+    gtp = tmp_path / "gt.png"
+    Image.fromarray(gt).save(gtp)
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{infer_image} {gtp}\n{infer_image} {gtp}\n")
+    res = infer2d.main([
+        "--eval-list", str(lst), "--label-map", "5:0,7:1",
+        "--classes", "a,b,c", *_INFER_TINY,
+    ])
+    assert np.isfinite(res["mIoU"]) and 0 <= res["mIoU"] <= 100
+    assert np.isfinite(res["pACC"])
