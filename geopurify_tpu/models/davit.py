@@ -149,12 +149,24 @@ class DualBlock(nn.Module):
 
 
 class DaViT(nn.Module):
-    """4-stage DaViT emitting {"res2".."res5"} (davit.py:320-560)."""
+    """4-stage DaViT emitting {"res2".."res5"} (davit.py:320-560).
+
+    Patch-embed geometry and norm placement follow the release configs
+    (davitd5_unicl_lang_v1.yaml:59-71): 7/4/3 stem then 3/2/1 inter-stage
+    convs, with stage-0 POST-norm and stages 1-3 PRE-norm over the incoming
+    channels (ConvEmbed.pre_norm, davit.py:106-150); stage outputs carry NO
+    extra LayerNorm (DaViT.forward_features, davit.py:519-536 — the
+    ``self.norms`` in the upstream repo is commented out). Both were caught
+    by the torch-oracle parity run (geopurify_tpu/parity)."""
 
     embed_dims: Sequence[int] = (96, 192, 384, 768)
     depths: Sequence[int] = (1, 1, 3, 1)      # dual-block pairs per stage
     num_heads: Sequence[int] = (3, 6, 12, 24)
     num_groups: Sequence[int] = (3, 6, 12, 24)
+    patch_size: Sequence[int] = (7, 3, 3, 3)
+    patch_stride: Sequence[int] = (4, 2, 2, 2)
+    patch_padding: Sequence[int] = (3, 1, 1, 1)
+    patch_prenorm: Sequence[bool] = (False, True, True, True)
     window_size: int = 7
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
@@ -163,20 +175,27 @@ class DaViT(nn.Module):
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:  # [B,H,W,3]
         outs: Dict[str, jax.Array] = {}
         for s in range(4):
-            if s == 0:
-                x = nn.Conv(self.embed_dims[0], (7, 7), strides=(4, 4),
-                            padding=((3, 3), (3, 3)), dtype=self.dtype,
-                            name="patch_embed0")(x)
-            else:
-                x = nn.Conv(self.embed_dims[s], (2, 2), strides=(2, 2),
-                            dtype=self.dtype, name=f"patch_embed{s}")(x)
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"embed_norm{s}")(x).astype(self.dtype)
+            if self.patch_prenorm[s] and s > 0:
+                # pre-norm normalizes the INCOMING channels before the conv
+                # (ConvEmbed, davit.py:134-137; never applies to the raw
+                # image — the reference gates on the flattened-token shape)
+                x = nn.LayerNorm(
+                    epsilon=1e-5, dtype=jnp.float32, name=f"embed_norm{s}"
+                )(x).astype(self.dtype)
+            k, st, p = (self.patch_size[s], self.patch_stride[s],
+                        self.patch_padding[s])
+            x = nn.Conv(self.embed_dims[s], (k, k), strides=(st, st),
+                        padding=((p, p), (p, p)), dtype=self.dtype,
+                        name=f"patch_embed{s}")(x)
+            if not self.patch_prenorm[s]:
+                x = nn.LayerNorm(
+                    epsilon=1e-5, dtype=jnp.float32, name=f"embed_norm{s}"
+                )(x).astype(self.dtype)
             for b in range(self.depths[s]):
                 x = DualBlock(
                     self.embed_dims[s], self.num_heads[s], self.num_groups[s],
                     self.window_size, self.mlp_ratio, self.dtype,
                     name=f"stage{s}_block{b}",
                 )(x)
-            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm{s}")(x)
-            outs[f"res{s + 2}"] = out.astype(self.dtype)
+            outs[f"res{s + 2}"] = x
         return outs

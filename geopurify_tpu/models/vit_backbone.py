@@ -31,8 +31,17 @@ def _gelu_exact(x):
 
 
 def _rel_pos_bias(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
-    """[q_size, k_size, C] decomposed relative positions (vit.py:301-331);
-    assumes q_size == k_size (the backbone's case), table len 2*size-1."""
+    """[q_size, k_size, C] decomposed relative positions (get_rel_pos,
+    vit.py:301-331); assumes q_size == k_size (the backbone's case). When the
+    table length differs from 2*size-1 (pretrain-grid tables applied to a
+    different input grid) it is linearly resized first, matching torch
+    F.interpolate(mode='linear', align_corners=False) — half-pixel centers,
+    which jax.image.resize('linear') also uses."""
+    need = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != need:
+        rel_pos = jax.image.resize(
+            rel_pos.astype(jnp.float32), (need, rel_pos.shape[1]), method="linear"
+        )
     coords = jnp.arange(q_size)[:, None] - jnp.arange(k_size)[None, :]
     idx = coords + (k_size - 1)
     return rel_pos[idx]
@@ -43,7 +52,9 @@ class ViTAttention(nn.Module):
 
     dim: int
     num_heads: int
-    input_size: Tuple[int, int]
+    input_size: Tuple[int, int]  # rel-pos TABLE geometry (pretrain grid or
+    #                              window size, vit.py:229-231); runtime grids
+    #                              that differ ride get_rel_pos interpolation
     use_rel_pos: bool = True
     dtype: Dtype = jnp.float32
 
@@ -54,9 +65,10 @@ class ViTAttention(nn.Module):
         d = C // h
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x.reshape(B, H * W, C))
         qkv = qkv.reshape(B, H * W, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * (d ** -0.5), qkv[1], qkv[2]
+        q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q * (d ** -0.5), k,
+            preferred_element_type=jnp.float32,
         )
         if self.use_rel_pos:
             rel_h = self.param(
@@ -67,6 +79,9 @@ class ViTAttention(nn.Module):
             )
             rh = _rel_pos_bias(rel_h, H, H).astype(jnp.float32)   # [H, H, d]
             rw = _rel_pos_bias(rel_w, W, W).astype(jnp.float32)   # [W, W, d]
+            # the reference feeds the UNSCALED q into the rel-pos einsums
+            # (vit.py:240-245: attn uses q*scale, add_decomposed_rel_pos
+            # receives the original q) — torch-oracle-pinned
             qr = q.astype(jnp.float32).reshape(B, h, H, W, d)
             bias_h = jnp.einsum("bhywd,ykd->bhywk", qr, rh)       # [B,h,H,W,H]
             bias_w = jnp.einsum("bhywd,wkd->bhywk", qr, rw)       # [B,h,H,W,W]
@@ -93,7 +108,9 @@ class ViTBlock(nn.Module):
     def __call__(self, x):  # [B,H,W,C]
         B, H, W, C = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        # eps=1e-6: D2ViT builds with norm_layer=partial(LayerNorm, eps=1e-6)
+        # (vit.py:497) — torch-oracle-pinned
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         ws = self.window_size
         if ws > 0:
             ph, pw = (-H) % ws, (-W) % ws
@@ -104,7 +121,10 @@ class ViTBlock(nn.Module):
             x = x.reshape(B * nh * nw, ws, ws, C)
             size = (ws, ws)
         else:
-            size = (H, W)
+            # global attention: the rel-pos table is sized by the PRETRAIN
+            # grid (vit.py:92, input_size=img//patch) and interpolated to the
+            # runtime grid inside _rel_pos_bias
+            size = self.input_size
         x = ViTAttention(
             self.dim, self.num_heads, size, dtype=self.dtype, name="attn"
         )(x)
@@ -112,7 +132,7 @@ class ViTBlock(nn.Module):
             x = x.reshape(B, nh, nw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
             x = x.reshape(B, Hp, Wp, C)[:, :H, :W]
         x = shortcut + x
-        h2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h2 = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h2)
         h2 = _gelu_exact(h2)
         h2 = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h2)
@@ -189,7 +209,8 @@ class ViTBackbone(nn.Module):
         for i in range(self.depth):
             ws = 0 if i in self.global_attn_indexes else self.window_size
             x = ViTBlock(
-                self.embed_dim, self.num_heads, ws, (H, W), self.mlp_ratio,
+                self.embed_dim, self.num_heads, ws,
+                (self.pretrain_grid, self.pretrain_grid), self.mlp_ratio,
                 self.dtype, name=f"block{i}",
             )(x)
         return SimpleFPN(self.embed_dim, tuple(self.out_dims), self.dtype,

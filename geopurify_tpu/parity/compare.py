@@ -44,6 +44,48 @@ def parity_focalnet(size: str = "small") -> Dict[str, Tuple[float, float]]:
     }
 
 
+def parity_davit(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.davit import DaViT
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_davit
+
+    ref = oracle.davit_oracle()
+    params = convert_davit(ref["sd"], "backbone", ref["depths"])
+    model = DaViT(
+        embed_dims=(8, 16, 24, 32), depths=ref["depths"],
+        num_heads=(2, 2, 2, 2), num_groups=(2, 2, 2, 2), window_size=4,
+        dtype=jnp.float32,
+    )
+    outs = model.apply({"params": params}, jnp.asarray(ref["input_nhwc"]))
+    return {
+        f"davit/{k}": _diff(np.asarray(outs[k]), v)
+        for k, v in ref["acts"].items()
+    }
+
+
+def parity_vit(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.vit_backbone import ViTBackbone
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_vit
+
+    ref = oracle.vit_oracle()
+    params = convert_vit(ref["sd"], "backbone", ref["depth"])
+    model = ViTBackbone(
+        embed_dim=16, depth=ref["depth"], num_heads=2, patch_size=16,
+        window_size=2, global_attn_indexes=(1, 3), out_dims=(8, 12, 16, 24),
+        pretrain_grid=4, dtype=jnp.float32,
+    )
+    outs = model.apply({"params": params}, jnp.asarray(ref["input_nhwc"]))
+    return {
+        f"vit/{k}": _diff(np.asarray(outs[k]), v)
+        for k, v in ref["acts"].items()
+    }
+
+
 def parity_pixel_decoder(size: str = "small") -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
@@ -232,6 +274,8 @@ ALL_STAGES = {
     "resize": parity_resize,
     "lang": parity_lang,
     "focalnet": parity_focalnet,
+    "davit": parity_davit,
+    "vit": parity_vit,
     "pixel_decoder": parity_pixel_decoder,
     "head": parity_head,
     "lift": parity_lift,

@@ -121,6 +121,100 @@ def focalnet_oracle(
     }
 
 
+def davit_oracle(
+    image_hw: Tuple[int, int] = (64, 96),
+    embed_dims: Tuple[int, ...] = (8, 16, 24, 32),
+    depths: Tuple[int, ...] = (1, 1, 2, 1),
+    num_heads: Tuple[int, ...] = (2, 2, 2, 2),
+    num_groups: Tuple[int, ...] = (2, 2, 2, 2),
+    window_size: int = 4,
+    seed: int = 0,
+) -> Dict:
+    """Reference DaViT (vision/backbone/davit.py:320-560) at the release
+    config geometry (davitd5_unicl_lang_v1.yaml:59-71: 7/4/3 stem, 3/2/1
+    inter-stage convs, prenorm False,True,True,True, no output norms)."""
+    torch = _torch()
+    from xdecoder.modeling.vision.backbone.davit import DaViT
+
+    torch.manual_seed(seed)
+    m = DaViT(
+        depths=list(depths),
+        patch_size=[7, 3, 3, 3],
+        patch_stride=[4, 2, 2, 2],
+        patch_padding=[3, 1, 1, 1],
+        patch_prenorm=[False, True, True, True],
+        embed_dims=list(embed_dims),
+        num_heads=list(num_heads),
+        num_groups=list(num_groups),
+        window_size=window_size,
+        drop_path_rate=0.0,
+        out_indices=[0, 1, 2, 3],
+    )
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, (1, 3) + tuple(image_hw)).astype(np.float32)
+    with torch.no_grad():
+        outs = m(torch.from_numpy(x))
+    return {
+        "input_nhwc": np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
+        "acts": {k: _nchw_to_nhwc(v) for k, v in outs.items()},
+        "sd": {f"backbone.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "depths": tuple(depths),
+    }
+
+
+def vit_oracle(
+    image_size: int = 64,
+    embed_dim: int = 16,
+    depth: int = 4,
+    num_heads: int = 2,
+    window_size: int = 2,
+    global_attn_indexes: Tuple[int, ...] = (1, 3),
+    out_dims: Tuple[int, ...] = (8, 12, 16, 24),
+    seed: int = 0,
+) -> Dict:
+    """Reference ViTDet/SAM encoder + SimpleFPN at D2ViT semantics
+    (vision/backbone/vit.py:462-540: norm eps 1e-6, use_rel_pos, the
+    SimpleFPN neck replacing the SAM neck). Square input — the reference
+    adds the [1,g,g,C] pos_embed without resizing."""
+    torch = _torch()
+    from functools import partial
+
+    import torch.nn as nn
+
+    from xdecoder.modeling.vision.backbone.vit import ImageEncoderViT, SimpleFPN
+
+    torch.manual_seed(seed)
+    m = ImageEncoderViT(
+        img_size=image_size,
+        patch_size=16,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=num_heads,
+        mlp_ratio=4.0,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6),
+        qkv_bias=True,
+        use_rel_pos=True,
+        global_attn_indexes=list(global_attn_indexes),
+        window_size=window_size,
+        out_chans=8,
+    )
+    m.neck = SimpleFPN(in_dim=embed_dim, out_dims=list(out_dims))
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, (1, 3, image_size, image_size)).astype(np.float32)
+    with torch.no_grad():
+        outs = m(torch.from_numpy(x))
+    return {
+        "input_nhwc": np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
+        "acts": {k: _nchw_to_nhwc(v) for k, v in outs.items()},
+        "sd": {f"backbone.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "depth": depth,
+    }
+
+
 def pixel_decoder_oracle(
     base_hw: Tuple[int, int] = (16, 24),
     channels: Tuple[int, ...] = (16, 32, 64, 128),

@@ -45,3 +45,17 @@ def test_parity_head():
 
 def test_parity_lift():
     _check(compare.parity_lift())
+
+
+def test_parity_davit():
+    """DaViT vs the reference at release-config geometry; caught the 2x2
+    inter-stage embeds / post-norm placement / phantom output norms in the
+    r2 rebuild (models/davit.py docstring)."""
+    _check(compare.parity_davit())
+
+
+def test_parity_vit():
+    """ViTDet/SAM backbone + SimpleFPN vs the reference; caught the scaled-q
+    rel-pos bias, LN eps 1e-5 vs D2ViT's 1e-6, and the torch ConvTranspose
+    kernel flip (convert_xdecoder._convt)."""
+    _check(compare.parity_vit())
