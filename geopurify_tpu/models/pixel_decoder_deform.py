@@ -24,7 +24,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from geopurify_tpu.models.layers import ConvGN, position_embedding_sine, resize_nearest
+from geopurify_tpu.models.layers import (
+    ConvGN,
+    position_embedding_sine,
+    resize_bilinear,
+)
 from geopurify_tpu.ops.ms_deform_attn import ms_deform_attn
 
 Dtype = Any
@@ -120,15 +124,19 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
         srcs, poss = [], []
         for i, name in enumerate(trans_names):
-            x = ConvGN(C, kernel=(1, 1), dtype=self.dtype, name=f"input_proj{i}")(
-                features[name]
-            )
+            # plain nn.Conv2d (bias=True) + GN — NOT a detectron2 norm-conv
+            # (transformer_encoder_deform.py:215-219); torch-oracle-pinned
+            x = ConvGN(C, kernel=(1, 1), use_bias=True, dtype=self.dtype,
+                       name=f"input_proj{i}")(features[name])
             b, h, w, _ = x.shape
+            # level_embed rides the POSITIONAL stream (added to lvl_pos_embed,
+            # transformer_encoder_deform.py:76-77) so offsets/weights see it
+            # but value_proj does NOT — torch-oracle-pinned (baking it into
+            # src was a 0.47-rel divergence)
             pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
-            poss.append(jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C))
-            srcs.append(
-                x.reshape(b, h * w, C) + level_embed[i][None, None].astype(self.dtype)
-            )
+            pe = jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C)
+            poss.append(pe + level_embed[i][None, None].astype(self.dtype))
+            srcs.append(x.reshape(b, h * w, C))
         src = jnp.concatenate(srcs, axis=1)
         pos = jnp.concatenate(poss, axis=1)
         ref = make_reference_points(spatial_shapes)
@@ -149,14 +157,20 @@ class MSDeformAttnPixelDecoder(nn.Module):
         transformer_features = outs[0]
         multi_scale = outs[: self.num_scales]
 
-        # FPN merge of the finest backbone level (res2)
+        # FPN merge of the finest backbone level (res2). Unlike the FPN
+        # decoder's nearest upsample (transformer_encoder_fpn.py:136), the
+        # deform assembly interpolates BILINEARLY (align_corners=False) and
+        # its mask_features conv is 1x1, not 3x3
+        # (transformer_encoder_deform.py:352-359, 246-254) —
+        # torch-oracle-pinned.
         lateral = ConvGN(C, kernel=(1, 1), dtype=self.dtype, name="adapter_1")(
             features["res2"]
         )
-        y = lateral + resize_nearest(outs[-1], lateral.shape[1:3])
+        y = lateral + resize_bilinear(outs[-1], lateral.shape[1:3]).astype(
+            lateral.dtype
+        )
         y = ConvGN(C, relu=True, dtype=self.dtype, name="layer_1")(y)
         mask_features = nn.Conv(
-            self.mask_dim, (3, 3), padding="SAME", dtype=self.dtype,
-            name="mask_features",
+            self.mask_dim, (1, 1), dtype=self.dtype, name="mask_features",
         )(y)
         return mask_features, transformer_features, multi_scale

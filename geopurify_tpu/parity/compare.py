@@ -126,6 +126,29 @@ def parity_pixel_decoder(size: str = "small") -> Dict[str, Tuple[float, float]]:
     return rows
 
 
+def parity_deform_pixel_decoder(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.pixel_decoder_deform import MSDeformAttnPixelDecoder
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_deform_pixel_decoder
+
+    ref = oracle.deform_pixel_decoder_oracle()
+    params = convert_deform_pixel_decoder(ref["sd"], "pixdec", ref["enc_layers"])
+    model = MSDeformAttnPixelDecoder(
+        conv_dim=32, mask_dim=32, num_enc_layers=ref["enc_layers"],
+        num_heads=2, dim_feedforward=64, dtype=jnp.float32,
+    )
+    feats = {k: jnp.asarray(v) for k, v in ref["inputs_nhwc"].items()}
+    mf, tf, ms = model.apply({"params": params}, feats)
+    ours = {"mask_features": mf, "transformer_features": tf,
+            **{f"multi_scale{i}": v for i, v in enumerate(ms)}}
+    return {
+        f"deform_pixdec/{k}": _diff(np.asarray(ours[k]), v)
+        for k, v in ref["acts"].items()
+    }
+
+
 def parity_head(size: str = "small") -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
@@ -277,6 +300,7 @@ ALL_STAGES = {
     "davit": parity_davit,
     "vit": parity_vit,
     "pixel_decoder": parity_pixel_decoder,
+    "deform_pixel_decoder": parity_deform_pixel_decoder,
     "head": parity_head,
     "lift": parity_lift,
 }

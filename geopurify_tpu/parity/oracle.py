@@ -278,6 +278,67 @@ def pixel_decoder_oracle(
     }
 
 
+def deform_pixel_decoder_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    conv_dim: int = 32,
+    mask_dim: int = 32,
+    enc_layers: int = 2,
+    nheads: int = 2,
+    seed: int = 0,
+) -> Dict:
+    """Reference MSDeformAttnPixelDecoder (transformer_encoder_deform.py:
+    164-368) on the CPU ms_deform_attn_core_pytorch fallback — the deformable
+    encoder over res3..res5 + bilinear FPN merge of res2 + 1x1 mask conv."""
+    torch = _torch()
+    from detectron2.layers import ShapeSpec
+
+    from xdecoder.modeling.vision.encoder.transformer_encoder_deform import (
+        MSDeformAttnPixelDecoder,
+    )
+
+    chans = {"res2": 8, "res3": 12, "res4": 16, "res5": 24}
+    input_shape = {
+        k: ShapeSpec(channels=c, stride=s)
+        for (k, c), s in zip(chans.items(), (4, 8, 16, 32))
+    }
+    torch.manual_seed(seed)
+    m = MSDeformAttnPixelDecoder(
+        input_shape=input_shape,
+        transformer_dropout=0.0,
+        transformer_nheads=nheads,
+        transformer_dim_feedforward=64,
+        transformer_enc_layers=enc_layers,
+        conv_dim=conv_dim,
+        mask_dim=mask_dim,
+        norm="GN",
+        transformer_in_features=["res3", "res4", "res5"],
+        common_stride=4,
+    )
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    H, W = base_hw
+    feats = {
+        k: torch.from_numpy(
+            rng.normal(0, 1, (1, c, H // (2 ** i), W // (2 ** i))).astype(np.float32)
+        )
+        for i, (k, c) in enumerate(chans.items())
+    }
+    with torch.no_grad():
+        mask_features, trans_features, multi_scale = m.forward_features(feats)
+    return {
+        "inputs_nhwc": {k: _nchw_to_nhwc(v) for k, v in feats.items()},
+        "acts": {
+            "mask_features": _nchw_to_nhwc(mask_features),
+            "transformer_features": _nchw_to_nhwc(trans_features),
+            **{f"multi_scale{i}": _nchw_to_nhwc(v)
+               for i, v in enumerate(multi_scale)},
+        },
+        "sd": {f"pixdec.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "enc_layers": enc_layers,
+    }
+
+
 def _lang_adapter(text_emb_np: np.ndarray, logit_scale_log: float):
     """Matches vlpencoder.compute_similarity (vlpencoder.py:177-183) so the
     XDecoder head can score class embeds without the full language tower."""

@@ -38,6 +38,19 @@ def install() -> None:
     import torch.nn as nn
     import torch.nn.functional as F
 
+    # ------- MultiScaleDeformableAttention (uncompiled CUDA ext) -------
+    # ms_deform_attn_func.py raises at import when the extension is absent;
+    # a dummy module whose entry points raise keeps the import alive and
+    # routes MSDeformAttn.forward's try/except to the pure-torch CPU path
+    # (ops/modules/ms_deform_attn.py:116-121).
+    msda = _mod("MultiScaleDeformableAttention")
+
+    def _no_cuda_ext(*a, **k):
+        raise RuntimeError("MultiScaleDeformableAttention ext not built (shim)")
+
+    msda.ms_deform_attn_forward = _no_cuda_ext
+    msda.ms_deform_attn_backward = _no_cuda_ext
+
     # ---------------- timm ----------------
     timm = _mod("timm")
     timm_models = _mod("timm.models")
@@ -222,6 +235,7 @@ def install() -> None:
             return 0
 
     d2_modeling.BACKBONE_REGISTRY = _Registry()
+    d2_modeling.SEM_SEG_HEADS_REGISTRY = _Registry()
     d2_modeling.Backbone = Backbone
     d2_modeling.ShapeSpec = ShapeSpec
 

@@ -242,6 +242,40 @@ def convert_vit(sd: SD, prefix: str, depth: int) -> Dict[str, Any]:
     return p
 
 
+def convert_deform_pixel_decoder(sd: SD, prefix: str, enc_layers: int) -> Dict[str, Any]:
+    """torch MSDeformAttnPixelDecoder (transformer_encoder_deform.py:164-368)
+    -> models/pixel_decoder_deform.MSDeformAttnPixelDecoder. input_proj is a
+    plain Conv2d(bias)+GN Sequential; adapter_1/layer_1 are detectron2
+    norm-convs; the transformer carries level_embed + per-layer MSDeformAttn
+    linears."""
+    p: Dict[str, Any] = {
+        "level_embed": _get(sd, f"{prefix}.transformer.level_embed"),
+        "mask_features": _conv(sd, f"{prefix}.mask_features"),
+        "adapter_1": _conv_gn(sd, f"{prefix}.adapter_1"),
+        "layer_1": _conv_gn(sd, f"{prefix}.layer_1"),
+    }
+    i = 0
+    while f"{prefix}.input_proj.{i}.0.weight" in sd:
+        p[f"input_proj{i}"] = {
+            "conv": _conv(sd, f"{prefix}.input_proj.{i}.0"),
+            "norm": _gn(sd, f"{prefix}.input_proj.{i}.1"),
+        }
+        i += 1
+    for j in range(enc_layers):
+        lp = f"{prefix}.transformer.encoder.layers.{j}"
+        p[f"encoder_layer{j}"] = {
+            "value_proj": _lin(sd, f"{lp}.self_attn.value_proj"),
+            "sampling_offsets": _lin(sd, f"{lp}.self_attn.sampling_offsets"),
+            "attention_weights": _lin(sd, f"{lp}.self_attn.attention_weights"),
+            "output_proj": _lin(sd, f"{lp}.self_attn.output_proj"),
+            "norm1": _ln(sd, f"{lp}.norm1"),
+            "linear1": _lin(sd, f"{lp}.linear1"),
+            "linear2": _lin(sd, f"{lp}.linear2"),
+            "norm2": _ln(sd, f"{lp}.norm2"),
+        }
+    return p
+
+
 def convert_pixel_decoder(sd: SD, prefix: str, enc_layers: int,
                           num_fpn_levels: int = 3) -> Dict[str, Any]:
     p: Dict[str, Any] = {

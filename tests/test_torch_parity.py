@@ -59,3 +59,11 @@ def test_parity_vit():
     rel-pos bias, LN eps 1e-5 vs D2ViT's 1e-6, and the torch ConvTranspose
     kernel flip (convert_xdecoder._convt)."""
     _check(compare.parity_vit())
+
+
+def test_parity_deform_pixel_decoder():
+    """Deformable pixel decoder assembly vs the reference (CPU MSDeformAttn
+    fallback); caught level_embed riding src instead of the positional
+    stream, nearest-vs-bilinear FPN merge, 3x3-vs-1x1 mask conv, and the
+    missing input_proj conv bias."""
+    _check(compare.parity_deform_pixel_decoder())
