@@ -67,3 +67,47 @@ def test_parity_deform_pixel_decoder():
     stream, nearest-vs-bilinear FPN merge, 3x3-vs-1x1 mask conv, and the
     missing input_proj conv bias."""
     _check(compare.parity_deform_pixel_decoder())
+
+
+def test_parity_matcher_costs():
+    """Our Hungarian cost pieces == the reference's batch_dice_loss /
+    batch_sigmoid_ce_loss (matcher.py:23-77) on identical logits/targets
+    (point sampling bypassed — the costs themselves are deterministic)."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.parity.shims import add_reference_to_path, install
+
+    install()
+    add_reference_to_path()
+    import torch
+
+    from xdecoder.modeling.modules.matcher import (
+        batch_dice_loss, batch_sigmoid_ce_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    Q, T, P = 7, 5, 64
+    pm = rng.normal(0, 3, (Q, P)).astype(np.float32)
+    gm = (rng.uniform(size=(T, P)) < 0.4).astype(np.float32)
+    with torch.no_grad():
+        ref_d = batch_dice_loss(torch.from_numpy(pm), torch.from_numpy(gm)).numpy()
+        ref_m = batch_sigmoid_ce_loss(torch.from_numpy(pm), torch.from_numpy(gm)).numpy()
+
+    # the cost blocks inside set_criterion (models/criterion.py:110-121),
+    # batch dim added
+    import jax
+
+    pmj = jnp.asarray(pm)[None]
+    gmj = jnp.asarray(gm)[None]
+    sp = jax.nn.sigmoid(pmj)
+    num = 2 * jnp.einsum("bqp,btp->bqt", sp, gmj)
+    den = sp.sum(-1)[:, :, None] + gmj.sum(-1)[:, None, :]
+    cost_d = 1 - (num + 1) / (den + 1)
+    pos = jnp.log1p(jnp.exp(-jnp.abs(pmj))) + jnp.maximum(-pmj, 0)
+    neg = jnp.log1p(jnp.exp(-jnp.abs(pmj))) + jnp.maximum(pmj, 0)
+    cost_m = (
+        jnp.einsum("bqp,btp->bqt", pos, gmj)
+        + jnp.einsum("bqp,btp->bqt", neg, 1 - gmj)
+    ) / P
+    np.testing.assert_allclose(np.asarray(cost_d)[0], ref_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cost_m)[0], ref_m, rtol=1e-5, atol=1e-6)
