@@ -287,6 +287,41 @@ def _aa_resize_weights(in_size: int, out_size: int) -> np.ndarray:
     return W.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _bilinear_noaa_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] weights of torch F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False) along one axis: source position
+    (i + 0.5) * in/out - 0.5, TWO taps with border clamping — NO kernel
+    widening on downscale (unlike the antialias path and unlike
+    jax.image.resize, which always antialiases when downscaling)."""
+    scale = in_size / out_size
+    W = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        src = max((i + 0.5) * scale - 0.5, 0.0)
+        j0 = min(int(src), in_size - 1)
+        j1 = min(j0 + 1, in_size - 1)
+        d = src - j0
+        W[i, j0] += 1.0 - d
+        W[i, j1] += d
+    return W.astype(np.float32)
+
+
+def resize_bilinear_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize exact to torch F.interpolate(mode='bilinear',
+    align_corners=False) WITHOUT antialias — the SEEM decoder's attn-mask
+    resize (seem_v0.py:371, attention_data_struct_seemv0.py:168). Same
+    MXU-matmul formulation as resize_bicubic_antialias."""
+    b, h, w, c = x.shape
+    Wh = jnp.asarray(_bilinear_noaa_weights(h, out_hw[0]))
+    Ww = jnp.asarray(_bilinear_noaa_weights(w, out_hw[1]))
+    y = jnp.einsum(
+        "Hh,bhwc->bHwc", Wh, x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum("Ww,bhwc->bhWc", Ww, y, preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def resize_bicubic_antialias(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Bicubic resize, exact to the reference's F.interpolate(mode='bicubic',
     align_corners=False, antialias=True) (affinity_module.py:527-533,

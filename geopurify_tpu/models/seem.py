@@ -1,24 +1,18 @@
-"""SEEM-style interactive segmentation head (v0 semantics, TPU-native).
+"""SEEM interactive segmentation heads (TPU-native).
 
-Rebuild of the reference's SEEM decoder core
-(reference third_party/X-Decoder/xdecoder/modeling/interface/seem_v0.py:
-27-400 + prototype/attention_data_struct_*.py): on top of the X-Decoder
-masked-attention decoder, INTERACTIVE prompts join the self-attention as
-extra token groups with dedicated query slots —
+``SEEMHead`` is the FAITHFUL v0 decoder — the reference's variable-group
+dataflow (interface/seem_v0.py:27-392 + prototype/
+attention_data_struct_seemv0.py + the v0 yaml ATTENTION_ARCH) rebuilt with
+static shapes: duplicated grounding/spatial query sets, learned spatial
+memories, per-level point-sampled prompt tokens, group-structured
+self-attention, and per-group predicted-mask cross-attention masks.
+Activation parity vs the mounted torch reference is pinned at rel ~1e-6
+(tests/test_torch_parity.py::test_parity_seem) — see the class docstring
+for the full semantics map.
 
-- SPATIAL prompts: positive/negative click or mask points, sampled to a
-  static point budget (the reference rand_samples to ``max_spatial_len``,
-  seem_v0.py:226); per decoder level, the projected level features are
-  bilinear-sampled at the points and tagged with a learned pos/neg indicator
-  embedding (:252-262); a dedicated spatial query slot attends those tokens
-  and emits the interactive mask;
-- GROUNDING prompts: text token embeddings join as a token group with a
-  grounding query slot (:301-310).
-
-Group isolation (the attention_data mask structure): object queries attend
-only each other, so semantic predictions are BIT-IDENTICAL with or without
-prompts (pinned by tests); each interactive query attends itself + its own
-token group; token groups are frozen (don't attend queries).
+``SEEMHeadV1`` keeps the round-2 SIMPLIFIED v1-style prototype (single
+interactive query slot, mask-as-spatial-query init, spatial memory token,
+click-refinement loop) that backs the `geopurify-interactive` demo.
 
 Static shapes throughout: prompt budgets are config constants with validity
 masks; everything jits.
@@ -40,8 +34,19 @@ from geopurify_tpu.models.layers import (
     SelfAttentionLayer,
     position_embedding_sine,
     resize_bicubic_antialias,
+    resize_bilinear_torch,
 )
 from geopurify_tpu.ops.ms_deform_attn import bilinear_sample
+
+
+def _seem_self_attn_mask(Q: int, n_extra_q: int, n_tok: int) -> np.ndarray:
+    """[L, L] True = BLOCKED base mask for the SIMPLIFIED v1 layout
+    [Q object | n_extra_q interactive queries | n_tok prompt tokens]:
+    object queries see only each other; callers open the rest by slicing."""
+    L = Q + n_extra_q + n_tok
+    m = np.ones((L, L), bool)
+    m[:Q, :Q] = False
+    return m
 
 Dtype = Any
 
@@ -65,32 +70,59 @@ def sample_mask_points(
     return pts, valid
 
 
-def _seem_self_attn_mask(Q: int, n_extra_q: int, n_tok: int) -> np.ndarray:
-    """[L, L] True = BLOCKED. Layout: [Q object | n_extra_q interactive
-    queries | n_tok prompt tokens]. Object queries see only each other;
-    interactive query i sees itself + its token group (assigned outside by
-    slicing); tokens see only their own group."""
-    L = Q + n_extra_q + n_tok
-    m = np.ones((L, L), bool)
-    m[:Q, :Q] = False                       # object <-> object
-    return m
-
-
 class SEEMHead(nn.Module):
-    """X-Decoder query decoder + interactive spatial/grounding slots.
+    """SEEM v0 decoder — faithful AttentionDataStruct dataflow.
 
-    Returns the standard seg outputs for the object queries plus
-    ``spatial_masks`` (the click-conditioned mask) and ``grounding_masks``.
+    Variable groups and their interactions mirror the reference exactly
+    (seem_v0.py:27-392 + prototype/attention_data_struct_seemv0.py +
+    configs/seem/focall_unicl_lang_v0.yaml ATTENTION_ARCH):
+
+    - CROSS-ATTENTION participants, in order: ``queries_object`` [Q],
+      ``queries_grounding`` [Q] and ``queries_spatial`` [Q] (both initialized
+      as COPIES of the object queries — the DUPLICATION table), and
+      ``memories_spatial`` [M] learned memory slots (participating only when
+      ``prev_mask`` is given). Prompt TOKENS never cross-attend.
+    - SELF-ATTENTION sequence order: [q_obj, q_grd, q_spa, tok_grd, tok_spa,
+      mem]; interactions: object queries see only each other (semantic
+      predictions identical with/without prompts — test-pinned); grounding
+      queries see themselves + grounding tokens (bidirectionally); spatial
+      queries see themselves + spatial tokens + memories; each token group
+      sees itself; memories see themselves. Invalid (padded) prompt slots
+      are blocked as keys.
+    - Spatial tokens: per level, ``src`` (level-embedded flattened features)
+      projected by ``mask_spatial_embed[i]`` and point-sampled at the prompt
+      points with align_corners=True (point_sample, seem_v0.py:243-258);
+      a learned ±1 ``pn_indicator`` row is added. The group is REFRESHED with
+      the level's tokens every layer. Token positional embeddings are the
+      (detached) token values themselves (seem_v0.py:306-309, :333-336).
+    - ``pred_pspatials``/``pred_nspatials``: mean of mask_features sampled at
+      the positive/negative points (seem_v0.py:225-237).
+    - Prediction heads run on the cross-attention variables; the next-round
+      attention masks are the groups' own predicted masks, BILINEARLY resized
+      (align_corners=False — not the X-Decoder head's bicubic-antialias),
+      thresholded at sigmoid 0.5, with all-blocked rows unmasked
+      (cross_attn_mask, attention_data_struct_seemv0.py:163-175); the memory
+      rows' mask comes from ``prev_mask`` instead.
+
+    Outputs use the reference's organize_output names (pred_logits,
+    pred_masks, pred_gmasks, pred_gtexts, pred_captions, pred_smasks,
+    pred_smaskembs, pred_pspatials, pred_nspatials) plus ``prev_mask`` — the
+    best spatial-query mask selected by pred_smaskembs @ pred_pspatials
+    (update_spatial_results, attention_data_struct_seemv0.py:215-234).
+
+    NOTE: initialize (``.init``) with every prompt kind you will use at apply
+    time — flax creates the spatial/grounding parameters lazily.
     """
 
     hidden_dim: int = 512
     dim_proj: int = 512
-    num_queries: int = 101                 # object queries (no latent cls here)
+    num_queries: int = 101
     nheads: int = 8
     dim_feedforward: int = 2048
     dec_layers: int = 9
     mask_dim: int = 512
-    max_spatial_tokens: int = 64           # prompt-point budget per level
+    max_spatial_tokens: int = 512          # MAX_SPATIAL_LEN per level
+    num_spatial_memories: int = 32         # SPATIAL_MEMORIES
     max_grounding_tokens: int = 8
     dtype: Dtype = jnp.float32
 
@@ -101,20 +133,23 @@ class SEEMHead(nn.Module):
         mask_features: jax.Array,           # [B, H4, W4, mask_dim]
         text_embeddings: jax.Array,         # [n_cls, dim_proj] L2-normalized
         logit_scale: jax.Array,
-        spatial_points: Optional[jax.Array] = None,   # [B, S, 2] norm (y, x)
+        spatial_points: Optional[jax.Array] = None,   # [B, S, 2] norm (y/H, x/W)
         spatial_valid: Optional[jax.Array] = None,    # [B, S] bool
         spatial_posneg: Optional[jax.Array] = None,   # [B, S] +1 / -1
         grounding_tokens: Optional[jax.Array] = None, # [B, G, C]
         grounding_valid: Optional[jax.Array] = None,  # [B, G] bool
+        prev_mask: Optional[jax.Array] = None,        # [B, 1, H4, W4] logits
     ) -> Dict[str, jax.Array]:
         B = mask_features.shape[0]
         Q = self.num_queries
         C = self.hidden_dim
         S = self.max_spatial_tokens
         G = self.max_grounding_tokens
+        M = self.num_spatial_memories
         num_levels = len(multi_scale)
         has_spatial = spatial_points is not None
         has_grounding = grounding_tokens is not None
+        has_memory = has_spatial and prev_mask is not None
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (num_levels, C)
@@ -128,19 +163,6 @@ class SEEMHead(nn.Module):
         mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
         decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="decoder_norm")
 
-        # interactive query slots + pos/neg indicator (seem_v0.py:285-289, 260)
-        spatial_query = self.param("spatial_query", nn.initializers.normal(1.0), (1, C))
-        spatial_qpe = self.param("spatial_query_pe", nn.initializers.normal(1.0), (1, C))
-        grounding_query = self.param(
-            "grounding_query", nn.initializers.normal(1.0), (1, C)
-        )
-        grounding_qpe = self.param(
-            "grounding_query_pe", nn.initializers.normal(1.0), (1, C)
-        )
-        pn_indicator = self.param(
-            "pn_indicator", nn.initializers.normal(0.02), (2, C)
-        )
-
         srcs, poss, sizes = [], [], []
         for i, x in enumerate(multi_scale):
             b, h, w, c = x.shape
@@ -151,144 +173,213 @@ class SEEMHead(nn.Module):
                 x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype)
             )
 
-        # per-level spatial tokens: sample the level features at the prompt
-        # points through a learned per-level projection, tag pos/neg
-        # (seem_v0.py:243-262)
+        def samp_ac_true(fmap, pts, h, w):
+            """point_sample(align_corners=True): pixel = p * (size - 1)."""
+            return bilinear_sample(fmap, pts[:, 1] * (w - 1), pts[:, 0] * (h - 1))
+
+        mf = mask_features.astype(jnp.float32)
+        Hm, Wm = mf.shape[1:3]
+        text_t = text_embeddings.astype(jnp.float32)
+
         spatial_tokens_by_level = []
+        sq_pos = sq_neg = None
         if has_spatial:
-            for i, x in enumerate(multi_scale):
-                b, h, w, c = x.shape
+            pn_indicator = self.param(
+                "pn_indicator", nn.initializers.normal(0.02), (2, C)
+            )
+            pts = spatial_points.astype(jnp.float32)
+            # mean pos / neg spatial queries from mask_features (seem_v0.py:
+            # 225-237; empty sets nan_to_num to 0)
+            mf_at = jax.vmap(lambda fb, p: samp_ac_true(fb, p, Hm, Wm))(mf, pts)
+            for sign in (1, -1):
+                wgt = (spatial_valid & (spatial_posneg * sign > 0)).astype(jnp.float32)
+                mean = jnp.einsum("bs,bsd->bd", wgt, mf_at) / jnp.maximum(
+                    jnp.sum(wgt, axis=1, keepdims=True), 1.0
+                )
+                if sign == 1:
+                    sq_pos = mean
+                else:
+                    sq_neg = mean
+            for i in range(num_levels):
+                h, w = sizes[i]
                 proj = self.param(
                     f"mask_spatial_embed{i}",
-                    nn.initializers.truncated_normal(0.02), (c, C),
+                    nn.initializers.truncated_normal(0.02), (C, C),
                 )
-                feat = (x.astype(jnp.float32) @ proj)          # [B, h, w, C]
-
-                def sample_b(fb, pts):
-                    ys = pts[:, 0] * h - 0.5
-                    xs = pts[:, 1] * w - 0.5
-                    return bilinear_sample(fb, xs, ys)         # [S, C]
-
-                tok = jax.vmap(sample_b)(feat, spatial_points.astype(jnp.float32))
+                feat = srcs[i].astype(jnp.float32).reshape(B, h, w, C) @ proj
+                tok = jax.vmap(lambda fb, p: samp_ac_true(fb, p, h, w))(feat, pts)
                 tag = jnp.where(
                     (spatial_posneg > 0)[..., None],
                     pn_indicator[0][None, None], pn_indicator[1][None, None],
                 )
-                tok = tok + tag
-                tok = jnp.where(spatial_valid[..., None], tok, 0.0)
+                tok = jnp.where(spatial_valid[..., None], tok + tag, 0.0)
                 spatial_tokens_by_level.append(tok.astype(self.dtype))
 
-        # assemble the self-attention layout: [Q obj | iq interactive | tokens]
-        n_extra_q = int(has_spatial) + int(has_grounding)
-        n_tok = (S if has_spatial else 0) + (G if has_grounding else 0)
-        L = Q + n_extra_q + n_tok
-        base_mask = _seem_self_attn_mask(Q, n_extra_q, n_tok)
-        qi = Q
-        tok_off = Q + n_extra_q
-        sp_q = gr_q = None
-        sp_t0 = gr_t0 = None
         if has_spatial:
-            sp_q = qi
-            sp_t0 = tok_off
-            base_mask[sp_q, sp_q] = False
-            base_mask[sp_q, sp_t0:sp_t0 + S] = False
-            base_mask[sp_t0:sp_t0 + S, sp_t0:sp_t0 + S] = False
-            qi += 1
-            tok_off += S
-        if has_grounding:
-            gr_q = qi
-            gr_t0 = tok_off
-            base_mask[gr_q, gr_q] = False
-            base_mask[gr_q, gr_t0:gr_t0 + G] = False
-            base_mask[gr_t0:gr_t0 + G, gr_t0:gr_t0 + G] = False
-        base = jnp.asarray(base_mask)[None, None]              # [1,1,L,L]
-
-        def token_validity():
-            """[B, L] True = valid slot (invalid prompt slots are blocked)."""
-            parts = [jnp.ones((B, Q + n_extra_q), bool)]
-            if has_spatial:
-                parts.append(spatial_valid)
-            if has_grounding:
-                parts.append(grounding_valid)
-            return jnp.concatenate(parts, axis=1)
-
-        tok_valid = token_validity()
-        self_mask = base | (~tok_valid)[:, None, None, :]      # block invalid keys
-
-        mf = mask_features.astype(jnp.float32)
-        text_t = text_embeddings.astype(jnp.float32)
-
-        def prediction_heads(output, target_size):
-            dec = decoder_norm(output).astype(jnp.float32)     # [B, L, C]
-            obj = dec[:, :Q]
-            class_embed = obj @ class_proj
-            v = class_embed / (
-                jnp.linalg.norm(class_embed, axis=-1, keepdims=True) + 1e-7
+            spatial_embed = self.param(
+                "spatial_embed", nn.initializers.normal(1.0), (M, C)
             )
-            outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
-            m_emb = mask_mlp(dec.astype(self.dtype)).astype(jnp.float32)  # [B,L,C]
-            masks_all = jnp.einsum("blc,bhwc->blhw", m_emb, mf)
-            obj_masks = masks_all[:, :Q]
-            sp_mask = masks_all[:, sp_q] if has_spatial else None
-            gr_mask = masks_all[:, gr_q] if has_grounding else None
+            spatial_featured = self.param(
+                "spatial_featured", nn.initializers.normal(1.0), (M, C)
+            )
 
-            am = resize_bicubic_antialias(
-                obj_masks.transpose(0, 2, 3, 1), target_size
+        # ---- group bookkeeping -------------------------------------------
+        # cross order: [q_obj, q_grd?, q_spa?, mem?]; self order appends the
+        # token groups BEFORE the memories: [.., tok_grd?, tok_spa?, mem?]
+        n_grd_q = Q if has_grounding else 0
+        n_spa_q = Q if has_spatial else 0
+        n_mem = M if has_memory else 0
+        NX = Q + n_grd_q + n_spa_q + n_mem
+        o_obj = 0
+        o_grd = Q
+        o_spa = Q + n_grd_q
+        o_mem = Q + n_grd_q + n_spa_q
+
+        obj0 = jnp.broadcast_to(query_feat[None], (B, Q, C))
+        x_parts = [obj0]
+        xp_parts = [jnp.broadcast_to(query_embed[None], (B, Q, C))]
+        if has_grounding:
+            x_parts.append(obj0)            # DUPLICATION: copy of object init
+            xp_parts.append(xp_parts[0])
+        if has_spatial:
+            x_parts.append(obj0)
+            xp_parts.append(xp_parts[0])
+        if has_memory:
+            x_parts.append(jnp.broadcast_to(spatial_featured[None], (B, M, C)))
+            xp_parts.append(jnp.broadcast_to(spatial_embed[None], (B, M, C)))
+        X = jnp.concatenate(x_parts, axis=1).astype(self.dtype)
+        X_pos = jnp.concatenate(xp_parts, axis=1).astype(self.dtype)
+
+        n_tok_grd = G if has_grounding else 0
+        n_tok_spa = S if has_spatial else 0
+        NY = Q + n_grd_q + n_spa_q + n_tok_grd + n_tok_spa + n_mem
+        y_grd_t = Q + n_grd_q + n_spa_q
+        y_spa_t = y_grd_t + n_tok_grd
+        y_mem = y_spa_t + n_tok_spa
+
+        # self-attention interaction mask (True = BLOCKED)
+        base = np.ones((NY, NY), bool)
+        base[o_obj:o_obj + Q, o_obj:o_obj + Q] = False
+        if has_grounding:
+            base[o_grd:o_grd + Q, o_grd:o_grd + Q] = False
+            base[o_grd:o_grd + Q, y_grd_t:y_grd_t + G] = False
+            base[y_grd_t:y_grd_t + G, o_grd:o_grd + Q] = False
+            base[y_grd_t:y_grd_t + G, y_grd_t:y_grd_t + G] = False
+        if has_spatial:
+            base[o_spa:o_spa + Q, o_spa:o_spa + Q] = False
+            base[o_spa:o_spa + Q, y_spa_t:y_spa_t + S] = False
+            base[y_spa_t:y_spa_t + S, y_spa_t:y_spa_t + S] = False
+        if has_memory:
+            base[o_spa:o_spa + Q, y_mem:y_mem + M] = False
+            base[y_mem:y_mem + M, y_mem:y_mem + M] = False
+        base = jnp.asarray(base)[None, None]
+
+        key_valid = [jnp.ones((B, Q + n_grd_q + n_spa_q), bool)]
+        if has_grounding:
+            key_valid.append(grounding_valid)
+        if has_spatial:
+            key_valid.append(spatial_valid)
+        if has_memory:
+            key_valid.append(jnp.ones((B, M), bool))
+        key_valid = jnp.concatenate(key_valid, axis=1)
+        self_mask = base | (~key_valid)[:, None, None, :]
+
+        if has_memory:
+            pm = prev_mask.astype(jnp.float32)                  # [B, 1, H, W]
+
+        def prediction_heads(Xo, target_size):
+            dec = decoder_norm(Xo).astype(jnp.float32)          # [B, NX, C]
+            cls_emb = dec @ class_proj                          # [B, NX, dp]
+            v = cls_emb / (jnp.linalg.norm(cls_emb, axis=-1, keepdims=True) + 1e-7)
+            outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
+            m_emb = mask_mlp(dec.astype(self.dtype)).astype(jnp.float32)
+            masks = jnp.einsum("blc,bhwc->blhw", m_emb, mf)     # [B, NX, H, W]
+
+            # next-round attn masks: bilinear (align_corners=False) <0.5
+            am = resize_bilinear_torch(
+                masks.transpose(0, 2, 3, 1), target_size
             ).transpose(0, 3, 1, 2)
-            am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5
+            am = jax.nn.sigmoid(am).reshape(B, NX, -1) < 0.5
+            if has_memory:
+                mm = resize_bilinear_torch(pm.transpose(0, 2, 3, 1), target_size)
+                mm = jax.nn.sigmoid(mm).reshape(B, 1, -1) < 0.5
+                am = am.at[:, o_mem:o_mem + M].set(
+                    jnp.broadcast_to(mm, (B, M, mm.shape[-1]))
+                )
             all_blocked = jnp.all(am, axis=-1, keepdims=True)
             am = am & ~all_blocked
-            # interactive queries + tokens attend the full memory
-            extra = jnp.zeros((B, L - Q, am.shape[-1]), bool)
-            attn_mask = jnp.concatenate([am, extra], axis=1)[:, None]
-            return outputs_class, obj_masks, sp_mask, gr_mask, attn_mask
+            return outputs_class, masks, m_emb, cls_emb, am[:, None]
 
-        # initial query/token state
-        parts = [jnp.broadcast_to(query_feat[None], (B, Q, C))]
-        pe_parts = [jnp.broadcast_to(query_embed[None], (B, Q, C))]
-        if has_spatial:
-            parts.append(jnp.broadcast_to(spatial_query[None], (B, 1, C)))
-            pe_parts.append(jnp.broadcast_to(spatial_qpe[None], (B, 1, C)))
-        if has_grounding:
-            parts.append(jnp.broadcast_to(grounding_query[None], (B, 1, C)))
-            pe_parts.append(jnp.broadcast_to(grounding_qpe[None], (B, 1, C)))
-        if has_spatial:
-            parts.append(spatial_tokens_by_level[0])
-            pe_parts.append(jnp.zeros((B, S, C)))
-        if has_grounding:
-            parts.append(grounding_tokens.astype(self.dtype))
-            pe_parts.append(jnp.zeros((B, G, C)))
-        output = jnp.concatenate(parts, axis=1).astype(self.dtype)
-        qpe = jnp.concatenate(pe_parts, axis=1).astype(self.dtype)
-
-        oc, om, sm, gm, attn_mask = prediction_heads(output, sizes[0])
+        oc, masks, m_emb, cls_emb, attn_mask = prediction_heads(X, sizes[0])
+        tok_grd = grounding_tokens.astype(self.dtype) if has_grounding else None
+        tok_grd_pos = (
+            jax.lax.stop_gradient(tok_grd) if has_grounding else None
+        )
         for i in range(self.dec_layers):
             level = i % num_levels
-            # refresh the spatial token group with this level's sampled
-            # tokens (seem_v0.py:332-337)
-            if has_spatial:
-                output = output.at[:, sp_t0:sp_t0 + S].set(
-                    spatial_tokens_by_level[level]
-                )
-            output = CrossAttentionLayer(
+            X = CrossAttentionLayer(
                 C, self.nheads, False, self.dtype, name=f"cross_attn{i}",
-            )(output, srcs[level], memory_mask=attn_mask,
-              pos=poss[level], query_pos=qpe)
-            output = SelfAttentionLayer(
+            )(X, srcs[level], memory_mask=attn_mask,
+              pos=poss[level], query_pos=X_pos)
+
+            # assemble the self-attn sequence (memories move AFTER the tokens)
+            y_parts = [X[:, : Q + n_grd_q + n_spa_q]]
+            yp_parts = [X_pos[:, : Q + n_grd_q + n_spa_q]]
+            if has_grounding:
+                y_parts.append(tok_grd)
+                yp_parts.append(tok_grd_pos)
+            if has_spatial:
+                tok_spa = spatial_tokens_by_level[level]
+                y_parts.append(tok_spa)
+                yp_parts.append(jax.lax.stop_gradient(tok_spa))
+            if has_memory:
+                y_parts.append(X[:, o_mem:o_mem + M])
+                yp_parts.append(X_pos[:, o_mem:o_mem + M])
+            Y = jnp.concatenate(y_parts, axis=1)
+            Y_pos = jnp.concatenate(yp_parts, axis=1)
+
+            Y = SelfAttentionLayer(
                 C, self.nheads, False, self.dtype, name=f"self_attn{i}"
-            )(output, query_pos=qpe, tgt_mask=self_mask)
-            output = FFNLayer(
+            )(Y, query_pos=Y_pos, tgt_mask=self_mask)
+            Y = FFNLayer(
                 C, self.dim_feedforward, False, dtype=self.dtype, name=f"ffn{i}",
-            )(output)
-            oc, om, sm, gm, attn_mask = prediction_heads(
-                output, sizes[(i + 1) % num_levels]
+            )(Y)
+
+            # write back: query groups + memories to X; grounding tokens
+            # persist across layers, spatial tokens are refreshed per level
+            x_parts = [Y[:, : Q + n_grd_q + n_spa_q]]
+            if has_memory:
+                x_parts.append(Y[:, y_mem:y_mem + M])
+            X = jnp.concatenate(x_parts, axis=1)
+            if has_grounding:
+                tok_grd = Y[:, y_grd_t:y_grd_t + G]
+
+            oc, masks, m_emb, cls_emb, attn_mask = prediction_heads(
+                X, sizes[(i + 1) % num_levels]
             )
 
-        out = {"pred_logits": oc, "pred_masks": om}
-        if has_spatial:
-            out["spatial_masks"] = sm
+        out = {
+            "pred_logits": oc[:, o_obj:o_obj + Q],
+            "pred_masks": masks[:, o_obj:o_obj + Q],
+            "pred_captions": cls_emb[:, o_obj:o_obj + Q],
+        }
         if has_grounding:
-            out["grounding_masks"] = gm
+            out["pred_gmasks"] = masks[:, o_grd:o_grd + Q]
+            out["pred_gtexts"] = cls_emb[:, o_grd:o_grd + Q]
+        if has_spatial:
+            out["pred_smasks"] = masks[:, o_spa:o_spa + Q]
+            out["pred_smaskembs"] = m_emb[:, o_spa:o_spa + Q]
+            out["pred_pspatials"] = sq_pos[:, None]             # [B, 1, mask_dim]
+            out["pred_nspatials"] = sq_neg[:, None]
+            # update_spatial_results: best spatial query by maskemb-vs-pos
+            # similarity (attention_data_struct_seemv0.py:215-234)
+            sel_logits = jnp.einsum(
+                "bqd,bd->bq", out["pred_smaskembs"], sq_pos
+            )
+            best = jnp.argmax(sel_logits, axis=1)
+            out["prev_mask"] = jnp.take_along_axis(
+                out["pred_smasks"], best[:, None, None, None], axis=1
+            )                                                   # [B, 1, H, W]
         return out
 
 

@@ -188,6 +188,61 @@ def parity_head(size: str = "small") -> Dict[str, Tuple[float, float]]:
     }
 
 
+def parity_seem(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.seem import SEEMHead
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_seem
+
+    ref = oracle.seem_oracle()
+    params = convert_seem(ref["sd"], "seem", ref["dec_layers"])
+    S = 32
+    model = SEEMHead(
+        hidden_dim=32, dim_proj=32, num_queries=7, nheads=4,
+        dim_feedforward=64, dec_layers=ref["dec_layers"], mask_dim=32,
+        max_spatial_tokens=S, num_spatial_memories=ref["num_memories"],
+        max_grounding_tokens=ref["grounding_tokens"].shape[1],
+        dtype=jnp.float32,
+    )
+    H, W = ref["pos_mask"].shape
+    pts = np.zeros((1, S, 2), np.float32)
+    valid = np.zeros((1, S), bool)
+    tags = np.ones((1, S), np.int32)
+    n = 0
+    for mask, tag in ((ref["pos_mask"], 1), (ref["neg_mask"], -1)):
+        ys, xs = np.nonzero(mask)
+        k = len(ys)
+        pts[0, n : n + k, 0] = ys / H            # nonzero/divisor convention
+        pts[0, n : n + k, 1] = xs / W
+        tags[0, n : n + k] = tag
+        valid[0, n : n + k] = True
+        n += k
+    kwargs = dict(
+        spatial_points=jnp.asarray(pts), spatial_valid=jnp.asarray(valid),
+        spatial_posneg=jnp.asarray(tags),
+        grounding_tokens=jnp.asarray(ref["grounding_tokens"]),
+        grounding_valid=jnp.ones((1, ref["grounding_tokens"].shape[1]), bool),
+    )
+    if ref["prev_mask"] is not None:
+        kwargs["prev_mask"] = jnp.asarray(ref["prev_mask"])
+    out = model.apply(
+        {"params": params},
+        [jnp.asarray(v) for v in ref["multi_scale_nhwc"]],
+        jnp.asarray(ref["mask_features_nhwc"]),
+        jnp.asarray(ref["text"]),
+        jnp.float32(ref["logit_scale"]),
+        **kwargs,
+    )
+    rows = {}
+    for k, v in ref["acts"].items():
+        ours = np.asarray(out[k])
+        if k in ("pred_pspatials", "pred_nspatials"):
+            v = v.reshape(ours.shape)
+        rows[f"seem/{k}"] = _diff(ours, v)
+    return rows
+
+
 def parity_lang(size: str = "small") -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
@@ -302,6 +357,7 @@ ALL_STAGES = {
     "pixel_decoder": parity_pixel_decoder,
     "deform_pixel_decoder": parity_deform_pixel_decoder,
     "head": parity_head,
+    "seem": parity_seem,
     "lift": parity_lift,
 }
 

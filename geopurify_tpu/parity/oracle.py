@@ -450,6 +450,141 @@ def xdecoder_head_oracle(
     }
 
 
+SEEM_ATTN_ARCH = {
+    # configs/seem/focall_unicl_lang_v0.yaml:191-221, verbatim semantics
+    "VARIABLE": {
+        "queries": ["object", "grounding", "spatial"],
+        "tokens": ["grounding", "spatial"],
+        "memories": ["spatial"],
+    },
+    "SELF_ATTENTION": {
+        "queries": {
+            "object": ["queries_object"],
+            "grounding": ["queries_grounding", "tokens_grounding"],
+            "spatial": ["queries_spatial", "tokens_spatial", "memories_spatial"],
+        },
+        "tokens": {
+            "grounding": ["queries_grounding", "tokens_grounding"],
+            "spatial": ["tokens_spatial"],
+        },
+        "memories": {"spatial": ["memories_spatial"]},
+    },
+    "CROSS_ATTENTION": {
+        "queries": {"object": True, "grounding": True, "spatial": True},
+        "memories": {"spatial": True},
+        "tokens": {"grounding": False, "spatial": False},
+    },
+    "MASKING": ["tokens_spatial", "tokens_grounding"],
+    "DUPLICATION": {
+        "queries": {"grounding": "queries_object", "spatial": "queries_object"}
+    },
+    "SPATIAL_MEMORIES": 3,
+}
+
+
+def seem_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    hidden_dim: int = 32,
+    mask_dim: int = 32,
+    dim_proj: int = 32,
+    num_queries: int = 7,
+    nheads: int = 4,
+    dim_feedforward: int = 64,
+    dec_layers: int = 3,
+    n_text: int = 5,
+    n_grounding: int = 3,
+    use_memory: bool = True,
+    seed: int = 4,
+) -> Dict:
+    """Reference SEEM v0 decoder (interface/seem_v0.py:27-392 +
+    attention_data_struct_seemv0.py) on the seg task with spatial pos/neg
+    prompts, grounding tokens, and a previous-mask memory. Prompt masks carry
+    FEWER nonzero points than max_spatial_len so rand_sample is a no-op and
+    the forward is deterministic."""
+    torch = _torch()
+    from xdecoder.modeling.interface.seem_v0 import SEEMDecoder
+
+    rng = np.random.default_rng(seed)
+    text = rng.normal(0, 1, (n_text, dim_proj)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    logit_scale_log = 0.7
+
+    torch.manual_seed(seed)
+    m = SEEMDecoder(
+        lang_encoder=_lang_adapter(text, logit_scale_log),
+        in_channels=hidden_dim,
+        mask_classification=True,
+        hidden_dim=hidden_dim,
+        dim_proj=dim_proj,
+        num_queries=num_queries,
+        contxt_len=77,
+        nheads=nheads,
+        dim_feedforward=dim_feedforward,
+        dec_layers=dec_layers,
+        pre_norm=False,
+        mask_dim=mask_dim,
+        task_switch={"bbox": False, "mask": True, "spatial": True,
+                     "grounding": True},
+        enforce_input_project=False,
+        max_spatial_len=[32, 32, 32, 32],
+        attn_arch={k: v for k, v in SEEM_ATTN_ARCH.items()},
+    )
+    randomize_module_(m, seed)
+    m.eval()
+
+    H, W = base_hw
+    ms_nchw = [
+        rng.normal(0, 1, (1, hidden_dim, H // 4, W // 4)).astype(np.float32),
+        rng.normal(0, 1, (1, hidden_dim, H // 2, W // 2)).astype(np.float32),
+        rng.normal(0, 1, (1, hidden_dim, H, W)).astype(np.float32),
+    ]
+    mask_features = rng.normal(0, 1, (1, mask_dim, H, W)).astype(np.float32)
+
+    pos_mask = np.zeros((1, H, W), bool)
+    pos_mask[0, 3:6, 4:8] = True                          # 12 points < 32
+    neg_mask = np.zeros((1, H, W), bool)
+    neg_mask[0, 10:12, 2:5] = True                        # 6 points
+    grd = rng.normal(0, 1, (n_grounding, 1, hidden_dim)).astype(np.float32)
+    prev = rng.normal(0, 2, (1, 1, H, W)).astype(np.float32)
+
+    extra = {
+        "spatial_query_pos_mask": [torch.from_numpy(pos_mask)],
+        "spatial_query_neg_mask": [torch.from_numpy(neg_mask)],
+        "grounding_tokens": torch.from_numpy(grd),
+        "grounding_nonzero_mask": torch.zeros(1, n_grounding, dtype=torch.bool),
+    }
+    if use_memory:
+        extra["prev_mask"] = torch.from_numpy(prev)
+    with torch.no_grad():
+        outs = m(
+            [torch.from_numpy(v) for v in ms_nchw],
+            torch.from_numpy(mask_features),
+            task="seg", extra=extra,
+        )
+    acts = {
+        k: outs[k].numpy() for k in
+        ("pred_logits", "pred_masks", "pred_gmasks", "pred_smasks",
+         "pred_smaskembs", "pred_pspatials", "pred_nspatials")
+        if k in outs
+    }
+    return {
+        "multi_scale_nhwc": [np.ascontiguousarray(v.transpose(0, 2, 3, 1)) for v in ms_nchw],
+        "mask_features_nhwc": np.ascontiguousarray(mask_features.transpose(0, 2, 3, 1)),
+        "text": text,
+        # randomize_module_ perturbs the adapter's logit_scale parameter —
+        # export the value the forward actually used
+        "logit_scale": float(m.lang_encoder.logit_scale.detach().exp()),
+        "pos_mask": pos_mask[0],
+        "neg_mask": neg_mask[0],
+        "grounding_tokens": np.ascontiguousarray(grd.transpose(1, 0, 2)),
+        "prev_mask": prev if use_memory else None,
+        "acts": acts,
+        "sd": {f"seem.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "dec_layers": dec_layers,
+        "num_memories": SEEM_ATTN_ARCH["SPATIAL_MEMORIES"],
+    }
+
+
 def lang_transformer_oracle(
     vocab_size: int = 512,
     width: int = 64,

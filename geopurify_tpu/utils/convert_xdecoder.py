@@ -339,6 +339,27 @@ def convert_predictor(sd: SD, prefix: str, dec_layers: int) -> Dict[str, Any]:
     return p
 
 
+def convert_seem(sd: SD, prefix: str, dec_layers: int) -> Dict[str, Any]:
+    """torch SEEMDecoder (interface/seem_v0.py:27-160) -> models/seem.SEEMHead.
+
+    The decoder trunk (queries, attention layers, mask MLP, class proj) is the
+    X-Decoder predictor layout; SEEM adds the per-level spatial projections
+    (``mask_sptial_embed`` — the reference's own spelling), the spatial memory
+    embeddings, and the ±1 point indicator."""
+    p = convert_predictor(sd, prefix, dec_layers)
+    for i in range(3):
+        if f"{prefix}.mask_sptial_embed.{i}" in sd:
+            p[f"mask_spatial_embed{i}"] = _get(sd, f"{prefix}.mask_sptial_embed.{i}")
+    for ours, theirs in (
+        ("spatial_embed", "spatial_embed.weight"),
+        ("spatial_featured", "spatial_featured.weight"),
+        ("pn_indicator", "pn_indicator.weight"),
+    ):
+        if f"{prefix}.{theirs}" in sd:
+            p[ours] = _get(sd, f"{prefix}.{theirs}")
+    return p
+
+
 def convert_lang_encoder(sd: SD, prefix: str) -> Tuple[Dict[str, Any], Array]:
     """Returns (LanguageEncoder params, logit_scale value (pre-exp))."""
     tp = f"{prefix}.lang_encoder"           # the CLIP-style text transformer

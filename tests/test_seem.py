@@ -20,7 +20,8 @@ def _inputs(rng, B=1, C=16, n_cls=4):
 def _head(C=16, S=8, G=4):
     return SEEMHead(hidden_dim=C, dim_proj=C, num_queries=5, nheads=2,
                     dim_feedforward=32, dec_layers=2, mask_dim=C,
-                    max_spatial_tokens=S, max_grounding_tokens=G)
+                    max_spatial_tokens=S, num_spatial_memories=3,
+                    max_grounding_tokens=G)
 
 
 def test_seem_shapes_and_interactive_outputs(rng):
@@ -32,13 +33,19 @@ def test_seem_shapes_and_interactive_outputs(rng):
     pn = jnp.asarray(np.array([[1] * 4 + [-1] * 4]))
     gt = jnp.asarray(rng.normal(size=(1, G, C)).astype(np.float32))
     gv = jnp.asarray(np.array([[True, True, False, False]]))
+    prev = jnp.asarray(rng.normal(size=(1, 1, 16, 24)).astype(np.float32))
     vars_ = head.init(jax.random.key(0), ms, mf, text, jnp.float32(10.0),
-                      pts, pv, pn, gt, gv)
-    out = head.apply(vars_, ms, mf, text, jnp.float32(10.0), pts, pv, pn, gt, gv)
+                      pts, pv, pn, gt, gv, prev)
+    out = head.apply(vars_, ms, mf, text, jnp.float32(10.0), pts, pv, pn,
+                     gt, gv, prev)
     assert out["pred_logits"].shape == (1, 5, 4)
     assert out["pred_masks"].shape == (1, 5, 16, 24)
-    assert out["spatial_masks"].shape == (1, 16, 24)
-    assert out["grounding_masks"].shape == (1, 16, 24)
+    # grounding/spatial groups are FULL query-set duplicates (v0 DUPLICATION)
+    assert out["pred_gmasks"].shape == (1, 5, 16, 24)
+    assert out["pred_smasks"].shape == (1, 5, 16, 24)
+    assert out["pred_smaskembs"].shape == (1, 5, 16)
+    assert out["pred_pspatials"].shape == (1, 1, 16)
+    assert out["prev_mask"].shape == (1, 1, 16, 24)
     for v in out.values():
         assert np.isfinite(np.asarray(v)).all()
 
@@ -87,7 +94,7 @@ def test_seem_invalid_prompt_slots_inert(rng):
     out2 = head.apply(vars_, ms, mf, text, jnp.float32(10.0),
                       jnp.asarray(pts2), jnp.asarray(pv), jnp.asarray(pn))
     np.testing.assert_allclose(
-        np.asarray(out1["spatial_masks"]), np.asarray(out2["spatial_masks"]),
+        np.asarray(out1["prev_mask"]), np.asarray(out2["prev_mask"]),
         atol=1e-5,
     )
 

@@ -111,3 +111,12 @@ def test_parity_matcher_costs():
     ) / P
     np.testing.assert_allclose(np.asarray(cost_d)[0], ref_d, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cost_m)[0], ref_m, rtol=1e-5, atol=1e-6)
+
+
+def test_parity_seem():
+    """Faithful SEEM v0 decoder vs the reference (spatial pos/neg prompts +
+    grounding tokens + prev-mask memory, deterministic small prompt masks);
+    the diff drove the faithful rewrite: duplicated query groups, memories,
+    token-valued positional embeddings, and the non-antialiased bilinear
+    attn-mask resize (resize_bilinear_torch)."""
+    _check(compare.parity_seem())
