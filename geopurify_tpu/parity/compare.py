@@ -188,6 +188,39 @@ def parity_head(size: str = "small") -> Dict[str, Tuple[float, float]]:
     }
 
 
+def parity_head_vlp(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.xdecoder import XDecoderHead
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_predictor
+
+    ref = oracle.xdecoder_vlp_oracle()
+    params = convert_predictor(ref["sd"], "sem_seg_head.predictor",
+                               ref["dec_layers"])
+    model = XDecoderHead(
+        hidden_dim=32, dim_proj=32, num_queries=13, nheads=4,
+        dim_feedforward=64, dec_layers=ref["dec_layers"], mask_dim=32,
+        dtype=jnp.float32,
+    )
+    out = model.apply(
+        {"params": params},
+        [jnp.asarray(t) for t in ref["multi_scale_nhwc"]],
+        jnp.asarray(ref["mask_features_nhwc"]),
+        jnp.asarray(ref["text"]),
+        jnp.float32(ref["logit_scale"]),
+        caption_tokens=jnp.asarray(ref["caption_tokens"]),
+    )
+    return {
+        "head_vlp/pred_captionings": _diff(
+            np.asarray(out["pred_captionings"]), ref["pred_captionings"]
+        ),
+        "head_vlp/pred_captions": _diff(
+            np.asarray(out["pred_captions"]), ref["pred_captions"]
+        ),
+    }
+
+
 def parity_seem(size: str = "small") -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
@@ -357,6 +390,7 @@ ALL_STAGES = {
     "pixel_decoder": parity_pixel_decoder,
     "deform_pixel_decoder": parity_deform_pixel_decoder,
     "head": parity_head,
+    "head_vlp": parity_head_vlp,
     "seem": parity_seem,
     "lift": parity_lift,
 }

@@ -450,6 +450,91 @@ def xdecoder_head_oracle(
     }
 
 
+def xdecoder_vlp_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    conv_dim: int = 32,
+    mask_dim: int = 32,
+    hidden_dim: int = 32,
+    dim_proj: int = 32,
+    num_queries: int = 13,
+    nheads: int = 4,
+    dim_feedforward: int = 64,
+    dec_layers: int = 3,
+    n_text: int = 5,
+    cap_len: int = 12,
+    seed: int = 3,
+) -> Dict:
+    """Reference XDecoder head on the VLP task (interface/xdecoder.py:
+    226-233, 265-267, 428-431: caption lang embeddings ride as extra query
+    slots under the structured causal mask; outputs_captionting =
+    caption-slot states @ caping_embed). Deterministic: dropout is 0
+    everywhere, so train() mode (required by the vlp branch) is exact."""
+    torch = _torch()
+    from xdecoder.modeling.interface.xdecoder import XDecoder
+
+    rng = np.random.default_rng(seed)
+    text = rng.normal(0, 1, (n_text, dim_proj)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    logit_scale_log = 1.1
+
+    torch.manual_seed(seed)
+    m = XDecoder(
+        lang_encoder=_lang_adapter(text, logit_scale_log),
+        in_channels=conv_dim,
+        mask_classification=True,
+        hidden_dim=hidden_dim,
+        dim_proj=dim_proj,
+        num_queries=num_queries,
+        contxt_len=cap_len,
+        nheads=nheads,
+        dim_feedforward=dim_feedforward,
+        dec_layers=dec_layers,
+        pre_norm=False,
+        mask_dim=mask_dim,
+        task_switch={
+            "mask": True, "bbox": False, "caption": True,
+            "captioning": True, "grounding": False, "retrieval": True,
+        },
+        captioning_step=50,
+        enforce_input_project=False,
+    )
+    randomize_module_(m, seed)
+    with torch.no_grad():
+        m.lang_encoder.logit_scale.fill_(logit_scale_log)
+    m.train()  # the vlp branch is train-gated; dropout is 0 -> deterministic
+
+    H, W = base_hw
+    ms_np = [
+        rng.normal(0, 1, (1, conv_dim, H // 2 ** i, W // 2 ** i)).astype(np.float32)
+        for i in (2, 1, 0)
+    ]
+    mf_np = rng.normal(0, 1, (1, mask_dim, H, W)).astype(np.float32)
+    cap_np = rng.normal(0, 1, (1, cap_len, hidden_dim)).astype(np.float32)
+    with torch.no_grad():
+        out = m(
+            [torch.from_numpy(t) for t in ms_np],
+            torch.from_numpy(mf_np),
+            task="vlp",
+            target_vlp=[{"caption_tokens": torch.from_numpy(cap_np)}],
+        )
+    sd = {
+        f"sem_seg_head.predictor.{k}": v.numpy()
+        for k, v in m.state_dict().items()
+        if not k.startswith("lang_encoder.")
+    }
+    return {
+        "multi_scale_nhwc": [np.ascontiguousarray(t.transpose(0, 2, 3, 1)) for t in ms_np],
+        "mask_features_nhwc": np.ascontiguousarray(mf_np.transpose(0, 2, 3, 1)),
+        "text": text,
+        "logit_scale": float(np.exp(logit_scale_log)),
+        "caption_tokens": cap_np,
+        "pred_captionings": out["pred_captionings"].detach().numpy(),
+        "pred_captions": out["pred_captions"].detach().numpy(),
+        "sd": sd,
+        "dec_layers": dec_layers,
+    }
+
+
 SEEM_ATTN_ARCH = {
     # configs/seem/focall_unicl_lang_v0.yaml:191-221, verbatim semantics
     "VARIABLE": {

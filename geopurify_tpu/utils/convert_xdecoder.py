@@ -317,6 +317,12 @@ def convert_predictor(sd: SD, prefix: str, dec_layers: int) -> Dict[str, Any]:
         mlp[f"layers{i}"] = _lin(sd, f"{prefix}.mask_embed.layers.{i}")
         i += 1
     p["mask_embed"] = mlp
+    # VLP caption slots (interface/xdecoder.py:140-144): present only in
+    # captioning-enabled checkpoints
+    if f"{prefix}.caping_embed" in sd:
+        p["caping_embed"] = _get(sd, f"{prefix}.caping_embed")
+    if f"{prefix}.pos_embed_caping.weight" in sd:
+        p["pos_embed_caping"] = _get(sd, f"{prefix}.pos_embed_caping.weight")
     for i in range(dec_layers):
         p[f"cross_attn{i}"] = {
             "multihead_attn": _mha(

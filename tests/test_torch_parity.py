@@ -120,3 +120,11 @@ def test_parity_seem():
     token-valued positional embeddings, and the non-antialiased bilinear
     attn-mask resize (resize_bilinear_torch)."""
     _check(compare.parity_seem())
+
+
+def test_parity_head_vlp():
+    """VLP caption path: caption slots under the structured causal mask,
+    caption-slot states @ caping_embed, class_embed incl. the cls row —
+    pinned against the reference task='vlp' forward (train-gated but
+    dropout-0 deterministic)."""
+    _check(compare.parity_head_vlp())
