@@ -139,3 +139,29 @@ def test_distinctive_values_land_in_place():
     )
     assert (stacked[1] == 7.5).all()      # block 1 on the depth axis
     assert not (stacked[0] == 7.5).any()
+
+
+def test_sonata_forward_golden_regression(rng):
+    """Golden-output pin (VERDICT r2 weak #6): Sonata has no in-tree torch
+    oracle (empty submodule upstream), so this freezes the full forward on a
+    fixed seed/scene — any unintended change to the serialization cycle,
+    pooling reduce, cpe, or patch-attention semantics shifts these values.
+    Intentional architecture changes must update the goldens (and the
+    converter docstring assumptions) together."""
+    g = np.random.default_rng(1234)
+    cfg = _cfg()
+    t = _teacher(cfg)
+    scene = _scene(g)
+    vars_ = t.init(jax.random.key(7), *scene)
+    out = np.asarray(t.apply(vars_, *scene))
+    assert out.shape == (58, 24)
+    np.testing.assert_allclose(float(out.sum()), 513.73876953125, rtol=1e-4)
+    np.testing.assert_allclose(
+        out.reshape(-1)[:6],
+        [0.551599, 1.89582, -3.370126, 1.380585, 0.509291, 0.567206],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        out.reshape(-1)[-3:], [-0.599372, -1.278907, -1.209773],
+        rtol=1e-4, atol=1e-5,
+    )
