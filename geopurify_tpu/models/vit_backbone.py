@@ -39,8 +39,12 @@ def _rel_pos_bias(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
     which jax.image.resize('linear') also uses."""
     need = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != need:
+        # antialias=False: torch F.interpolate(linear) does NOT widen the
+        # kernel on downscale (pretrain table longer than the runtime grid
+        # needs), while jax.image.resize antialiases by default
         rel_pos = jax.image.resize(
-            rel_pos.astype(jnp.float32), (need, rel_pos.shape[1]), method="linear"
+            rel_pos.astype(jnp.float32), (need, rel_pos.shape[1]),
+            method="linear", antialias=False,
         )
     coords = jnp.arange(q_size)[:, None] - jnp.arange(k_size)[None, :]
     idx = coords + (k_size - 1)

@@ -30,14 +30,19 @@ log = logging.getLogger("geopurify.infer2d")
 
 
 def semseg_from_outputs(pred_logits, pred_masks, out_hw):
-    """Per-pixel class map from query predictions (infer_semseg.py semantics):
-    sem_map[c] = sum_q softmax(cls)_qc * sigmoid(mask)_q, argmax over classes."""
+    """Per-pixel class map from query predictions (semantic_inference,
+    xdecoder_model.py:947-954): softmax over ALL n_cls+1 columns, DROP the
+    background column (slicing before the softmax renormalizes
+    background-confident queries onto real classes — a real divergence),
+    sem_map[c] = sum_q p_qc * sigmoid(mask)_q, argmax over classes.
+
+    ``pred_logits`` must be the FULL [Q, n_cls+1] logits."""
     import jax.numpy as jnp
 
     from geopurify_tpu.models.inference2d import semantic_inference
     from geopurify_tpu.models.layers import resize_bicubic_antialias
 
-    sem = semantic_inference(pred_logits, pred_masks, keep_sem_bgd=True)
+    sem = semantic_inference(pred_logits, pred_masks, keep_sem_bgd=False)
     sem = resize_bicubic_antialias(sem[None], tuple(out_hw))[0]  # [H, W, n_cls]
     return jnp.argmax(sem, axis=-1)
 
@@ -53,34 +58,6 @@ def _load_work_image(path, mask_shape):
     ri = (np.arange(mh) * (H / mh)).astype(np.int64)
     ci = (np.arange(mw) * (W / mw)).astype(np.int64)
     return img[ri][:, ci]
-
-
-def _build_lang(cfg, rng_key):
-    """Tokenizer + language tower (+ converted weights when xdecoder.ckpt is
-    set) — the lang block of run/train.build_pipeline, needed by the text-
-    conditioned tasks (refseg / captioning / retrieval)."""
-    import jax.numpy as jnp
-
-    from geopurify_tpu.models.lang import LanguageEncoder, build_tokenizer
-
-    tk = build_tokenizer(cfg.text.tokenizer_vocab, cfg.text.context_length)
-    lang = LanguageEncoder(
-        vocab_size=cfg.text.vocab_size, width=cfg.text.width,
-        layers=cfg.text.layers, heads=cfg.text.heads,
-        context_length=cfg.text.context_length, dim_proj=cfg.text.dim_proj,
-    )
-    if cfg.xdecoder.ckpt:
-        from geopurify_tpu.utils.checkpoint import load_torch_state_dict
-        from geopurify_tpu.utils.convert_xdecoder import (
-            convert_xdecoder_checkpoint,
-        )
-
-        conv = convert_xdecoder_checkpoint(load_torch_state_dict(cfg.xdecoder.ckpt))
-        lang_vars = conv["lang"]
-    else:
-        ids, _ = tk(["init"])
-        lang_vars = lang.init(rng_key, jnp.asarray(ids))
-    return tk, lang, lang_vars
 
 
 def main(argv=None):
@@ -155,9 +132,20 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, all_label=tuple(classes))
     )
-    pipeline, _ = build_pipeline(
-        cfg, jax.random.key(0), require_teachers=True
-    )
+    need_lang = args.task in ("refseg", "captioning", "retrieval")
+    if need_lang:
+        pipeline, _, (tk, lang, lang_vars) = build_pipeline(
+            cfg, jax.random.key(0), require_teachers=True, return_lang=True
+        )
+    else:
+        pipeline, _ = build_pipeline(
+            cfg, jax.random.key(0), require_teachers=True
+        )
+    # one jitted teacher forward reused everywhere — eager apply dispatches
+    # thousands of ops per image through the tunnel (CLAUDE.md), and params
+    # ride as ARGUMENTS (closure capture bakes the teacher into the
+    # executable: 10+ min constant-folds / HTTP 413 on the compile RPC)
+    fwd = jax.jit(pipeline.xdecoder.apply)
 
     mh, mw = cfg.xdecoder.mask_shape
     if args.eval_list:
@@ -181,13 +169,12 @@ def main(argv=None):
         ]
         for img_path, gt_path in pairs:
             w2 = _load_work_image(img_path, cfg.xdecoder.mask_shape)
-            o2 = pipeline.xdecoder.apply(
+            o2 = fwd(
                 pipeline.teacher_params, jnp.asarray(w2)[None],
                 pipeline.text_embeddings, pipeline.logit_scale,
             )
             seg = np.asarray(semseg_from_outputs(
-                o2["pred_logits"][0][:, : len(classes)], o2["pred_masks"][0],
-                (mh, mw),
+                o2["pred_logits"][0], o2["pred_masks"][0], (mh, mw),
             ))
             gt_raw = np.asarray(Image.open(gt_path))
             ri = (np.arange(mh) * (gt_raw.shape[0] / mh)).astype(np.int64)
@@ -201,7 +188,7 @@ def main(argv=None):
 
     work = _load_work_image(args.image, cfg.xdecoder.mask_shape)
 
-    out = pipeline.xdecoder.apply(
+    out = fwd(
         pipeline.teacher_params, jnp.asarray(work)[None],
         pipeline.text_embeddings, pipeline.logit_scale,
     )
@@ -209,10 +196,8 @@ def main(argv=None):
     base = work.astype(np.uint8)
 
     if args.task == "semseg":
-        # text includes a trailing background row — drop it like the lift does
         seg = semseg_from_outputs(
-            out["pred_logits"][0][:, : len(classes)], out["pred_masks"][0],
-            (mh, mw),
+            out["pred_logits"][0], out["pred_masks"][0], (mh, mw),
         )
         seg_np = np.asarray(seg)
         if args.rich_overlay:
@@ -286,7 +271,6 @@ def main(argv=None):
         from geopurify_tpu.models.lang import embed_class_names
 
         phrases = [p.strip() for p in args.phrases.split(",") if p.strip()]
-        tk, lang, lang_vars = _build_lang(cfg, jax.random.key(0))
         # grounding_refcoco mode: raw phrase, no templates, no background
         # (evaluate_grounding_baseline, xdecoder_model.py:738-741)
         t_emb = jnp.asarray(embed_class_names(
@@ -311,7 +295,6 @@ def main(argv=None):
         from geopurify_tpu.models.inference2d import caption_greedy_decode
         from geopurify_tpu.models.xdecoder import apply_head, encode_pixel_features
 
-        tk, lang, lang_vars = _build_lang(cfg, jax.random.key(0))
         # encode the image ONCE; the greedy loop re-runs only the query
         # decoder + lang token embedding (forward_captioning,
         # interface/xdecoder.py:325-421)
@@ -334,25 +317,31 @@ def main(argv=None):
             cfg.xdecoder, teacher_params, jnp.asarray(work)[None]
         )
         table = lang_vars["params"]["lang_encoder"]["token_embedding"]["embedding"]
-
-        @jax.jit
-        def logits_fn(tokens):
-            tok_emb, _ = lang.apply(lang_vars, tokens, method=lang.encode_tokens)
-            o = apply_head(
-                cfg.xdecoder, teacher_params, multi_scale,
-                mask_features, pipeline.text_embeddings, pipeline.logit_scale,
-                caption_tokens=tok_emb,
-            )
-            return o["pred_captionings"][:, :-1] @ table.T
-
         bos = getattr(tk, "sot", 49406)
-        tokens = caption_greedy_decode(
-            logits_fn, steps=args.caption_steps,
-            context_length=cfg.text.context_length, bos_id=int(bos),
+
+        # jit the WHOLE decode with every array as an ARGUMENT — closure
+        # capture (even one level up, in the fori_loop) bakes the teacher
+        # into the executable (CLAUDE.md: 10+ min constant-folds / HTTP 413)
+        def _decode(tp, lv, ms, mfeat, text, scale, tbl):
+            def logits_fn(tokens):
+                tok_emb, _ = lang.apply(lv, tokens, method=lang.encode_tokens)
+                o = apply_head(cfg.xdecoder, tp, list(ms), mfeat, text, scale,
+                               caption_tokens=tok_emb)
+                return o["pred_captionings"][:, :-1] @ tbl.T
+
+            return caption_greedy_decode(
+                logits_fn, steps=args.caption_steps,
+                context_length=cfg.text.context_length, bos_id=int(bos),
+            )
+
+        tokens = jax.jit(_decode)(
+            teacher_params, lang_vars, tuple(multi_scale), mask_features,
+            pipeline.text_embeddings, pipeline.logit_scale, table,
         )
         ids = np.asarray(tokens)[0]
         text = tk.decode(ids[1:])  # skip BOS slot; decode stops at EOT
-        with open(os.path.splitext(dst)[0] + ".txt", "w") as f:
+        dst = os.path.splitext(dst)[0] + ".txt"
+        with open(dst, "w") as f:
             f.write(text + "\n")
         log.info("caption: %r (token ids %s...)", text, ids[:8].tolist())
 
@@ -361,7 +350,6 @@ def main(argv=None):
         from geopurify_tpu.models.lang import embed_class_names
 
         phrases = [p.strip() for p in args.phrases.split(",") if p.strip()]
-        tk, lang, lang_vars = _build_lang(cfg, jax.random.key(0))
         t_emb = jnp.asarray(embed_class_names(
             lambda v, i: lang.apply(v, i), lang_vars, tk, phrases,
             use_templates=False, add_background=False,
@@ -375,16 +363,26 @@ def main(argv=None):
         embeds = [np.asarray(out["cls_embed"][0])]
         for p in paths[1:]:
             w2 = _load_work_image(p, cfg.xdecoder.mask_shape)
-            o2 = pipeline.xdecoder.apply(
+            o2 = fwd(
                 pipeline.teacher_params, jnp.asarray(w2)[None],
                 pipeline.text_embeddings, pipeline.logit_scale,
             )
             embeds.append(np.asarray(o2["cls_embed"][0]))
         sim = np.asarray(retrieval_scores(jnp.asarray(np.stack(embeds)), t_emb))
+        import json
+
+        ranking = {}
         for t, phrase in enumerate(phrases):
             order = np.argsort(-sim[t])
+            ranking[phrase] = [
+                {"image": paths[i], "score": round(float(sim[t, i]), 4)}
+                for i in order
+            ]
             log.info("ranking for %r: %s", phrase,
-                     [(paths[i], round(float(sim[t, i]), 4)) for i in order])
+                     [(r["image"], r["score"]) for r in ranking[phrase]])
+        dst = os.path.splitext(dst)[0] + ".json"
+        with open(dst, "w") as f:
+            json.dump(ranking, f, indent=1)
 
     log.info("wrote %s", dst)
     return dst

@@ -118,7 +118,7 @@ def stack_scenes(scenes) -> Any:
 
 def build_pipeline(
     cfg: GeoPurifyConfig, rng_key, init_teachers: bool = True,
-    require_teachers: bool = False,
+    require_teachers: bool = False, return_lang: bool = False,
 ):
     """Construct the pipeline with frozen teachers and text embeddings.
 
@@ -240,11 +240,18 @@ def build_pipeline(
         from geopurify_tpu.models.lift_backends import get_backend
 
         lift_backend_fn = get_backend(cfg.xdecoder.lift_backend)
-    return GeoPurifyPipeline(
+    pipeline = GeoPurifyPipeline(
         cfg=cfg, teacher_params=tparams, text_embeddings=text,
         logit_scale=logit_scale, sonata_params=sparams,
         lift_backend_fn=lift_backend_fn,
-    ), sonata
+    )
+    if return_lang:
+        # hand the already-built (and, with xdecoder.ckpt, already-converted)
+        # language tower to text-conditioned callers — re-converting the
+        # checkpoint just for conv['lang'] doubles startup time and host
+        # memory (run/infer2d.py refseg/captioning/retrieval)
+        return pipeline, sonata, (tk, lang, lang_vars)
+    return pipeline, sonata
 
 
 def main(argv=None):

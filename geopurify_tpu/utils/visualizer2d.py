@@ -186,7 +186,7 @@ class Visualizer2D:
             cid = int(category_ids[sid - 1])
             base = self.palette[cid % len(self.palette)]
             color = (
-                _brightness(base, 0.25 * ((sid * 3) % 3 - 1))
+                _brightness(base, 0.25 * (sid % 3 - 1))
                 if isthing[sid - 1]
                 else base
             )

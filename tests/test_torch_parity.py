@@ -128,3 +128,25 @@ def test_parity_head_vlp():
     pinned against the reference task='vlp' forward (train-gated but
     dropout-0 deterministic)."""
     _check(compare.parity_head_vlp())
+
+
+def test_parity_relpos_interpolation():
+    """_rel_pos_bias table resize == torch get_rel_pos F.interpolate(linear,
+    antialias=False) when the pretrain table length differs from the runtime
+    grid's 2*size-1 — the branch the small-config vit parity never hits."""
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from geopurify_tpu.models.vit_backbone import _rel_pos_bias
+
+    rng = np.random.default_rng(0)
+    for L, q in ((127, 31), (7, 9)):          # down- and up-scale
+        table = rng.normal(0, 1, (L, 6)).astype(np.float32)
+        need = 2 * q - 1
+        ref = F.interpolate(
+            torch.from_numpy(table).reshape(1, L, -1).permute(0, 2, 1),
+            size=need, mode="linear",
+        ).reshape(-1, need).permute(1, 0).numpy()
+        coords = np.arange(q)[:, None] - np.arange(q)[None, :] + (q - 1)
+        ours = np.asarray(_rel_pos_bias(jnp.asarray(table), q, q))
+        np.testing.assert_allclose(ours, ref[coords], rtol=1e-5, atol=1e-6)
