@@ -10,9 +10,13 @@ Activation parity vs the mounted torch reference is pinned at rel ~1e-6
 (tests/test_torch_parity.py::test_parity_seem) — see the class docstring
 for the full semantics map.
 
-``SEEMHeadV1`` keeps the round-2 SIMPLIFIED v1-style prototype (single
-interactive query slot, mask-as-spatial-query init, spatial memory token,
-click-refinement loop) that backs the `geopurify-interactive` demo.
+``SEEMHeadV1`` is the FAITHFUL v1 decoder (interface/seem_v1.py +
+attention_data_struct_seemv1.py): multi-mask prompts with per-mask means,
+object queries rand-sampled into sample_size-per-mask spatial query groups
+(the torch RNG draws ride as explicit inputs), per-mask block-diagonal
+self-attention, and per-layer channel-matched prev-mask memories — also
+oracle-pinned at rel ~1e-6. It backs the `geopurify-interactive` demo's
+click-refinement loop.
 
 Static shapes throughout: prompt budgets are config constants with validity
 masks; everything jits.
@@ -302,7 +306,9 @@ class SEEMHead(nn.Module):
             am = jax.nn.sigmoid(am).reshape(B, NX, -1) < 0.5
             if has_memory:
                 mm = resize_bilinear_torch(pm.transpose(0, 2, 3, 1), target_size)
-                mm = jax.nn.sigmoid(mm).reshape(B, 1, -1) < 0.5
+                # transpose before flatten (single channel here, but keep the
+                # layout honest — see the v1 head's NM>1 case)
+                mm = jax.nn.sigmoid(mm.transpose(0, 3, 1, 2)).reshape(B, 1, -1) < 0.5
                 am = am.at[:, o_mem:o_mem + M].set(
                     jnp.broadcast_to(mm, (B, M, mm.shape[-1]))
                 )
@@ -384,23 +390,35 @@ class SEEMHead(nn.Module):
 
 
 class SEEMHeadV1(nn.Module):
-    """SEEM v1 decoder semantics (reference architectures/seem_model_v1.py +
-    interface/seem_v1.py:201-352) on top of the v0 group structure:
+    """SEEM v1 decoder — faithful dataflow (interface/seem_v1.py:27-389 +
+    prototype/attention_data_struct_seemv1.py + the v1 yaml ATTENTION_ARCH).
 
-    - **mask-as-spatial-query**: the spatial query slot initializes from the
-      MEAN of mask_features sampled at the positive prompt points (projected
-      to hidden), not from a bare learned embedding (seem_v1.py:225-232
-      ``spatial_query_pos`` point_sample + mean);
-    - **pos AND neg prompt masks**: points carry a ±1 indicator summed into
-      the per-level sampled tokens (seem_v1.py:258-267);
-    - **spatial memory**: the previous round's predicted mask joins as one
-      extra memory token — mask-sigmoid-weighted mean of mask_features —
-      letting round k attend to round k-1's prediction
-      (seem_model_v1.py evaluate_interactive: ``extra.update(outputs)`` +
-      the decoder's 'memories_spatial' group).
+    v1 extends the (pinned) v0 group structure to MULTI-MASK prompts:
 
-    Per-round point RESAMPLING is the caller's job (host rng —
-    ``interactive_refine``), matching the reference's rand_sample-per-forward.
+    - prompt points carry a MASK ID; ``pred_pspatials``/``pred_nspatials``
+      are per-mask means of mask_features at the pos/neg points (empty masks
+      fill with -1, seem_v1.py:228-242);
+    - ``queries_spatial`` is the object-query set RAND-SAMPLED to
+      ``sample_size * num_masks`` rows (attention_data set(...,
+      sample_size=...) -> Variable.rand_sample: torch.randint draws). The
+      draws are NOT derivable deterministically across frameworks, so this
+      head takes them as an explicit input (``spatial_query_indices``) —
+      the host (or the parity oracle) supplies them;
+    - the spatial-query self-attention block is BLOCK-DIAGONAL per mask,
+      and spatial queries attend only tokens of THEIR mask
+      (attention_data_struct_seemv1.py:237-247);
+    - with ``prev_mask`` [B, num_masks, H, W], the memory rows' cross-attn
+      masks come from prev_mask channels chosen by ``memory_indices``
+      (the reference's multinomial repeat draws — also an explicit input,
+      attention_data_struct_seemv1.py:185-190);
+    - ``pred_stexts``: class embeddings of the spatial queries
+      (predictions_caption includes queries_spatial in v1);
+    - ``prev_mask`` output: per-mask best spatial query by diag-masked
+      maskemb-vs-pspatial similarity (update_spatial_results,
+      attention_data_struct_seemv1.py:215-234).
+
+    Activation parity vs the mounted reference is pinned with the oracle
+    exporting torch's drawn indices (tests/test_torch_parity.py).
     """
 
     hidden_dim: int = 512
@@ -410,7 +428,10 @@ class SEEMHeadV1(nn.Module):
     dim_feedforward: int = 2048
     dec_layers: int = 9
     mask_dim: int = 512
-    max_spatial_tokens: int = 64
+    max_spatial_tokens: int = 512          # MAX_SPATIAL_LEN per level
+    num_spatial_memories: int = 32         # SPATIAL_MEMORIES
+    sample_size: int = 3                   # QUERY_NUMBER
+    max_grounding_tokens: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -420,17 +441,33 @@ class SEEMHeadV1(nn.Module):
         mask_features: jax.Array,           # [B, H4, W4, mask_dim]
         text_embeddings: jax.Array,         # [n_cls, dim_proj]
         logit_scale: jax.Array,
-        spatial_points: jax.Array,          # [B, S, 2] norm (y, x)
+        spatial_points: jax.Array,          # [B, S, 2] norm (y/H, x/W)
         spatial_valid: jax.Array,           # [B, S] bool
         spatial_posneg: jax.Array,          # [B, S] +1 pos / -1 neg
-        prev_mask: Optional[jax.Array] = None,  # [B, H4, W4] logits (round k-1)
+        spatial_mask_id: jax.Array,         # [B, S] int32 prompt-mask index
+        spatial_query_indices: jax.Array,   # [NS] int32 into the Q object queries
+        num_masks: int = 1,
+        grounding_tokens: Optional[jax.Array] = None,  # [B, G, C]
+        grounding_valid: Optional[jax.Array] = None,   # [B, G] bool
+        prev_mask: Optional[jax.Array] = None,     # [B, num_masks, H4, W4]
+        memory_indices: Optional[jax.Array] = None,  # [dec_layers, M] int32
+        #   into num_masks — the reference re-draws the multinomial memory
+        #   channel assignment at EVERY layer's cross_attn_mask call
     ) -> Dict[str, jax.Array]:
         B = mask_features.shape[0]
         Q = self.num_queries
         C = self.hidden_dim
         S = self.max_spatial_tokens
+        G = self.max_grounding_tokens
+        M = self.num_spatial_memories
+        K = self.sample_size
+        NM = num_masks
+        NS = K * NM
         num_levels = len(multi_scale)
+        has_grounding = grounding_tokens is not None
         has_memory = prev_mask is not None
+        if has_memory:
+            assert memory_indices is not None, "prev_mask needs memory_indices"
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (num_levels, C)
@@ -444,17 +481,14 @@ class SEEMHeadV1(nn.Module):
         mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
         decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                     name="decoder_norm")
-        spatial_qpe = self.param("spatial_query_pe", nn.initializers.normal(1.0), (1, C))
-        pn_indicator = self.param("pn_indicator", nn.initializers.normal(0.02), (2, C))
-        # mask-feature -> hidden projections: one for the query init, one for
-        # the spatial-memory token
-        mf_proj = self.param(
-            "mask_feat_proj", nn.initializers.truncated_normal(0.02),
-            (mask_features.shape[-1], C),
+        pn_indicator = self.param(
+            "pn_indicator", nn.initializers.normal(0.02), (2, C)
         )
-        mem_proj = self.param(
-            "memory_proj", nn.initializers.truncated_normal(0.02),
-            (mask_features.shape[-1], C),
+        spatial_embed = self.param(
+            "spatial_embed", nn.initializers.normal(1.0), (M, C)
+        )
+        spatial_featured = self.param(
+            "spatial_featured", nn.initializers.normal(1.0), (M, C)
         )
 
         srcs, poss, sizes = [], [], []
@@ -467,34 +501,37 @@ class SEEMHeadV1(nn.Module):
                 x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype)
             )
 
+        def samp_ac_true(fmap, pts, h, w):
+            return bilinear_sample(fmap, pts[:, 1] * (w - 1), pts[:, 0] * (h - 1))
+
         mf = mask_features.astype(jnp.float32)
         Hm, Wm = mf.shape[1:3]
+        text_t = text_embeddings.astype(jnp.float32)
         pts = spatial_points.astype(jnp.float32)
 
-        def sample_map(fmap_b, pts_b, h, w):
-            ys = pts_b[:, 0] * h - 0.5
-            xs = pts_b[:, 1] * w - 0.5
-            return bilinear_sample(fmap_b, xs, ys)                  # [S, C']
+        # per-MASK pos/neg mean spatial queries; empty masks fill with -1
+        # (seem_v1.py:228-242 pad_sequence(..., padding_value=-1))
+        mf_at = jax.vmap(lambda fb, p: samp_ac_true(fb, p, Hm, Wm))(mf, pts)
+        mid_oh = jax.nn.one_hot(spatial_mask_id, NM, dtype=jnp.float32)  # [B,S,NM]
+        sq = {}
+        for sign, key in ((1, "pos"), (-1, "neg")):
+            wgt = (spatial_valid & (spatial_posneg * sign > 0)).astype(jnp.float32)
+            w_m = wgt[..., None] * mid_oh                              # [B,S,NM]
+            cnt = jnp.sum(w_m, axis=1)                                 # [B,NM]
+            mean = jnp.einsum("bsm,bsd->bmd", w_m, mf_at) / jnp.maximum(
+                cnt[..., None], 1.0
+            )
+            sq[key] = jnp.where(cnt[..., None] > 0, mean, -1.0)        # [B,NM,D]
 
-        # mask-as-spatial-query init: mean of mask_features at POSITIVE points
-        mf_at = jax.vmap(lambda fb, p: sample_map(fb, p, Hm, Wm))(mf, pts)
-        pos_w = (spatial_valid & (spatial_posneg > 0)).astype(jnp.float32)
-        pos_mean = jnp.einsum("bs,bsc->bc", pos_w, mf_at) / jnp.maximum(
-            jnp.sum(pos_w, axis=1, keepdims=True), 1.0
-        )
-        spatial_query0 = (pos_mean @ mf_proj)[:, None]              # [B,1,C]
-
-        # per-level spatial tokens (resampled features at the SAME host-drawn
-        # points; ±1 indicator added, seem_v1.py:258-267)
         spatial_tokens_by_level = []
-        for i, x in enumerate(multi_scale):
-            b, h, w, c = x.shape
+        for i in range(num_levels):
+            h, w = sizes[i]
             proj = self.param(
                 f"mask_spatial_embed{i}",
-                nn.initializers.truncated_normal(0.02), (c, C),
+                nn.initializers.truncated_normal(0.02), (C, C),
             )
-            feat = x.astype(jnp.float32) @ proj
-            tok = jax.vmap(lambda fb, p: sample_map(fb, p, h, w))(feat, pts)
+            feat = srcs[i].astype(jnp.float32).reshape(B, h, w, C) @ proj
+            tok = jax.vmap(lambda fb, p: samp_ac_true(fb, p, h, w))(feat, pts)
             tag = jnp.where(
                 (spatial_posneg > 0)[..., None],
                 pn_indicator[0][None, None], pn_indicator[1][None, None],
@@ -502,96 +539,185 @@ class SEEMHeadV1(nn.Module):
             tok = jnp.where(spatial_valid[..., None], tok + tag, 0.0)
             spatial_tokens_by_level.append(tok.astype(self.dtype))
 
-        # spatial memory token from the previous round's mask
-        n_mem = 1 if has_memory else 0
+        # ---- group bookkeeping (cross: [obj, grd?, spa, mem?]) ------------
+        n_grd_q = Q if has_grounding else 0
+        n_mem = M if has_memory else 0
+        NX = Q + n_grd_q + NS + n_mem
+        o_grd = Q
+        o_spa = Q + n_grd_q
+        o_mem = o_spa + NS
+
+        obj0 = jnp.broadcast_to(query_feat[None], (B, Q, C))
+        obj0_pe = jnp.broadcast_to(query_embed[None], (B, Q, C))
+        sqi = spatial_query_indices.astype(jnp.int32)
+        x_parts = [obj0]
+        xp_parts = [obj0_pe]
+        if has_grounding:
+            x_parts.append(obj0)
+            xp_parts.append(obj0_pe)
+        x_parts.append(jnp.broadcast_to(query_feat[sqi][None], (B, NS, C)))
+        xp_parts.append(jnp.broadcast_to(query_embed[sqi][None], (B, NS, C)))
         if has_memory:
-            pm = jax.nn.sigmoid(prev_mask.astype(jnp.float32))      # [B,H4,W4]
-            mem = jnp.einsum("bhw,bhwc->bc", pm, mf) / jnp.maximum(
-                jnp.sum(pm, axis=(1, 2))[:, None], 1.0
-            )
-            mem_tok = (mem @ mem_proj)[:, None]                     # [B,1,C]
+            x_parts.append(jnp.broadcast_to(spatial_featured[None], (B, M, C)))
+            xp_parts.append(jnp.broadcast_to(spatial_embed[None], (B, M, C)))
+        X = jnp.concatenate(x_parts, axis=1).astype(self.dtype)
+        X_pos = jnp.concatenate(xp_parts, axis=1).astype(self.dtype)
 
-        # layout: [Q obj | 1 spatial query | S spatial tokens | n_mem memory]
-        n_tok = S + n_mem
-        L = Q + 1 + n_tok
-        base_mask = _seem_self_attn_mask(Q, 1, n_tok)
-        sp_q, sp_t0 = Q, Q + 1
-        base_mask[sp_q, sp_q] = False
-        base_mask[sp_q, sp_t0:sp_t0 + S + n_mem] = False            # sees memory too
-        base_mask[sp_t0:sp_t0 + S, sp_t0:sp_t0 + S] = False
+        n_tok_grd = G if has_grounding else 0
+        NY = Q + n_grd_q + NS + n_tok_grd + S + n_mem
+        y_grd_t = Q + n_grd_q + NS
+        y_spa_t = y_grd_t + n_tok_grd
+        y_mem = y_spa_t + S
+
+        base = np.ones((NY, NY), bool)
+        base[:Q, :Q] = False
+        if has_grounding:
+            base[o_grd:o_grd + Q, o_grd:o_grd + Q] = False
+            base[o_grd:o_grd + Q, y_grd_t:y_grd_t + G] = False
+            base[y_grd_t:y_grd_t + G, o_grd:o_grd + Q] = False
+            base[y_grd_t:y_grd_t + G, y_grd_t:y_grd_t + G] = False
+        # spatial queries: block-diagonal per mask
+        # (attention_data_struct_seemv1.py:239-241)
+        eye = np.eye(NM, dtype=bool).repeat(K, axis=0).repeat(K, axis=1)
+        base[o_spa:o_spa + NS, o_spa:o_spa + NS] = ~eye
+        base[y_spa_t:y_spa_t + S, y_spa_t:y_spa_t + S] = False
+        # q_spa <-> memories and mem <-> mem are PER-LAYER channel-matched
+        # (attention_data_struct_seemv1.py:249-258) — applied in the loop
+        base = jnp.asarray(base)[None, None]
+
+        # spatial query i (mask i//K) attends only ITS mask's tokens
+        # (attention_data_struct_seemv1.py:242-247)
+        q_mid = jnp.arange(NS, dtype=jnp.int32) // K                   # [NS]
+        tok_match = q_mid[None, :, None] == spatial_mask_id[:, None, :]  # [B,NS,S]
+        qs_block = ~(tok_match & spatial_valid[:, None, :])
+        base = jnp.broadcast_to(base, (B, 1, NY, NY))
+        base = base.at[:, 0, o_spa:o_spa + NS, y_spa_t:y_spa_t + S].set(qs_block)
+
+        key_valid = [jnp.ones((B, Q + n_grd_q + NS), bool)]
+        if has_grounding:
+            key_valid.append(grounding_valid)
+        key_valid.append(spatial_valid)
         if has_memory:
-            base_mask[sp_t0 + S, sp_t0 + S] = False
-        base = jnp.asarray(base_mask)[None, None]
+            key_valid.append(jnp.ones((B, M), bool))
+        key_valid = jnp.concatenate(key_valid, axis=1)
+        self_mask = base | (~key_valid)[:, None, None, :]
 
-        tok_valid = jnp.concatenate(
-            [jnp.ones((B, Q + 1), bool), spatial_valid]
-            + ([jnp.ones((B, 1), bool)] if has_memory else []),
-            axis=1,
-        )
-        self_mask = base | (~tok_valid)[:, None, None, :]
+        if has_memory:
+            pm = prev_mask.astype(jnp.float32)                  # [B, NM, H, W]
+            mem_idx = memory_indices.astype(jnp.int32)          # [L, M]
 
-        text_t = text_embeddings.astype(jnp.float32)
-
-        def prediction_heads(output, target_size):
-            dec = decoder_norm(output).astype(jnp.float32)
-            obj = dec[:, :Q]
-            class_embed = obj @ class_proj
-            v = class_embed / (
-                jnp.linalg.norm(class_embed, axis=-1, keepdims=True) + 1e-7
-            )
+        def prediction_heads(Xo, target_size):
+            dec = decoder_norm(Xo).astype(jnp.float32)
+            cls_emb = dec @ class_proj
+            v = cls_emb / (jnp.linalg.norm(cls_emb, axis=-1, keepdims=True) + 1e-7)
             outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
             m_emb = mask_mlp(dec.astype(self.dtype)).astype(jnp.float32)
-            masks_all = jnp.einsum("blc,bhwc->blhw", m_emb, mf)
-            obj_masks = masks_all[:, :Q]
-            sp_mask = masks_all[:, sp_q]
+            masks = jnp.einsum("blc,bhwc->blhw", m_emb, mf)
 
-            am = resize_bicubic_antialias(
-                obj_masks.transpose(0, 2, 3, 1), target_size
+            am = resize_bilinear_torch(
+                masks.transpose(0, 2, 3, 1), target_size
             ).transpose(0, 3, 1, 2)
-            am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5
+            am = jax.nn.sigmoid(am).reshape(B, NX, -1) < 0.5
+            # memory override + all-blocked unmask happen at USE time in the
+            # loop (cross_attn_mask draws fresh memory indices per layer)
+            return outputs_class, masks, m_emb, cls_emb, (am, target_size)
+
+        def finalize_mask(am_ts, layer):
+            am, target_size = am_ts
+            if has_memory:
+                mm = resize_bilinear_torch(pm.transpose(0, 2, 3, 1), target_size)
+                # channels come back LAST from the NHWC resize — transpose
+                # BEFORE flattening (reshape(B, NM, -1) on [B,h,w,NM]
+                # scrambles; invisible at NM=1, caught by the v1 oracle)
+                mm = jax.nn.sigmoid(mm.transpose(0, 3, 1, 2)).reshape(B, NM, -1) < 0.5
+                am = am.at[:, o_mem:o_mem + M].set(mm[:, mem_idx[layer]])
             all_blocked = jnp.all(am, axis=-1, keepdims=True)
             am = am & ~all_blocked
-            extra = jnp.zeros((B, L - Q, am.shape[-1]), bool)
-            attn_mask = jnp.concatenate([am, extra], axis=1)[:, None]
-            return outputs_class, obj_masks, sp_mask, attn_mask
+            return am[:, None]
 
-        parts = [
-            jnp.broadcast_to(query_feat[None], (B, Q, C)),
-            spatial_query0,
-            spatial_tokens_by_level[0],
-        ]
-        pe_parts = [
-            jnp.broadcast_to(query_embed[None], (B, Q, C)),
-            jnp.broadcast_to(spatial_qpe[None], (B, 1, C)),
-            jnp.zeros((B, S, C)),
-        ]
-        if has_memory:
-            parts.append(mem_tok)
-            pe_parts.append(jnp.zeros((B, 1, C)))
-        output = jnp.concatenate(parts, axis=1).astype(self.dtype)
-        qpe = jnp.concatenate(pe_parts, axis=1).astype(self.dtype)
-
-        oc, om, sm, attn_mask = prediction_heads(output, sizes[0])
+        oc, masks, m_emb, cls_emb, am_ts = prediction_heads(X, sizes[0])
+        tok_grd = grounding_tokens.astype(self.dtype) if has_grounding else None
+        tok_grd_pos = (
+            jax.lax.stop_gradient(tok_grd) if has_grounding else None
+        )
         for i in range(self.dec_layers):
             level = i % num_levels
-            output = output.at[:, sp_t0:sp_t0 + S].set(
-                spatial_tokens_by_level[level]
-            )
-            output = CrossAttentionLayer(
+            X = CrossAttentionLayer(
                 C, self.nheads, False, self.dtype, name=f"cross_attn{i}",
-            )(output, srcs[level], memory_mask=attn_mask,
-              pos=poss[level], query_pos=qpe)
-            output = SelfAttentionLayer(
+            )(X, srcs[level], memory_mask=finalize_mask(am_ts, i),
+              pos=poss[level], query_pos=X_pos)
+
+            y_parts = [X[:, : Q + n_grd_q + NS]]
+            yp_parts = [X_pos[:, : Q + n_grd_q + NS]]
+            if has_grounding:
+                y_parts.append(tok_grd)
+                yp_parts.append(tok_grd_pos)
+            tok_spa = spatial_tokens_by_level[level]
+            y_parts.append(tok_spa)
+            yp_parts.append(jax.lax.stop_gradient(tok_spa))
+            if has_memory:
+                y_parts.append(X[:, o_mem:o_mem + M])
+                yp_parts.append(X_pos[:, o_mem:o_mem + M])
+            Y = jnp.concatenate(y_parts, axis=1)
+            Y_pos = jnp.concatenate(yp_parts, axis=1)
+
+            sm = self_mask
+            if has_memory:
+                # per-layer channel matching with THIS layer's drawn memory
+                # indices: spatial query of mask m attends only memories
+                # assigned channel m; memories attend same-channel memories
+                # (attention_data_struct_seemv1.py:249-258)
+                mi = mem_idx[i]
+                qs_mem = ~(q_mid[:, None] == mi[None, :])          # [NS, M]
+                mem_mem = ~(mi[:, None] == mi[None, :])            # [M, M]
+                sm = sm.at[:, :, o_spa:o_spa + NS, y_mem:y_mem + M].set(
+                    qs_mem[None, None]
+                )
+                sm = sm.at[:, :, y_mem:y_mem + M, y_mem:y_mem + M].set(
+                    mem_mem[None, None]
+                )
+            Y = SelfAttentionLayer(
                 C, self.nheads, False, self.dtype, name=f"self_attn{i}"
-            )(output, query_pos=qpe, tgt_mask=self_mask)
-            output = FFNLayer(
+            )(Y, query_pos=Y_pos, tgt_mask=sm)
+            Y = FFNLayer(
                 C, self.dim_feedforward, False, dtype=self.dtype, name=f"ffn{i}",
-            )(output)
-            oc, om, sm, attn_mask = prediction_heads(
-                output, sizes[(i + 1) % num_levels]
+            )(Y)
+
+            x_parts = [Y[:, : Q + n_grd_q + NS]]
+            if has_memory:
+                x_parts.append(Y[:, y_mem:y_mem + M])
+            X = jnp.concatenate(x_parts, axis=1)
+            if has_grounding:
+                tok_grd = Y[:, y_grd_t:y_grd_t + G]
+
+            oc, masks, m_emb, cls_emb, am_ts = prediction_heads(
+                X, sizes[(i + 1) % num_levels]
             )
 
-        return {"pred_logits": oc, "pred_masks": om, "prev_mask": sm}
+        out = {
+            "pred_logits": oc[:, :Q],
+            "pred_masks": masks[:, :Q],
+            "pred_captions": cls_emb[:, :Q],
+            "pred_smasks": masks[:, o_spa:o_spa + NS],
+            "pred_smaskembs": m_emb[:, o_spa:o_spa + NS],
+            "pred_stexts": cls_emb[:, o_spa:o_spa + NS],
+            "pred_pspatials": sq["pos"],
+            "pred_nspatials": sq["neg"],
+        }
+        if has_grounding:
+            out["pred_gmasks"] = masks[:, o_grd:o_grd + Q]
+            out["pred_gtexts"] = cls_emb[:, o_grd:o_grd + Q]
+        # update_spatial_results (v1): per-mask best spatial query — the
+        # similarity is diag-masked so mask m only considers ITS K queries
+        sel = jnp.einsum("bqd,bmd->bqm", out["pred_smaskembs"], sq["pos"])
+        diag = (q_mid[:, None] == jnp.arange(NM)[None, :])             # [NS,NM]
+        sel = jnp.where(diag[None], sel, -jnp.inf)
+        best = jnp.argmax(sel, axis=1)                                 # [B, NM]
+        out["prev_mask"] = jnp.take_along_axis(
+            out["pred_smasks"], best[..., None, None], axis=1
+        )                                                              # [B,NM,H,W]
+        return out
+
 
 
 # ---------------------------------------------------------------------------
@@ -693,7 +819,9 @@ def interactive_refine(
     for _ in range(iters):
         pts, valid, tags = points_from_masks(pos, neg, budget, rng)
         out = apply_fn(pts, valid, tags, prev)
-        last = np.asarray(out["prev_mask"][0])                     # [H4, W4]
+        last = np.asarray(out["prev_mask"][0]).reshape(
+            out["prev_mask"].shape[-2:]
+        )                                                          # [H4, W4]
         pred = 1.0 / (1.0 + np.exp(-last)) > 0.5
         pos, neg, iou = prepare_next_spatial_mask(
             pred, gt_mask, pos, neg, rng=rng, iou_stop=iou_stop

@@ -276,6 +276,70 @@ def parity_seem(size: str = "small") -> Dict[str, Tuple[float, float]]:
     return rows
 
 
+def parity_seem_v1(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.seem import SEEMHeadV1
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_seem
+
+    ref = oracle.seem_v1_oracle()
+    params = convert_seem(ref["sd"], "seem", ref["dec_layers"])
+    S = 32
+    NM = ref["n_masks"]
+    model = SEEMHeadV1(
+        hidden_dim=32, dim_proj=32, num_queries=7, nheads=4,
+        dim_feedforward=64, dec_layers=ref["dec_layers"], mask_dim=32,
+        max_spatial_tokens=S, num_spatial_memories=ref["num_memories"],
+        sample_size=ref["sample_size"],
+        max_grounding_tokens=ref["grounding_tokens"].shape[1],
+        dtype=jnp.float32,
+    )
+    H, W = ref["pos_mask"].shape[1:]
+    pts = np.zeros((1, S, 2), np.float32)
+    valid = np.zeros((1, S), bool)
+    tags = np.ones((1, S), np.int32)
+    mids = np.zeros((1, S), np.int32)
+    n = 0
+    for masks, tag in ((ref["pos_mask"], 1), (ref["neg_mask"], -1)):
+        for mid in range(NM):
+            ys, xs = np.nonzero(masks[mid])
+            k = len(ys)
+            pts[0, n : n + k, 0] = ys / H
+            pts[0, n : n + k, 1] = xs / W
+            tags[0, n : n + k] = tag
+            mids[0, n : n + k] = mid
+            valid[0, n : n + k] = True
+            n += k
+    kwargs = dict(
+        grounding_tokens=jnp.asarray(ref["grounding_tokens"]),
+        grounding_valid=jnp.ones((1, ref["grounding_tokens"].shape[1]), bool),
+    )
+    if ref["prev_mask"] is not None:
+        kwargs["prev_mask"] = jnp.asarray(ref["prev_mask"])
+        kwargs["memory_indices"] = jnp.asarray(ref["memory_indices"])
+    out = model.apply(
+        {"params": params},
+        [jnp.asarray(v) for v in ref["multi_scale_nhwc"]],
+        jnp.asarray(ref["mask_features_nhwc"]),
+        jnp.asarray(ref["text"]),
+        jnp.float32(ref["logit_scale"]),
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(tags),
+        jnp.asarray(mids), jnp.asarray(ref["spatial_query_indices"]),
+        num_masks=NM,
+        **kwargs,
+    )
+    rows = {}
+    for k, v in ref["acts"].items():
+        if k not in out:  # oracle-only debug anchors (aux0_smasks)
+            continue
+        ours = np.asarray(out[k])
+        if k in ("pred_pspatials", "pred_nspatials"):
+            v = v.reshape(ours.shape)
+        rows[f"seem_v1/{k}"] = _diff(ours, v)
+    return rows
+
+
 def parity_lang(size: str = "small") -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
@@ -392,6 +456,7 @@ ALL_STAGES = {
     "head": parity_head,
     "head_vlp": parity_head_vlp,
     "seem": parity_seem,
+    "seem_v1": parity_seem_v1,
     "lift": parity_lift,
 }
 

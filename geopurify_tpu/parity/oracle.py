@@ -670,6 +670,149 @@ def seem_oracle(
     }
 
 
+def seem_v1_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    hidden_dim: int = 32,
+    mask_dim: int = 32,
+    dim_proj: int = 32,
+    num_queries: int = 7,
+    nheads: int = 4,
+    dim_feedforward: int = 64,
+    dec_layers: int = 3,
+    n_text: int = 5,
+    n_grounding: int = 3,
+    n_masks: int = 2,
+    sample_size: int = 2,
+    use_memory: bool = True,
+    seed: int = 6,
+) -> Dict:
+    """Reference SEEM v1 decoder (interface/seem_v1.py + attention_data_
+    struct_seemv1.py) with MULTI-MASK prompts. The forward draws torch RNG
+    internally (queries_spatial randint; per-layer memory multinomial) —
+    wrapped recorders export the drawn indices so the jax side can replay
+    them as explicit inputs. Point rand_samples are full-set-sorted
+    (deterministic) because the prompt masks carry < max_spatial_len points."""
+    torch = _torch()
+    from xdecoder.modeling.interface.seem_v1 import SEEMDecoder
+
+    rng = np.random.default_rng(seed)
+    text = rng.normal(0, 1, (n_text, dim_proj)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    logit_scale_log = 0.9
+
+    attn_arch = {k: v for k, v in SEEM_ATTN_ARCH.items()}
+    attn_arch["QUERY_NUMBER"] = sample_size
+
+    torch.manual_seed(seed)
+    m = SEEMDecoder(
+        lang_encoder=_lang_adapter(text, logit_scale_log),
+        in_channels=hidden_dim,
+        mask_classification=True,
+        hidden_dim=hidden_dim,
+        dim_proj=dim_proj,
+        num_queries=num_queries,
+        contxt_len=77,
+        nheads=nheads,
+        dim_feedforward=dim_feedforward,
+        dec_layers=dec_layers,
+        pre_norm=False,
+        mask_dim=mask_dim,
+        task_switch={"bbox": False, "mask": True, "spatial": True,
+                     "grounding": True},
+        enforce_input_project=False,
+        max_spatial_len=[32, 32, 32, 32],
+        attn_arch=attn_arch,
+    )
+    randomize_module_(m, seed)
+    logit_scale = float(m.lang_encoder.logit_scale.detach().exp())
+    m.eval()
+
+    H, W = base_hw
+    ms_nchw = [
+        rng.normal(0, 1, (1, hidden_dim, H // 4, W // 4)).astype(np.float32),
+        rng.normal(0, 1, (1, hidden_dim, H // 2, W // 2)).astype(np.float32),
+        rng.normal(0, 1, (1, hidden_dim, H, W)).astype(np.float32),
+    ]
+    mask_features = rng.normal(0, 1, (1, mask_dim, H, W)).astype(np.float32)
+
+    pos_mask = np.zeros((n_masks, H, W), bool)
+    pos_mask[0, 3:6, 4:8] = True
+    pos_mask[1, 12:14, 14:19] = True
+    neg_mask = np.zeros((n_masks, H, W), bool)
+    neg_mask[0, 10:12, 2:5] = True
+    # mask 1 has no negative points — exercises the -1 empty-mean fill
+    grd = rng.normal(0, 1, (n_grounding, 1, hidden_dim)).astype(np.float32)
+    prev = rng.normal(0, 2, (1, n_masks, H, W)).astype(np.float32)
+
+    extra = {
+        "spatial_query_pos_mask": [torch.from_numpy(pos_mask)],
+        "spatial_query_neg_mask": [torch.from_numpy(neg_mask)],
+        "grounding_tokens": torch.from_numpy(grd),
+        "grounding_nonzero_mask": torch.zeros(1, n_grounding, dtype=torch.bool),
+    }
+    if use_memory:
+        extra["prev_mask"] = torch.from_numpy(prev)
+
+    recorded = {"randint": [], "multinomial": []}
+    orig_randint, orig_mult = torch.randint, torch.multinomial
+
+    def rec_randint(*a, **k):
+        out = orig_randint(*a, **k)
+        recorded["randint"].append(out.clone())
+        return out
+
+    def rec_mult(probs, num_samples, replacement=False, **k):
+        out = orig_mult(probs, num_samples, replacement=replacement, **k)
+        if replacement:  # only the per-layer memory draws use replacement
+            recorded["multinomial"].append(out.clone())
+        return out
+
+    torch.randint, torch.multinomial = rec_randint, rec_mult
+    try:
+        with torch.no_grad():
+            outs = m(
+                [torch.from_numpy(v) for v in ms_nchw],
+                torch.from_numpy(mask_features),
+                task="seg", extra=extra,
+            )
+    finally:
+        torch.randint, torch.multinomial = orig_randint, orig_mult
+
+    acts = {
+        k: outs[k].numpy() for k in
+        ("pred_logits", "pred_masks", "pred_gmasks", "pred_smasks",
+         "pred_smaskembs", "pred_stexts", "pred_pspatials", "pred_nspatials")
+        if k in outs
+    }
+    # pre-loop (layer-0) spatial predictions — the debugging anchor for the
+    # group-state initialization
+    if outs.get("aux_outputs") and "pred_smasks" in outs["aux_outputs"][0]:
+        acts["aux0_smasks"] = outs["aux_outputs"][0]["pred_smasks"].numpy()
+    # the memory multinomial is .sort()[0]'d at use
+    mem_idx = (
+        np.stack([r.sort()[0].numpy() for r in recorded["multinomial"]])
+        if recorded["multinomial"] else None
+    )
+    return {
+        "multi_scale_nhwc": [np.ascontiguousarray(v.transpose(0, 2, 3, 1)) for v in ms_nchw],
+        "mask_features_nhwc": np.ascontiguousarray(mask_features.transpose(0, 2, 3, 1)),
+        "text": text,
+        "logit_scale": logit_scale,
+        "pos_mask": pos_mask,
+        "neg_mask": neg_mask,
+        "grounding_tokens": np.ascontiguousarray(grd.transpose(1, 0, 2)),
+        "prev_mask": prev if use_memory else None,
+        "spatial_query_indices": recorded["randint"][0].numpy(),
+        "memory_indices": mem_idx,
+        "n_masks": n_masks,
+        "sample_size": sample_size,
+        "acts": acts,
+        "sd": {f"seem.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "dec_layers": dec_layers,
+        "num_memories": SEEM_ATTN_ARCH["SPATIAL_MEMORIES"],
+    }
+
+
 def lang_transformer_oracle(
     vocab_size: int = 512,
     width: int = 64,

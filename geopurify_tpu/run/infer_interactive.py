@@ -117,17 +117,46 @@ def main(argv=None):
     text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
 
     S = args.budget
+    import numpy as _np
+
+    host_rng = _np.random.default_rng(1)
+    NS = head.sample_size  # single prompt mask -> num_masks=1
+    L = head.dec_layers
+    M = head.num_spatial_memories
+    mids0 = jnp.zeros((1, S), jnp.int32)
     hvars = head.init(
         key, multi_scale, mask_features, text, jnp.float32(20.0),
         jnp.zeros((1, S, 2)), jnp.zeros((1, S), bool),
-        jnp.ones((1, S), jnp.int32),
+        jnp.ones((1, S), jnp.int32), mids0,
+        jnp.zeros((NS,), jnp.int32),
     )
-    head_apply = jax.jit(
-        lambda pts, valid, tags, prev: head.apply(
+    jitted = jax.jit(
+        lambda pts, valid, tags, qidx, prev, midx: head.apply(
             hvars, multi_scale, mask_features, text, jnp.float32(20.0),
-            pts, valid, tags, prev_mask=prev,
+            pts, valid, tags, mids0, qidx,
+            prev_mask=prev, memory_indices=midx,
+        ),
+        static_argnames=(),
+    )
+    jitted_nomem = jax.jit(
+        lambda pts, valid, tags, qidx: head.apply(
+            hvars, multi_scale, mask_features, text, jnp.float32(20.0),
+            pts, valid, tags, mids0, qidx,
         )
     )
+
+    def head_apply(pts, valid, tags, prev):
+        # the reference draws the spatial-query sample and the per-layer
+        # memory-channel assignment from torch RNG each forward
+        # (seem_v1.py:287-288, attention_data_struct_seemv1.py:185-190);
+        # here the host draws them (single mask -> channel 0 always)
+        qidx = jnp.asarray(
+            host_rng.integers(0, head.num_queries, NS), jnp.int32
+        )
+        if prev is None:
+            return jitted_nomem(pts, valid, tags, qidx)
+        return jitted(pts, valid, tags, qidx, prev,
+                      jnp.zeros((L, M), jnp.int32))
 
     # seed prompt masks at stride 4 from the clicks
     pos = np.zeros((Hm, Wm), bool)
@@ -146,7 +175,7 @@ def main(argv=None):
             jnp.asarray(pts)[None], jnp.asarray(valid)[None],
             jnp.asarray(tags)[None], prev,
         )
-        mask_logits = np.asarray(out["prev_mask"][0])
+        mask_logits = np.asarray(out["prev_mask"][0, 0])
         prev = out["prev_mask"]
         frac = float((1 / (1 + np.exp(-mask_logits)) > 0.5).mean())
         log.info("round %d: mask covers %.1f%% of the frame", r, 100 * frac)

@@ -117,34 +117,42 @@ def test_sample_mask_points():
     assert not valid.any()
 
 
-def _head_v1(C=16, S=8):
+def _head_v1(C=16, S=8, K=2):
     from geopurify_tpu.models.seem import SEEMHeadV1
 
     return SEEMHeadV1(hidden_dim=C, dim_proj=C, num_queries=5, nheads=2,
                       dim_feedforward=32, dec_layers=2, mask_dim=C,
-                      max_spatial_tokens=S)
+                      max_spatial_tokens=S, num_spatial_memories=3,
+                      sample_size=K)
 
 
 def test_seem_v1_shapes_and_memory(rng):
-    """v1 head: mask-pooled spatial query init, pos/neg points, and the
-    previous round's mask as spatial memory changes the interactive output
-    but NOT the object queries (group isolation)."""
-    C, S = 16, 8
+    """Faithful v1 head: sampled spatial-query duplicates, per-mask means,
+    and the previous round's mask as per-layer channel-matched memory —
+    memory changes the interactive output but NOT the object queries."""
+    C, S, K = 16, 8, 2
     ms, mf, text = _inputs(rng, C=C)
-    head = _head_v1(C, S)
+    head = _head_v1(C, S, K)
     pts = jnp.asarray(rng.uniform(0, 1, (1, S, 2)).astype(np.float32))
     pv = jnp.asarray(np.array([[True] * 6 + [False] * 2]))
     pn = jnp.asarray(np.array([[1] * 4 + [-1] * 4], np.int32))
+    mids = jnp.zeros((1, S), jnp.int32)
+    qidx = jnp.asarray(rng.integers(0, 5, K), jnp.int32)   # num_masks=1 -> NS=K
     vars_ = head.init(jax.random.key(0), ms, mf, text, jnp.float32(10.0),
-                      pts, pv, pn)
-    out = head.apply(vars_, ms, mf, text, jnp.float32(10.0), pts, pv, pn)
+                      pts, pv, pn, mids, qidx)
+    out = head.apply(vars_, ms, mf, text, jnp.float32(10.0),
+                     pts, pv, pn, mids, qidx)
     assert out["pred_logits"].shape == (1, 5, 4)
-    assert out["prev_mask"].shape == (1, 16, 24)
+    assert out["pred_smasks"].shape == (1, K, 16, 24)
+    assert out["pred_pspatials"].shape == (1, 1, C)
+    assert out["prev_mask"].shape == (1, 1, 16, 24)
 
     # round 2 with the round-1 mask as memory: interactive output shifts,
     # object queries stay bit-identical (self-attn group isolation)
-    out2 = head.apply(vars_, ms, mf, text, jnp.float32(10.0), pts, pv, pn,
-                      prev_mask=out["prev_mask"])
+    midx = jnp.zeros((2, 3), jnp.int32)                    # [dec_layers, M]
+    out2 = head.apply(vars_, ms, mf, text, jnp.float32(10.0),
+                      pts, pv, pn, mids, qidx,
+                      prev_mask=out["prev_mask"], memory_indices=midx)
     assert not np.allclose(np.asarray(out2["prev_mask"]),
                            np.asarray(out["prev_mask"]))
     np.testing.assert_array_equal(np.asarray(out2["pred_logits"]),
@@ -190,18 +198,27 @@ def test_interactive_refine_improves_iou(rng):
 
     from geopurify_tpu.models.seem import interactive_refine
 
-    C, S = 16, 8
+    C, S, K = 16, 8, 2
     ms, mf, text = _inputs(rng, C=C)
-    head = _head_v1(C, S)
+    head = _head_v1(C, S, K)
     pts0 = jnp.zeros((1, S, 2))
+    mids = jnp.zeros((1, S), jnp.int32)
+    qidx0 = jnp.zeros((K,), jnp.int32)
     vars_ = head.init(jax.random.key(0), ms, mf, text, jnp.float32(10.0),
-                      pts0, jnp.zeros((1, S), bool), jnp.ones((1, S), jnp.int32))
+                      pts0, jnp.zeros((1, S), bool),
+                      jnp.ones((1, S), jnp.int32), mids, qidx0)
+    host = np.random.default_rng(3)
 
     def apply_fn(pts, valid, tags, prev):
+        qidx = jnp.asarray(host.integers(0, 5, K), jnp.int32)
+        kw = {}
+        if prev is not None:
+            kw = dict(prev_mask=prev,
+                      memory_indices=jnp.zeros((2, 3), jnp.int32))
         return head.apply(
             vars_, ms, mf, text, jnp.float32(10.0),
             jnp.asarray(pts)[None], jnp.asarray(valid)[None],
-            jnp.asarray(tags)[None], prev_mask=prev,
+            jnp.asarray(tags)[None], mids, qidx, **kw,
         )
 
     gt = np.zeros((16, 24), bool)
@@ -211,3 +228,23 @@ def test_interactive_refine_improves_iou(rng):
     logits, ious = interactive_refine(apply_fn, gt, init, budget=S, iters=3)
     assert logits.shape == (16, 24)
     assert 1 <= len(ious) <= 3 and all(np.isfinite(ious))
+
+
+def test_infer_interactive_cli_synthetic(tmp_path):
+    """geopurify-interactive end-to-end on the synthetic image with the
+    faithful v1 head (host-drawn query/memory indices per round)."""
+    from geopurify_tpu.run import infer_interactive as ii
+
+    dst = ii.main([
+        "--synthetic", "--clicks", "40,60", "--rounds", "2", "--budget", "8",
+        "--out", str(tmp_path / "demo.png"),
+        "xdecoder.hidden_dim=16", "xdecoder.conv_dim=16", "xdecoder.mask_dim=16",
+        "xdecoder.num_queries=5", "xdecoder.nheads=2",
+        "xdecoder.dim_feedforward=32", "xdecoder.dec_layers=2",
+        "xdecoder.enc_layers=1", "xdecoder.dtype=float32",
+        "xdecoder.backbone.embed_dim=8", "xdecoder.backbone.depths=[1,1,1,1]",
+        "xdecoder.backbone.focal_levels=[2,2,2,2]",
+        "data.all_label=['a','b','c']",
+    ])
+    import os
+    assert os.path.exists(dst)

@@ -150,3 +150,13 @@ def test_parity_relpos_interpolation():
         coords = np.arange(q)[:, None] - np.arange(q)[None, :] + (q - 1)
         ours = np.asarray(_rel_pos_bias(jnp.asarray(table), q, q))
         np.testing.assert_allclose(ours, ref[coords], rtol=1e-5, atol=1e-6)
+
+
+def test_parity_seem_v1():
+    """Faithful SEEM v1 decoder vs the reference with multi-mask prompts,
+    grounding, and prev-mask memory. The forward's internal torch RNG draws
+    (queries_spatial randint, per-layer memory multinomial) are recorded by
+    the oracle and replayed as explicit inputs. The diff caught the
+    channel-last reshape scramble in the memory-mask resize and the
+    per-layer channel-matched q_spa<->memory self-attention."""
+    _check(compare.parity_seem_v1())
