@@ -37,20 +37,9 @@ from geopurify_tpu.models.layers import (
     MLPHead,
     SelfAttentionLayer,
     position_embedding_sine,
-    resize_bicubic_antialias,
     resize_bilinear_torch,
 )
 from geopurify_tpu.ops.ms_deform_attn import bilinear_sample
-
-
-def _seem_self_attn_mask(Q: int, n_extra_q: int, n_tok: int) -> np.ndarray:
-    """[L, L] True = BLOCKED base mask for the SIMPLIFIED v1 layout
-    [Q object | n_extra_q interactive queries | n_tok prompt tokens]:
-    object queries see only each other; callers open the rest by slicing."""
-    L = Q + n_extra_q + n_tok
-    m = np.ones((L, L), bool)
-    m[:Q, :Q] = False
-    return m
 
 Dtype = Any
 
@@ -153,6 +142,8 @@ class SEEMHead(nn.Module):
         num_levels = len(multi_scale)
         has_spatial = spatial_points is not None
         has_grounding = grounding_tokens is not None
+        if has_grounding:
+            assert grounding_valid is not None, "grounding_tokens needs grounding_valid"
         has_memory = has_spatial and prev_mask is not None
 
         level_embed = self.param(
@@ -465,6 +456,8 @@ class SEEMHeadV1(nn.Module):
         NS = K * NM
         num_levels = len(multi_scale)
         has_grounding = grounding_tokens is not None
+        if has_grounding:
+            assert grounding_valid is not None, "grounding_tokens needs grounding_valid"
         has_memory = prev_mask is not None
         if has_memory:
             assert memory_indices is not None, "prev_mask needs memory_indices"

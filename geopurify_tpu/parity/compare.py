@@ -277,22 +277,33 @@ def parity_seem(size: str = "small") -> Dict[str, Tuple[float, float]]:
 
 
 def parity_seem_v1(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    rows = _parity_seem_v1_case(use_memory=True, tag="")
+    # no-memory branch (different group offsets) — a regression there would
+    # otherwise hide behind the memory run
+    rows.update(_parity_seem_v1_case(use_memory=False, tag="nomem/"))
+    return rows
+
+
+def _parity_seem_v1_case(use_memory: bool, tag: str) -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
     from geopurify_tpu.models.seem import SEEMHeadV1
     from geopurify_tpu.parity import oracle
     from geopurify_tpu.utils.convert_xdecoder import convert_seem
 
-    ref = oracle.seem_v1_oracle()
+    ref = oracle.seem_v1_oracle(use_memory=use_memory)
     params = convert_seem(ref["sd"], "seem", ref["dec_layers"])
     S = 32
     NM = ref["n_masks"]
+    # one EXTRA padded grounding slot on the jax side: invalid-slot key
+    # blocking must be output-invisible vs the unpadded reference
+    G = ref["grounding_tokens"].shape[1]
     model = SEEMHeadV1(
         hidden_dim=32, dim_proj=32, num_queries=7, nheads=4,
         dim_feedforward=64, dec_layers=ref["dec_layers"], mask_dim=32,
         max_spatial_tokens=S, num_spatial_memories=ref["num_memories"],
         sample_size=ref["sample_size"],
-        max_grounding_tokens=ref["grounding_tokens"].shape[1],
+        max_grounding_tokens=G + 1,
         dtype=jnp.float32,
     )
     H, W = ref["pos_mask"].shape[1:]
@@ -311,9 +322,13 @@ def parity_seem_v1(size: str = "small") -> Dict[str, Tuple[float, float]]:
             mids[0, n : n + k] = mid
             valid[0, n : n + k] = True
             n += k
+    gt_pad = np.concatenate(
+        [ref["grounding_tokens"], np.ones((1, 1, 32), np.float32)], axis=1
+    )
+    gv_pad = np.concatenate([np.ones((1, G), bool), np.zeros((1, 1), bool)], 1)
     kwargs = dict(
-        grounding_tokens=jnp.asarray(ref["grounding_tokens"]),
-        grounding_valid=jnp.ones((1, ref["grounding_tokens"].shape[1]), bool),
+        grounding_tokens=jnp.asarray(gt_pad),
+        grounding_valid=jnp.asarray(gv_pad),
     )
     if ref["prev_mask"] is not None:
         kwargs["prev_mask"] = jnp.asarray(ref["prev_mask"])
@@ -336,7 +351,7 @@ def parity_seem_v1(size: str = "small") -> Dict[str, Tuple[float, float]]:
         ours = np.asarray(out[k])
         if k in ("pred_pspatials", "pred_nspatials"):
             v = v.reshape(ours.shape)
-        rows[f"seem_v1/{k}"] = _diff(ours, v)
+        rows[f"seem_v1/{tag}{k}"] = _diff(ours, v)
     return rows
 
 

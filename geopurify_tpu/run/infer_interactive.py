@@ -117,9 +117,7 @@ def main(argv=None):
     text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
 
     S = args.budget
-    import numpy as _np
-
-    host_rng = _np.random.default_rng(1)
+    host_rng = np.random.default_rng(1)
     NS = head.sample_size  # single prompt mask -> num_masks=1
     L = head.dec_layers
     M = head.num_spatial_memories
@@ -130,19 +128,18 @@ def main(argv=None):
         jnp.ones((1, S), jnp.int32), mids0,
         jnp.zeros((NS,), jnp.int32),
     )
+    # every array rides as a jit ARGUMENT — closure capture bakes the params
+    # + feature maps into the executable (CLAUDE.md: blown compile time/size)
     jitted = jax.jit(
-        lambda pts, valid, tags, qidx, prev, midx: head.apply(
-            hvars, multi_scale, mask_features, text, jnp.float32(20.0),
-            pts, valid, tags, mids0, qidx,
-            prev_mask=prev, memory_indices=midx,
-        ),
-        static_argnames=(),
+        lambda hv, ms, mfeat, txt, pts, valid, tags, qidx, prev, midx:
+        head.apply(hv, list(ms), mfeat, txt, jnp.float32(20.0),
+                   pts, valid, tags, mids0, qidx,
+                   prev_mask=prev, memory_indices=midx)
     )
     jitted_nomem = jax.jit(
-        lambda pts, valid, tags, qidx: head.apply(
-            hvars, multi_scale, mask_features, text, jnp.float32(20.0),
-            pts, valid, tags, mids0, qidx,
-        )
+        lambda hv, ms, mfeat, txt, pts, valid, tags, qidx:
+        head.apply(hv, list(ms), mfeat, txt, jnp.float32(20.0),
+                   pts, valid, tags, mids0, qidx)
     )
 
     def head_apply(pts, valid, tags, prev):
@@ -154,8 +151,10 @@ def main(argv=None):
             host_rng.integers(0, head.num_queries, NS), jnp.int32
         )
         if prev is None:
-            return jitted_nomem(pts, valid, tags, qidx)
-        return jitted(pts, valid, tags, qidx, prev,
+            return jitted_nomem(hvars, tuple(multi_scale), mask_features,
+                                text, pts, valid, tags, qidx)
+        return jitted(hvars, tuple(multi_scale), mask_features, text,
+                      pts, valid, tags, qidx, prev,
                       jnp.zeros((L, M), jnp.int32))
 
     # seed prompt masks at stride 4 from the clicks
