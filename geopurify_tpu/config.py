@@ -237,10 +237,12 @@ class XDecoderConfig:
     # feature_2d_extractor dispatch (affinity_module.py:348,736). lseg/ape
     # resolve through models/lift_backends.py's registry.
     lift_backend: str = "xdecoder"
-    # Views per teacher forward. Measured on v5e at 484x648 (unrolled lift):
-    # B=4 == B=1 within noise (0.68 vs 0.66 s per 8-view scene) — the forward
-    # is bandwidth-bound at this resolution, so batching buys nothing; keep 1.
-    view_batch: int = 1
+    # Views per teacher forward. Measured on v5e at 484x648 (unrolled lift,
+    # scan-stacked FocalNet): B=8 is 12% faster than B=1/2/4 on the 8-view
+    # scene (250 vs 284 ms — the per-dispatch tunnel latency amortizes; B<8
+    # are all equal within noise, the forward itself is bandwidth-bound).
+    # Tail batches shift back (never wrap), so any valid-view count works.
+    view_batch: int = 8
     dtype: str = "bfloat16"
 
 
