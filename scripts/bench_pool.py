@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--m", type=int, default=65536)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--band", type=int, default=None,
+                    help="override pooling.band (bench --preset-scale uses "
+                         "6144 at M=2^18; the default 12288 OOMs there)")
+    ap.add_argument("--max-residual", type=int, default=None)
+    ap.add_argument("--channels", type=int, default=None,
+                    help="smoothed channel count (logit-space default "
+                         "smooths n_cls->128-padded, not 518)")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -69,6 +76,14 @@ def main():
 
     cfg = load_config("scannet")
     pc = cfg.pooling
+    if args.band or args.max_residual:
+        import dataclasses
+
+        pc = dataclasses.replace(
+            pc,
+            band=args.band or pc.band,
+            max_residual=args.max_residual or pc.max_residual,
+        )
     M = args.m
     P = 2 * M
     rng = np.random.default_rng(0)
@@ -82,6 +97,9 @@ def main():
     valid = jnp.ones((M,), bool)
     emb = jnp.asarray(rng.normal(0, 1, (M, 128)).astype(np.float32))
     feats = jnp.asarray(rng.normal(0, 1, (M, 518)).astype(np.float32))
+    smooth_ch = args.channels or feats.shape[1]
+    sfeats = feats[:, :smooth_ch] if smooth_ch <= 518 else jnp.asarray(
+        rng.normal(0, 1, (M, smooth_ch)).astype(np.float32))
 
     knn = jax.jit(lambda c, v: knn_self_grid(
         c, v, k=pc.knn_k, radius=pc.knn_radius, num_candidates=pc.knn_candidates
@@ -107,7 +125,7 @@ def main():
         o, f, num_iterations=pc.num_iterations, band=pc.band,
     ))
     print("19x banded smoothing:",
-          t_sync(smooth, op, feats, trials=args.trials))
+          t_sync(smooth, op, sfeats, trials=args.trials))
 
     pool = jax.jit(lambda e, f, c, v: geometry_guided_pooling(
         e, f, c, v, k=pc.knn_k, sharpen=pc.sharpen,
@@ -116,7 +134,7 @@ def main():
         knn_radius=pc.knn_radius, knn_candidates=pc.knn_candidates,
     ))
     print("geometry_guided_pooling total:",
-          t_sync(pool, emb, feats, coords, valid, trials=args.trials))
+          t_sync(pool, emb, sfeats, coords, valid, trials=args.trials))
 
     # student + segment tail
     student = AffinityPredictor(
