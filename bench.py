@@ -102,7 +102,9 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
     geom = rng.uniform(-1, 1, (P, 6)).astype(np.float32)
     labels = rng.integers(0, 19, P, dtype=np.int32)
 
-    images = rng.uniform(0, 255, (V, H, W, 3)).astype(np.float32)
+    # uint8, matching the loader contract (4x less H2D than f32; the
+    # pipeline casts on device inside the view jit)
+    images = rng.integers(0, 256, (V, H, W, 3), dtype=np.uint8)
     # unique ids per view — the loader contract (visible points are sampled
     # without replacement); duplicate ids would make the fusion scatter UB
     ids = np.stack([

@@ -35,7 +35,7 @@ class SceneBatch:
     voxel_valid: jax.Array     # [M] bool
     point2voxel: jax.Array     # [P] int32, == M for padding points
     # --- view-level (padded to max_views x max_view_points) ---
-    images: jax.Array          # [V, H, W, 3] f32 RGB 0..255
+    images: jax.Array          # [V, H, W, 3] uint8 (or f32) RGB 0..255
     view_valid: jax.Array      # [V] bool
     view_point_ids: jax.Array  # [V, Pv] int32 scene-point index, == P for pad
     view_point_valid: jax.Array  # [V, Pv] bool

@@ -179,7 +179,9 @@ def _load_image(path: str, wh: Tuple[int, int]) -> np.ndarray:
 
     with Image.open(path) as im:
         im = im.convert("RGB").resize(wh, Image.BILINEAR)
-        return np.asarray(im, np.float32)
+        # uint8 on purpose: images are the H2D whale of a scene batch (30 MB
+        # f32 vs 7.5 MB uint8 at V=8); the pipeline casts on device
+        return np.asarray(im, np.uint8)
 
 
 def _load_depth(path: str, wh: Tuple[int, int], scale: float) -> np.ndarray:
@@ -416,13 +418,13 @@ class SceneDataset:
             return pad_to(np.stack(lst), V, axis=0, value=fill)
 
         if views:
-            images_a = stack_pad(images, 0.0)
+            images_a = stack_pad(images, 0)
             vids_a = stack_pad(vids, n_pts).astype(np.int32)
             vvalid_a = stack_pad(vvalid, False).astype(bool)
             vrows_a = stack_pad(vrows, 0).astype(np.int32)
             vcols_a = stack_pad(vcols, 0).astype(np.int32)
         else:  # view-less batch (fused-feature mode): all-padding view slots
-            images_a = np.zeros((V, H, W, 3), np.float32)
+            images_a = np.zeros((V, H, W, 3), np.uint8)
             vids_a = np.full((V, Pv), n_pts, np.int32)
             vvalid_a = np.zeros((V, Pv), bool)
             vrows_a = np.zeros((V, Pv), np.int32)

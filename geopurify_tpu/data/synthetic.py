@@ -128,8 +128,8 @@ def make_scene_batch(
         d_at = np.where(inside, depth[np.clip(vv, 0, H - 1), np.clip(u, 0, W - 1)], 0)
         visible = inside & (np.abs(d_at - z) <= vis_thres * np.maximum(d_at, 1e-6))
         ids = np.where(visible)[0]
-        img = np.zeros((H, W, 3), np.float32)
-        img[vv[ids], u[ids]] = colors[ids] * 255.0
+        img = np.zeros((H, W, 3), np.uint8)
+        img[vv[ids], u[ids]] = np.clip(colors[ids] * 255.0, 0, 255).astype(np.uint8)
         images.append(img)
         vids.append(pad_to(ids.astype(np.int32), max_view_points, value=max_points))
         vrows.append(pad_to(vv[ids].astype(np.int32), max_view_points))

@@ -73,8 +73,13 @@ def lift_view_features(
 
     # per-view nearest fill for visible-but-uncovered points (ref :604-625);
     # grid-pruned variant: the ungated sweep is O(n_unseen * Pv) and cost
-    # ~65 ms/view at Pv=65536 (the preset-scale view-stage whale)
-    feats = nearest_fill_grid(feats, view_coords.astype(jnp.float32), covered, pv_valid)
+    # ~65 ms/view at Pv=65536 (the preset-scale view-stage whale). Candidate
+    # budget 4096 above 16k rows: dense tiles overflow 2048 into full-db
+    # fallbacks (measured 63 -> 52 ms at Pv=65536, scripts/bench_fill_preset)
+    feats = nearest_fill_grid(
+        feats, view_coords.astype(jnp.float32), covered, pv_valid,
+        num_candidates=4096 if rows.shape[0] > 16384 else 2048,
+    )
     feats = jnp.where(pv_valid[:, None], feats, 0.0)
 
     norm = jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -195,7 +200,7 @@ def fill_unseen_points_voxel(
     M = voxel_coords.shape[0]
     seen = count > 0
     p2v = jnp.where(point_valid, point2voxel, M)
-    from geopurify_tpu.ops.segment import segment_mean, segment_sum
+    from geopurify_tpu.ops.segment import segment_sum
 
     vox_seen_cnt = segment_sum(
         seen.astype(jnp.float32)[:, None], p2v, M
@@ -205,15 +210,16 @@ def fill_unseen_points_voxel(
     masked = jnp.where(seen[:, None], fused, 0.0)
     vox_feat = segment_sum(masked, p2v, M) / jnp.maximum(vox_seen_cnt, 1.0)[:, None]
 
-    from geopurify_tpu.ops.knn import argmin_search
-
-    donor_vox = argmin_search(
-        voxel_coords.astype(jnp.float32), voxel_coords.astype(jnp.float32),
-        vox_seen & voxel_valid,
-    )                                                   # [M]
-    donor_feat_by_vox = vox_feat[donor_vox]             # [M, C]
-    donor_feat_by_vox = jnp.concatenate(
-        [donor_feat_by_vox, jnp.zeros((1, fused.shape[1]), fused.dtype)]
+    # grid-pruned exact donor search (the full argmin_search sweep is O(M^2)
+    # — ~7e10 distance pairs at M=2^18, several hundred ms of the preset
+    # fuse/fill stage; the Hilbert-tiled fill prunes to ~10^3 candidates
+    # per tile with the same result up to equal-distance donor ties)
+    filled_vox = nearest_fill_grid(
+        vox_feat, voxel_coords.astype(jnp.float32),
+        vox_seen & voxel_valid, voxel_valid, num_candidates=4096,
+    )                                                   # [M, C]
+    filled_vox = jnp.concatenate(
+        [filled_vox, jnp.zeros((1, fused.shape[1]), fused.dtype)]
     )
-    donated = donor_feat_by_vox[jnp.minimum(p2v, M)]
+    donated = filled_vox[jnp.minimum(p2v, M)]
     return jnp.where(seen[:, None], fused, donated)

@@ -130,7 +130,9 @@ class GeoPurifyPipeline:
         def slice_views(x):
             return jax.lax.dynamic_slice_in_dim(x, lo, B, axis=0)
 
-        images = slice_views(batch.images)
+        # images may ship as uint8 (4x less H2D — the loader contract); the
+        # cast to the model's expected 0..255 float happens on device
+        images = slice_views(batch.images).astype(jnp.float32)
         rows = slice_views(batch.view_rows)
         cols = slice_views(batch.view_cols)
         pv_valid = slice_views(batch.view_point_valid)

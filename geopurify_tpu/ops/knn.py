@@ -282,6 +282,8 @@ def knn_self_grid(
         bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
         return jnp.where(bad, _INF, d2), cand_idx, total
 
+    all_idx = jnp.arange(M, dtype=jnp.int32)
+
     def one_super(args):
         qids, qvs = args                       # [G, T], [G, T]
         # supertile bbox over all valid queries of the G tiles
@@ -290,20 +292,36 @@ def knn_self_grid(
         s_lo = jnp.min(jnp.where(qv_all, q_all, jnp.float32(jnp.inf)), axis=0) - radius
         s_hi = jnp.max(jnp.where(qv_all, q_all, -jnp.float32(jnp.inf)), axis=0) + radius
         s_in = jnp.all((cf >= s_lo[None]) & (cf <= s_hi[None]), axis=-1) & valid
-        sci, s_total = _compact(s_in, jnp.arange(M, dtype=jnp.int32), Cs)
+        sci, s_total = _compact(s_in, all_idx, Cs)
         s_ok_mask = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
         s_fits = s_total <= Cs
 
-        d2, cand_idx, total = jax.vmap(
-            tile_prep, in_axes=(0, 0, None, None)
-        )(qids, qvs, sci, s_ok_mask)           # [G,T,C],[G,C],[G]
+        def pruned():
+            return jax.vmap(tile_prep, in_axes=(0, 0, None, None))(
+                qids, qvs, sci, s_ok_mask
+            )
+
+        def full_scan():
+            # supertile candidate set overflowed Cs (a dense region — at
+            # M=2^18 three of 128 supertiles, which used to fail ALL their
+            # G*T queries into the expensive pass-2 fallback): select each
+            # tile's candidates from the FULL db instead. Costs G cumsums
+            # over M, paid only when this branch is taken (lax.cond inside
+            # the supertile lax.map, NOT inside a vmap — a vmapped cond
+            # would lower to select and run both branches everywhere).
+            return jax.vmap(tile_prep, in_axes=(0, 0, None, None))(
+                qids, qvs, all_idx, valid
+            )
+
+        d2, cand_idx, total = jax.lax.cond(s_fits, pruned, full_scan)
         pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k, selector=selector)
         pd = pd.reshape(G, T, k)
         loc = loc.reshape(G, T, k)
         pi = jax.vmap(lambda ci, lc: ci[lc])(cand_idx, loc)  # [G, T, k]
         # per-query certificate (k-th distance within the dilation radius);
-        # an overflowing tile/supertile certifies nothing (truncation)
-        cert = (pd[:, :, k - 1] <= r2) & ((total <= C) & s_fits)[:, None]
+        # an overflowing tile certifies nothing (truncation). The full-scan
+        # branch replaces the supertile-overflow failure mode exactly.
+        cert = (pd[:, :, k - 1] <= r2) & (total <= C)[:, None]
         return pd, pi, cert | ~qvs
 
     q_tiles = perm_p.reshape(n_t // G, G, T)
@@ -351,6 +369,10 @@ def knn_self_grid(
                 cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
                 bad = (~valid)[None, :] | (cols == qid[:, None])
                 d2 = jnp.where(bad, _INF, d2)
+                # full-width lax.top_k, deliberately: at [1024, 262144] one
+                # top_k call measures ~94 ms — CHEAPER than both the chunked
+                # split+merge (~130 ms est.) and full-width approx_min_k
+                # (measured 4.6 s total for ~10 tiles, a 5x regression)
                 neg, arg = jax.lax.top_k(-d2, k)
                 return -neg, arg
 
