@@ -71,15 +71,12 @@ def lift_view_features(
         covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0
     )                                                         # [Pv, C]
 
-    # per-view nearest fill for visible-but-uncovered points (ref :604-625);
-    # grid-pruned variant: the ungated sweep is O(n_unseen * Pv) and cost
-    # ~65 ms/view at Pv=65536 (the preset-scale view-stage whale). Candidate
-    # budget 4096 above 16k rows: dense tiles overflow 2048 into full-db
-    # fallbacks (measured 63 -> 52 ms at Pv=65536, scripts/bench_fill_preset)
-    feats = nearest_fill_grid(
-        feats, view_coords.astype(jnp.float32), covered, pv_valid,
-        num_candidates=4096 if rows.shape[0] > 16384 else 2048,
-    )
+    # per-view nearest fill for visible-but-uncovered points (ref :604-625):
+    # both-compacted gated sweep — O(n_unseen * n_covered) pairs, which beats
+    # the Hilbert-grid-pruned fill at every unseen fraction at view shapes
+    # (47-59 vs 51-76 ms at Pv=65536 incl. ~28 ms dispatch; the random-
+    # teacher bench views are ~90% uncovered, where donor compaction wins 8x)
+    feats = nearest_fill(feats, view_coords.astype(jnp.float32), covered, pv_valid)
     feats = jnp.where(pv_valid[:, None], feats, 0.0)
 
     norm = jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
@@ -171,13 +168,11 @@ def fill_unseen_points(
     point_valid: jax.Array,  # [P] bool
 ) -> jax.Array:
     """Global nearest fill for never-seen points (ref :687-696)."""
-    # num_candidates=4096: at the global (P=131k) shape the default 2048
-    # budget overflows on dense tiles and the full-db fallback runs — 170 ms
-    # vs 116 ms at 4096 (measured, 30% unseen; scripts/bench_ab_fill.py)
-    return nearest_fill_grid(
-        fused, points.astype(jnp.float32), count > 0, point_valid,
-        num_candidates=4096,
-    )
+    # both-compacted gated sweep (ops/knn.nearest_fill): at P=131k it beats
+    # the grid-pruned fill at the unseen fractions the fused bench scenes
+    # actually produce (sweep 51/101 vs grid 66/181 ms at 5%/30% unseen,
+    # scripts/bench_ab_fill.py)
+    return nearest_fill(fused, points.astype(jnp.float32), count > 0, point_valid)
 
 
 def fill_unseen_points_voxel(

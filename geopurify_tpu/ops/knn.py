@@ -463,73 +463,95 @@ def nearest_fill(
     coords: jax.Array,       # [N, D]
     has_value: jax.Array,    # [N] bool — rows with real features
     valid: jax.Array,        # [N] bool — padding mask
-    query_tile: int = 1024,
-    db_chunk: int = 8192,
+    query_tile: int = 4096,
+    db_chunk: int = 32768,
 ) -> jax.Array:
     """Fill rows without features from their nearest (by coords) row that has one.
 
     Device-side replacement for the per-view / global KDTree fills
-    (affinity_module.py:604-625, 687-696). Only the rows that NEED a donor run
-    the argmin: they are compacted into ``query_tile``-sized tiles, each gated
-    by a runtime ``lax.cond`` (the kNN fallback pattern) — typical unseen
-    fractions are small, so the O(N^2) distance sweep shrinks to
-    O(n_unseen * N) while worst-case cost and all shapes stay static.
+    (affinity_module.py:604-625, 687-696). BOTH sides are compacted: queries
+    (rows needing a donor) into runtime-gated ``query_tile`` tiles, donors
+    (covered rows) into runtime-gated ``db_chunk`` chunks — so the distance
+    sweep costs O(n_unseen * n_donors) pairs whatever the coverage mix
+    (the one-sided form degraded at HIGH unseen fractions, where queries are
+    many but donors few: the synthetic bench's random-teacher views are ~90%
+    uncovered and paid a full O(n_unseen * N) sweep). Exact 1-NN, all shapes
+    static; at D=3 the distance matmul is ~free on the MXU and each
+    [4096, 32768] block is ~1 ms of bandwidth on v5e.
     """
     N = coords.shape[0]
+    T = query_tile
+    cf = coords.astype(jnp.float32)
+    donors_ok = has_value & valid
+    need = valid & ~has_value
+
+    # rank-compact donors: one unique-index scatter (dropped rows OOB)
     n_dc = -(-N // db_chunk)
     Np = n_dc * db_chunk
-    db_valid = _pad_to(has_value & valid, Np, value=False)
-    db = _pad_to(coords.astype(jnp.float32), Np)
-    db_sq = jnp.sum(db * db, axis=-1)
-
-    need = valid & ~has_value
-    cnt = jnp.cumsum(need.astype(jnp.int32))
-    n_need = cnt[-1]
-    n_qt = -(-N // query_tile)
-    qpos = jnp.searchsorted(
-        cnt, jnp.arange(1, n_qt * query_tile + 1, dtype=jnp.int32), method="sort"
+    dcnt = jnp.cumsum(donors_ok.astype(jnp.int32))
+    n_donors = dcnt[-1]
+    dslot = jnp.where(donors_ok, dcnt - 1, Np)
+    dpos = jnp.zeros((Np,), jnp.int32).at[dslot].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True
     )
-    qpos = jnp.clip(qpos, 0, N - 1)
-    q_live = jnp.arange(n_qt * query_tile) < n_need
+    db = cf[dpos]                                  # [Np, D] donor coords
+    db_sq = jnp.sum(db * db, axis=-1)
+    d_live = jnp.arange(Np) < n_donors
+
+    # rank-compact queries the same way
+    qcnt = jnp.cumsum(need.astype(jnp.int32))
+    n_need = qcnt[-1]
+    n_qt = -(-N // T)
+    qslot = jnp.where(need, qcnt - 1, n_qt * T)
+    qpos = jnp.zeros((n_qt * T,), jnp.int32).at[qslot].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    q_live = jnp.arange(n_qt * T) < n_need
 
     def one_tile(args):
         qp, live = args                       # [T] positions, [T] liveness
 
         def run():
-            q = db[qp]
+            q = cf[qp]
             q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
 
-            def scan_chunk(carry, c):
-                best_d, best_i = carry
-                start = c * db_chunk
-                d_rows = jax.lax.dynamic_slice_in_dim(db, start, db_chunk)
-                d_sq = jax.lax.dynamic_slice_in_dim(db_sq, start, db_chunk)
-                v = jax.lax.dynamic_slice_in_dim(db_valid, start, db_chunk)
-                dots = jax.lax.dot_general(
-                    q, d_rows, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                d2 = jnp.where(v[None, :], q_sq + d_sq[None, :] - 2.0 * dots, _INF)
-                c_best = jnp.min(d2, axis=1)
-                c_arg = (start + jnp.argmin(d2, axis=1)).astype(jnp.int32)
-                upd = c_best < best_d
-                return (jnp.where(upd, c_best, best_d),
-                        jnp.where(upd, c_arg, best_i)), None
+            def chunk_step(c, carry):
+                def live_chunk(carry):
+                    best_d, best_i = carry
+                    start = c * db_chunk
+                    d_rows = jax.lax.dynamic_slice_in_dim(db, start, db_chunk)
+                    d_sq = jax.lax.dynamic_slice_in_dim(db_sq, start, db_chunk)
+                    v = jax.lax.dynamic_slice_in_dim(d_live, start, db_chunk)
+                    dots = jax.lax.dot_general(
+                        q, d_rows, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    d2 = jnp.where(
+                        v[None, :], q_sq + d_sq[None, :] - 2.0 * dots, _INF
+                    )
+                    c_best = jnp.min(d2, axis=1)
+                    c_arg = (start + jnp.argmin(d2, axis=1)).astype(jnp.int32)
+                    upd = c_best < best_d
+                    return (jnp.where(upd, c_best, best_d),
+                            jnp.where(upd, c_arg, best_i))
 
-            init = (jnp.full((query_tile,), _INF),
-                    jnp.zeros((query_tile,), jnp.int32))
-            (_, i), _ = jax.lax.scan(scan_chunk, init, jnp.arange(n_dc))
-            return i
+                # chunks past the real donor count are all-padding: skip
+                return jax.lax.cond(
+                    c * db_chunk < n_donors, live_chunk, lambda x: x, carry
+                )
+
+            init = (jnp.full((T,), _INF), jnp.zeros((T,), jnp.int32))
+            _, i = jax.lax.fori_loop(0, n_dc, chunk_step, init)
+            return dpos[i]                    # back to global row ids
 
         def skip():
-            return jnp.zeros((query_tile,), jnp.int32)
+            return jnp.zeros((T,), jnp.int32)
 
         return jax.lax.cond(jnp.any(live), run, skip)
 
     donor = jax.lax.map(
-        one_tile,
-        (qpos.reshape(n_qt, query_tile), q_live.reshape(n_qt, query_tile)),
+        one_tile, (qpos.reshape(n_qt, T), q_live.reshape(n_qt, T))
     ).reshape(-1)
 
     # scatter donated features back to the needing rows (OOB-drop the dead slots)
@@ -542,7 +564,8 @@ def nearest_fill(
 
 @partial(
     jax.jit,
-    static_argnames=("query_tile", "num_candidates", "radius_cells", "grid_bits"),
+    static_argnames=("query_tile", "num_candidates", "radius_cells",
+                     "grid_bits", "tiles_per_super"),
 )
 def nearest_fill_grid(
     features: jax.Array,     # [N, C]
@@ -553,6 +576,7 @@ def nearest_fill_grid(
     num_candidates: int = 2048,
     radius_cells: int = 16,
     grid_bits: int = 9,
+    tiles_per_super: int = 8,
 ) -> jax.Array:
     """Hilbert-tiled bbox-pruned exact donor fill — ``nearest_fill`` with the
     kNN grid machinery (ops/knn.knn_self_grid) specialized to k=1 and
@@ -566,12 +590,18 @@ def nearest_fill_grid(
     - quantize the scene bbox to 2^grid_bits cells/axis (cell size is scene-
       relative; radius = radius_cells * cell in WORLD units);
     - compact needing rows in Hilbert order (tight tile bboxes), tile them;
-    - per tile: candidates = covered rows inside the dilated bbox (compacted
-      to ``num_candidates``), one [T, Cand] distance block, running argmin;
+    - TWO-LEVEL candidate compaction (knn_self_grid's supertile pattern —
+      the per-tile full-db bbox mask + cumsum was the dominant cost, not the
+      distances): one bbox pass over the full db per SUPERTILE
+      (``tiles_per_super`` tiles) into 6x``num_candidates`` super-candidates,
+      then per-tile bbox passes over only those; one [T, Cand] distance
+      block, running argmin per tile. A supertile whose candidate set
+      overflows falls back to per-tile full-db selection under a lax.cond;
     - certificate: a query with best d <= radius provably saw its true
-      nearest donor (bbox dilation covers the ball) unless the tile's
-      candidate set overflowed; any uncertified LIVE query sends its WHOLE
-      tile through a full-db argmin under a runtime lax.cond — exact always,
+      nearest donor (bbox dilation covers the ball) unless its tile's
+      candidate set overflowed; uncertified LIVE queries are compacted and
+      recomputed against the full db in runtime-gated 512-query tiles, then
+      merged back by GATHER (never a dynamic row scatter) — exact always,
       pruned in the common case.
 
     Replaces the reference's per-view / global KDTree fills
@@ -582,11 +612,14 @@ def nearest_fill_grid(
 
     N = coords.shape[0]
     T = query_tile
+    G = tiles_per_super
     Cb = min(num_candidates, max(N, 1))
+    Cs = min(6 * Cb, max(N, 1))
     cf = coords.astype(jnp.float32)
     c_sq = jnp.sum(cf * cf, axis=-1)
     donors_ok = has_value & valid
     need = valid & ~has_value
+    all_idx = jnp.arange(N, dtype=jnp.int32)
 
     # scene-relative integer grid for Hilbert codes + the pruning radius
     lo = jnp.min(jnp.where(valid[:, None], cf, _INF), axis=0)
@@ -600,85 +633,147 @@ def nearest_fill_grid(
     code = jnp.where(need, hilbert_code(gi), jnp.int32(2 ** 30))
     order = jnp.argsort(code).astype(jnp.int32)
     n_need = jnp.sum(need.astype(jnp.int32))
-    n_qt = -(-N // T)
-    qpos = _pad_to(order, n_qt * T, value=max(N - 1, 0))
-    q_live = jnp.arange(n_qt * T) < n_need
+    n_st = -(-N // (T * G))
+    n_q = n_st * G * T
+    qpos = _pad_to(order, n_q, value=max(N - 1, 0))
+    q_live = jnp.arange(n_q) < n_need
 
-    def one_tile(args):
-        qp, live = args                        # [T] row ids, [T] liveness
+    def _compact(keep, src_idx, budget):
+        """Indices (from src_idx) of keep==True rows, rank-ordered, padded.
+        Overflow/dropped rows go OUT of bounds so the uniqueness hint holds."""
+        slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep & (slot < budget), slot, budget)
+        out = jnp.zeros((budget,), jnp.int32).at[slot].set(
+            src_idx, mode="drop", unique_indices=True
+        )
+        return out, jnp.sum(keep.astype(jnp.int32))
 
-        def pruned():
-            q = cf[qp]
-            qv = live[:, None]
-            tlo = jnp.min(jnp.where(qv, q, _INF), axis=0) - radius
-            thi = jnp.max(jnp.where(qv, q, -_INF), axis=0) + radius
-            in_box = jnp.all((cf >= tlo[None]) & (cf <= thi[None]), axis=-1) & donors_ok
-            # rank-compaction (knn_self_grid._compact): one unique-index
-            # scatter, overflow routed out of bounds
-            slot = jnp.cumsum(in_box.astype(jnp.int32)) - 1
-            slot = jnp.where(in_box & (slot < Cb), slot, Cb)
-            cand = jnp.zeros((Cb,), jnp.int32).at[slot].set(
-                jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True
-            )
-            total = jnp.sum(in_box.astype(jnp.int32))
-            cand_ok = jnp.arange(Cb) < jnp.minimum(total, Cb)
+    def tile_argmin(qp, live, cand_src, cand_src_ok):
+        """Argmin donor for ONE tile against a candidate source set."""
+        q = cf[qp]
+        qv = live[:, None]
+        tlo = jnp.min(jnp.where(qv, q, _INF), axis=0) - radius
+        thi = jnp.max(jnp.where(qv, q, -_INF), axis=0) + radius
+        sc = cf[cand_src]
+        in_box = jnp.all((sc >= tlo[None]) & (sc <= thi[None]), axis=-1) & cand_src_ok
+        cand, total = _compact(in_box, cand_src, Cb)
+        cand_ok = jnp.arange(Cb) < jnp.minimum(total, Cb)
 
-            cd = cf[cand]
-            dots = jax.lax.dot_general(
-                q, cd, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            d2 = jnp.sum(q * q, axis=-1, keepdims=True) + c_sq[cand][None] - 2.0 * dots
-            d2 = jnp.where(cand_ok[None, :], d2, _INF)
-            best = jnp.min(d2, axis=1)
-            arg = cand[jnp.argmin(d2, axis=1)]
-            cert = ((best <= r2) & (total <= Cb)) | ~live
-            return arg, cert
+        cd = cf[cand]
+        dots = jax.lax.dot_general(
+            q, cd, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.sum(q * q, axis=-1, keepdims=True) + c_sq[cand][None] - 2.0 * dots
+        d2 = jnp.where(cand_ok[None, :], d2, _INF)
+        best = jnp.min(d2, axis=1)
+        arg = cand[jnp.argmin(d2, axis=1)]
+        cert = ((best <= r2) & (total <= Cb)) | ~live
+        return arg, cert
+
+    def one_super(args):
+        qp, live = args                        # [G, T] row ids / liveness
+
+        def live_super():
+            q_all = cf[qp.reshape(-1)]
+            lv = live.reshape(-1)[:, None]
+            s_lo = jnp.min(jnp.where(lv, q_all, _INF), axis=0) - radius
+            s_hi = jnp.max(jnp.where(lv, q_all, -_INF), axis=0) + radius
+            s_in = jnp.all((cf >= s_lo[None]) & (cf <= s_hi[None]), axis=-1) & donors_ok
+            sci, s_total = _compact(s_in, all_idx, Cs)
+            s_ok = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
+
+            def pruned():
+                return jax.vmap(tile_argmin, in_axes=(0, 0, None, None))(
+                    qp, live, sci, s_ok
+                )
+
+            def full_scan():
+                # supertile candidate overflow (dense donor region): select
+                # per-tile candidates from the FULL db instead — pays G
+                # cumsums over N, only when this branch is taken
+                return jax.vmap(tile_argmin, in_axes=(0, 0, None, None))(
+                    qp, live, all_idx, donors_ok
+                )
+
+            return jax.lax.cond(s_total <= Cs, pruned, full_scan)
 
         def dead():
-            return jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool)
+            return jnp.zeros((G, T), jnp.int32), jnp.ones((G, T), bool)
 
-        arg, cert = jax.lax.cond(jnp.any(live), pruned, dead)
+        return jax.lax.cond(jnp.any(live), live_super, dead)
 
-        def full():
-            # exact fallback for this tile: scan the whole db in chunks
-            q = cf[qp]
-            q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
-            DC = 8192
-            n_dc = -(-N // DC)
-            Np = n_dc * DC
-            db_p = _pad_to(cf, Np)
-            dsq_p = _pad_to(c_sq, Np, value=jnp.inf)
-            dv_p = _pad_to(donors_ok, Np, value=False)
+    donor, cert = jax.lax.map(
+        one_super, (qpos.reshape(n_st, G, T), q_live.reshape(n_st, G, T))
+    )
+    donor = donor.reshape(-1)
+    cert = cert.reshape(-1)
 
-            def scan_chunk(carry, c):
-                best_d, best_i = carry
-                s = c * DC
-                d_rows = jax.lax.dynamic_slice_in_dim(db_p, s, DC)
-                d_sq = jax.lax.dynamic_slice_in_dim(dsq_p, s, DC)
-                v = jax.lax.dynamic_slice_in_dim(dv_p, s, DC)
-                dots = jax.lax.dot_general(
-                    q, d_rows, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                d2 = jnp.where(v[None, :], q_sq + d_sq[None, :] - 2.0 * dots, _INF)
-                cb = jnp.min(d2, axis=1)
-                ca = (s + jnp.argmin(d2, axis=1)).astype(jnp.int32)
-                upd = cb < best_d
-                return (jnp.where(upd, cb, best_d), jnp.where(upd, ca, best_i)), None
+    # ---- pass 2: gated full-db argmin over uncertified live queries --------
+    failed = q_live & ~cert
+    fcnt = jnp.cumsum(failed.astype(jnp.int32))
+    n_failed = fcnt[-1]
+    FT = 512
+    n_ft = -(-n_q // FT)
 
-            init = (jnp.full((T,), _INF), jnp.zeros((T,), jnp.int32))
-            (_, fi), _ = jax.lax.scan(scan_chunk, init, jnp.arange(n_dc))
-            return fi
+    def run_fallback(donor):
+        fpos = jnp.searchsorted(
+            fcnt, jnp.arange(1, n_ft * FT + 1, dtype=jnp.int32), method="sort"
+        )
+        fpos = jnp.clip(fpos, 0, n_q - 1)
+        f_qp = qpos[fpos]
+        f_live = jnp.arange(n_ft * FT) < n_failed
+        DC = 8192
+        n_dc = -(-N // DC)
+        Np = n_dc * DC
+        db_p = _pad_to(cf, Np)
+        dsq_p = _pad_to(c_sq, Np, value=jnp.inf)
+        dv_p = _pad_to(donors_ok, Np, value=False)
 
-        arg = jax.lax.cond(jnp.all(cert), lambda: arg, full)
-        return arg
+        def fb_tile(args):
+            qid, live = args
 
-    donor = jax.lax.map(
-        one_tile, (qpos.reshape(n_qt, T), q_live.reshape(n_qt, T))
-    ).reshape(-1)
+            def run():
+                q = cf[qid]
+                q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+                def scan_chunk(carry, c):
+                    best_d, best_i = carry
+                    s = c * DC
+                    d_rows = jax.lax.dynamic_slice_in_dim(db_p, s, DC)
+                    d_sq = jax.lax.dynamic_slice_in_dim(dsq_p, s, DC)
+                    v = jax.lax.dynamic_slice_in_dim(dv_p, s, DC)
+                    dots = jax.lax.dot_general(
+                        q, d_rows, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    d2 = jnp.where(
+                        v[None, :], q_sq + d_sq[None, :] - 2.0 * dots, _INF
+                    )
+                    cb = jnp.min(d2, axis=1)
+                    ca = (s + jnp.argmin(d2, axis=1)).astype(jnp.int32)
+                    upd = cb < best_d
+                    return (jnp.where(upd, cb, best_d),
+                            jnp.where(upd, ca, best_i)), None
+
+                init = (jnp.full((FT,), _INF), jnp.zeros((FT,), jnp.int32))
+                (_, fi), _ = jax.lax.scan(scan_chunk, init, jnp.arange(n_dc))
+                return fi
+
+            def skip():
+                return jnp.zeros((FT,), jnp.int32)
+
+            return jax.lax.cond(jnp.any(live), run, skip)
+
+        fi = jax.lax.map(
+            fb_tile, (f_qp.reshape(n_ft, FT), f_live.reshape(n_ft, FT))
+        ).reshape(-1)
+        frank = jnp.maximum(fcnt - 1, 0)
+        return jnp.where(failed, fi[frank], donor)
+
+    donor = jax.lax.cond(n_failed > 0, run_fallback, lambda d: d, donor)
 
     scatter_rows = jnp.where(q_live, qpos, N)
     out = features.at[scatter_rows].set(

@@ -60,10 +60,12 @@ def main():
         feats = jnp.asarray(rng.standard_normal((N, C), np.float32))
         cj = jnp.asarray(coords, jnp.float32)
         vj = jnp.asarray(valid)
+        jsweep = jax.jit(lambda f, c, h, v: nearest_fill(f, c, h, v))
+        jgrid = jax.jit(lambda f, c, h, v: nearest_fill_grid(f, c, h, v))
         for frac in (0.05, 0.3, 0.6):
             has = jnp.asarray((rng.random(N) > frac)) & vj
-            t_sweep = t_sync(lambda f, c, h, v: nearest_fill(f, c, h, v), feats, cj, has, vj)
-            t_grid = t_sync(lambda f, c, h, v: nearest_fill_grid(f, c, h, v), feats, cj, has, vj)
+            t_sweep = t_sync(jsweep, feats, cj, has, vj)
+            t_grid = t_sync(jgrid, feats, cj, has, vj)
             print(f"fill {name:6s} N={N} unseen={frac:.2f}: sweep={t_sweep*1e3:7.1f}ms grid={t_grid*1e3:7.1f}ms")
 
     # --- knn selector ---

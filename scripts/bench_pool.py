@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--channels", type=int, default=None,
                     help="smoothed channel count (logit-space default "
                          "smooths n_cls->128-padded, not 518)")
+    ap.add_argument("--smooth-only", action="store_true",
+                    help="time only banded build + banded/gather smoothing "
+                         "(band sweeps; skips kNN/student/total)")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -101,17 +104,18 @@ def main():
     sfeats = feats[:, :smooth_ch] if smooth_ch <= 518 else jnp.asarray(
         rng.normal(0, 1, (M, smooth_ch)).astype(np.float32))
 
-    knn = jax.jit(lambda c, v: knn_self_grid(
-        c, v, k=pc.knn_k, radius=pc.knn_radius, num_candidates=pc.knn_candidates
-    ))
-    print("knn_self_grid:", t_sync(knn, coords, valid, trials=args.trials))
-
     graph = jax.jit(lambda e, c, v: build_affinity_graph(
         e, c, v, k=pc.knn_k, sharpen=pc.sharpen,
         knn_radius=pc.knn_radius, knn_candidates=pc.knn_candidates,
     ))
-    print("graph build (knn+affinity):",
-          t_sync(graph, emb, coords, valid, trials=args.trials))
+    if not args.smooth_only:
+        knn = jax.jit(lambda c, v: knn_self_grid(
+            c, v, k=pc.knn_k, radius=pc.knn_radius,
+            num_candidates=pc.knn_candidates,
+        ))
+        print("knn_self_grid:", t_sync(knn, coords, valid, trials=args.trials))
+        print("graph build (knn+affinity):",
+              t_sync(graph, emb, coords, valid, trials=args.trials))
 
     nbr, w = graph(emb, coords, valid)
     banded = jax.jit(lambda ww, nn_: build_banded_operator(
@@ -126,6 +130,20 @@ def main():
     ))
     print("19x banded smoothing:",
           t_sync(smooth, op, sfeats, trials=args.trials))
+
+    # gather-path A/B: in LOGIT space (C=n_cls) the per-round gather traffic
+    # scales with C while the banded path's S-read cost is C-independent —
+    # at tiny C the fixed-degree gather may win and the banded build
+    # (2x M*K scatters) drops entirely
+    from geopurify_tpu.ops.pooling import iterate_pooling
+
+    gsmooth = jax.jit(lambda ww, nn_, f: iterate_pooling(
+        ww, nn_, f, num_iterations=pc.num_iterations,
+    ))
+    print("19x gather smoothing:",
+          t_sync(gsmooth, w, nbr, sfeats, trials=args.trials))
+    if args.smooth_only:
+        return
 
     pool = jax.jit(lambda e, f, c, v: geometry_guided_pooling(
         e, f, c, v, k=pc.knn_k, sharpen=pc.sharpen,
