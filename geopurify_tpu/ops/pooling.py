@@ -230,42 +230,74 @@ def build_banded_operator(
     # burn capacity on no-op edges. Treat them as out-of-band trash always.
     in_band = (li >= 0) & (li < band) & ~dead
 
-    # banded matrix via scatter; out-of-band entries land in trash columns
-    # (>= band) that are sliced off. With ``assume_unique_neighbors`` (true
-    # for exact-kNN rows: neighbors are distinct, and each out-of-band tap
-    # gets its own trash column band+k) the scatter is a unique-index SET
-    # straight into the compute dtype — no f32 accumulation buffer and no
-    # read-modify-write. Otherwise duplicates must sum (fixed_degree_spmm
-    # semantics) via f32 scatter-add.
+    # TPU scatters cost ~12 ns per SOURCE element regardless of target shape
+    # or drops, so the build cost is (number of M*K-element scatters) — the
+    # residual pack below needs one; placing the band entries must not pay a
+    # second. With ``assume_unique_neighbors`` (true for exact-kNN rows:
+    # neighbors are distinct) ONE fused scatter writes BOTH outputs into a
+    # single flat i32 buffer with disjoint regions: in-band edges write their
+    # bf16 weight BIT PATTERN at row*band+col, out-of-band edges write their
+    # packed edge id at band_size+rank, dead/overflow edges go out of bounds
+    # (mode="drop"). The band region then bitcasts back to the compute dtype
+    # (zeros bitcast to 0.0, so unwritten slots are correct), and
+    # rows/cols/weights derive from the packed edge ids by cheap gathers at
+    # the compact size. Measured: 149 -> 101 ms at M=65536/K=96/band=12288.
+    # Stable cumsum rank keeps edge order row-major, so res_row stays
+    # NON-DECREASING end to end (padded with M) — the smoothing loop's
+    # sorted-segment fast path depends on it.
     flat_rows = jnp.repeat(rows, K)
-    if assume_unique_neighbors:
-        taps = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (M, K))
-        flat_cols = jnp.where(in_band, li, band + taps).reshape(-1)
-        S = jnp.zeros((M, band + K), dtype)
-        S = S.at[flat_rows, flat_cols].set(
-            weights.astype(dtype).reshape(-1), unique_indices=True
-        )[:, :band]
-    else:
-        flat_cols = jnp.where(in_band, li, band).reshape(-1)
-        S = jnp.zeros((M, band + 1), jnp.float32)
-        S = S.at[flat_rows, flat_cols].add(weights.reshape(-1)).astype(dtype)[:, :band]
-
-    # Residual COO via edge-id compaction: ONE M*K-element scatter (TPU
-    # scatters cost ~12 ns per update regardless of drops — the old
-    # three-array form paid that three times); rows/cols/weights then derive
-    # from the packed edge id by cheap gathers at the compact size. Stable
-    # cumsum rank keeps edge order row-major, so res_row stays NON-DECREASING
-    # end to end (padded with M) — the smoothing loop's sorted-segment fast
-    # path depends on it.
     out_mask = (~in_band & ~dead).reshape(-1)
     rank = jnp.cumsum(out_mask.astype(jnp.int32)) - 1
     n_out = jnp.sum(out_mask.astype(jnp.int32))
     R = max_residual
-    keep = out_mask & (rank < R)
-    slot = jnp.where(keep, rank, R + 1)                  # out of bounds -> drop
-    E = jnp.zeros((R + 1,), jnp.int32).at[slot].set(
-        jnp.arange(M * K, dtype=jnp.int32), mode="drop", unique_indices=True
-    )[:R]
+    edge_ids = jnp.arange(M * K, dtype=jnp.int32)
+    if (
+        assume_unique_neighbors
+        and jnp.dtype(dtype).itemsize == 2
+        and M * band + R < 2**31  # flat i32 index must not overflow
+    ):
+        w16 = jax.lax.bitcast_convert_type(
+            weights.astype(dtype), jnp.uint16
+        ).astype(jnp.int32).reshape(-1)            # [M*K] weight bit patterns
+        in_band_f = in_band.reshape(-1)
+        keep = out_mask & (rank < R)
+        base = M * band
+        tgt = jnp.where(
+            in_band_f,
+            flat_rows * band + li.reshape(-1),
+            jnp.where(keep, base + rank, base + R),  # overflow/dead -> OOB
+        )
+        val = jnp.where(in_band_f, w16, edge_ids)
+        flat = jnp.zeros((base + R,), jnp.int32).at[tgt].set(
+            val, mode="drop", unique_indices=True
+        )
+        S = jax.lax.bitcast_convert_type(
+            flat[:base].astype(jnp.uint16), dtype    # low 16 bits
+        ).reshape(M, band)
+        E = flat[base:]
+    else:
+        if assume_unique_neighbors:
+            # unique-index SET straight into the compute dtype — no f32
+            # accumulation buffer and no read-modify-write; out-of-band taps
+            # get their own trash column band+k
+            taps = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (M, K))
+            flat_cols = jnp.where(in_band, li, band + taps).reshape(-1)
+            S = jnp.zeros((M, band + K), dtype)
+            S = S.at[flat_rows, flat_cols].set(
+                weights.astype(dtype).reshape(-1), unique_indices=True
+            )[:, :band]
+        else:
+            # duplicate neighbors must sum (fixed_degree_spmm semantics)
+            flat_cols = jnp.where(in_band, li, band).reshape(-1)
+            S = jnp.zeros((M, band + 1), jnp.float32)
+            S = S.at[flat_rows, flat_cols].add(
+                weights.reshape(-1)
+            ).astype(dtype)[:, :band]
+        keep = out_mask & (rank < R)
+        slot = jnp.where(keep, rank, R + 1)              # out of bounds -> drop
+        E = jnp.zeros((R + 1,), jnp.int32).at[slot].set(
+            edge_ids, mode="drop", unique_indices=True
+        )[:R]
     e_live = jnp.arange(R) < jnp.minimum(n_out, R)
     res_row = jnp.where(e_live, E // K, M)               # non-decreasing
     res_col = jnp.where(e_live, nbr.reshape(-1)[E], 0)
