@@ -228,6 +228,16 @@ def knn_self_grid(
     cf = coords.astype(jnp.float32)
     c_sq = jnp.sum(cf * cf, axis=-1)
     r2 = jnp.float32(radius) * jnp.float32(radius)
+    # gid-packed selection keys (M <= 65536): integer voxel coords make d2 an
+    # exact f32 integer, so key = min(d2, 255)*65536 + global_id fits 2^24
+    # exactly and the top-k returns neighbor IDS IN THE KEY — no [G,T,k]
+    # cand_idx gather afterwards (measured ~60 ms of the 167 ms topk phase at
+    # M=65536). The d2 clamp is certificate-safe: a certified row has
+    # d_k <= r2 = 144 < 255 so all its true top-k keys are unclamped and
+    # clamped far candidates can never displace them; uncertified rows are
+    # recomputed exactly by pass 2 regardless. Ties break by id (allowed —
+    # result is exact up to equal-distance ties).
+    pack_ids = M <= 65536 and radius <= 15
 
     # Hilbert-order the QUERIES only (db stays in caller order; indices are
     # caller-order throughout). Invalid rows sort last.
@@ -280,6 +290,8 @@ def knn_self_grid(
         )
         d2 = q_sq + c_sq[cand_idx][None, :] - 2.0 * dots
         bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
+        if pack_ids:
+            d2 = jnp.minimum(d2, 255.0) * 65536.0 + cand_idx[None, :]
         return jnp.where(bad, _INF, d2), cand_idx, total
 
     all_idx = jnp.arange(M, dtype=jnp.int32)
@@ -315,9 +327,17 @@ def knn_self_grid(
 
         d2, cand_idx, total = jax.lax.cond(s_fits, pruned, full_scan)
         pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k, selector=selector)
-        pd = pd.reshape(G, T, k)
-        loc = loc.reshape(G, T, k)
-        pi = jax.vmap(lambda ci, lc: ci[lc])(cand_idx, loc)  # [G, T, k]
+        if pack_ids:
+            pi = jnp.where(
+                jnp.isfinite(pd), jnp.mod(pd, 65536.0), 0.0
+            ).astype(jnp.int32).reshape(G, T, k)
+            pd = jnp.where(
+                jnp.isfinite(pd), jnp.floor(pd / 65536.0), _INF
+            ).reshape(G, T, k)
+        else:
+            pd = pd.reshape(G, T, k)
+            loc = loc.reshape(G, T, k)
+            pi = jax.vmap(lambda ci, lc: ci[lc])(cand_idx, loc)  # [G, T, k]
         # per-query certificate (k-th distance within the dilation radius);
         # an overflowing tile certifies nothing (truncation). The full-scan
         # branch replaces the supertile-overflow failure mode exactly.
