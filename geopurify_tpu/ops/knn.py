@@ -236,8 +236,12 @@ def knn_self_grid(
     # d_k <= r2 = 144 < 255 so all its true top-k keys are unclamped and
     # clamped far candidates can never displace them; uncertified rows are
     # recomputed exactly by pass 2 regardless. Ties break by id (allowed —
-    # result is exact up to equal-distance ties).
-    pack_ids = M <= 65536 and radius <= 15
+    # result is exact up to equal-distance ties). Requires an INTEGER coords
+    # dtype (float coords make d2 fractional and the mod-decode garbles ids).
+    pack_ids = (
+        M <= 65536 and radius <= 15
+        and jnp.issubdtype(coords.dtype, jnp.integer)
+    )
 
     # Hilbert-order the QUERIES only (db stays in caller order; indices are
     # caller-order throughout). Invalid rows sort last.
