@@ -249,13 +249,11 @@ class GeoPurifyPipeline:
                     [view_logits, jnp.zeros((pad, Pv, n_cls), jnp.float32)]
                 )
         vp_valid = batch.view_point_valid & batch.view_valid[:, None]
-        # bf16 fusion storage only when the f32 buffers would strain HBM
-        # (preset scale: P*k*C f32 = 6.4 GB); the bench/eval spec stays f32
-        big = P * self.cfg.xdecoder.fusion_top_k * C >= (1 << 28)
+        # the pointer-tracking merge carries no [P, k, C] buffer, so fusion
+        # needs no bf16 HBM compromise at any scale (see fuse_views)
         fused, count = fuse_views(
             view_feats, view_logits, batch.view_point_ids, vp_valid,
             num_points=P, top_k=self.cfg.xdecoder.fusion_top_k,
-            storage_dtype=jnp.bfloat16 if big else jnp.float32,
         )
         if P >= (1 << 19):
             # HUGE scenes: the point-to-point fill is O(P^2) (it dominated

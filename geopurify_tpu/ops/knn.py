@@ -257,9 +257,11 @@ def knn_self_grid(
     # per-tile bbox passes over only those Cs. Compaction writes each
     # selected index at its cumsum rank (unique slots, drop-overflow) — a
     # single scatter instead of a per-rank binary search.
-    # supertile budget: measured p-max ~22k in-box for a 4096-query Hilbert
-    # supertile at r=12 on surface scenes — 6*C keeps supertile overflow ~0
-    Cs = min(6 * C, max(M, 1))
+    # supertile budget: tileprep (per-tile bbox over Cs + compaction) scales
+    # with Cs, and the full-scan lax.cond branch makes overflow graceful —
+    # swept 3/4/5/6*C at M=65536 (205/182/190/205 ms full pass) and M=2^18
+    # (1791/1706/-/1739 ms): 4*C wins or ties at both scales, identical idx
+    Cs = min(4 * C, max(M, 1))
 
     def _compact(keep, src_idx, budget):
         """Indices (from src_idx) of keep==True rows, rank-ordered, padded."""
