@@ -154,12 +154,28 @@ def fuse_views(
     )
     w = jnp.where(jnp.isfinite(top_scores), w, 0.0)
     # dead pointer slots default to (view 0, slot 0): their weight is exactly
-    # 0.0 (the where above), so the gathered garbage never contributes
-    top_feats = view_feats.reshape(V * Pv, C)[top_ptr]              # [P, k, C]
-    fused = jnp.einsum(
-        "pk,pkc->pc", w, top_feats.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    # 0.0 (the where above), so the gathered garbage never contributes.
+    # The gather+einsum is TILED over points: an unchunked [P, k, C] gather
+    # plus its f32 cast materializes ~9.6 GB at preset scale (P=2^20) —
+    # OOMed the 16 GB chip next to the [V, Pv, C] view buffer.
+    vf = view_feats.reshape(V * Pv, C)
+    PT = min(num_points, 1 << 17)
+    n_pt = -(-num_points // PT)
+    pad = n_pt * PT - num_points
+    w_p = jnp.pad(w, ((0, pad), (0, 0)))
+    ptr_p = jnp.pad(top_ptr, ((0, pad), (0, 0)))
+
+    def fuse_tile(args):
+        wp, pp = args                                               # [PT,k]
+        tf = vf[pp]                                                 # [PT,k,C]
+        return jnp.einsum(
+            "pk,pkc->pc", wp, tf.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    fused = jax.lax.map(
+        fuse_tile, (w_p.reshape(n_pt, PT, top_k), ptr_p.reshape(n_pt, PT, top_k))
+    ).reshape(-1, C)[:num_points]
     fused = jnp.where(count[:, None] > 0, fused, 0.0)
     return fused, count
 

@@ -103,6 +103,72 @@ def _conv_taps(f_pad: jax.Array, neighbor_idx: jax.Array, weights: jax.Array):
     return out
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _conv_core(features: jax.Array, neighbor_idx: jax.Array,
+               weights: jax.Array, valid: jax.Array) -> jax.Array:
+    """sum_k F[nbr[i,k]] @ W[k], zeroed beyond valid rows — with a GATHER-based
+    custom VJP.
+
+    XLA's automatic transpose of the forward's 27 per-tap gathers is 27
+    per-tap SCATTER-ADDS (~12-25 ns per dynamic row index on TPU — the
+    dominant cost of the Stage-1 student backward). But the 3^3 stencil is
+    SYMMETRIC: ``kernel_offsets_3d`` enumerates offsets in a product order
+    where negation maps tap k to tap K-1-k, and the neighbor table satisfies
+    nbr[i, k] = j  <=>  nbr[j, K-1-k] = i for valid i, j (invalid rows have
+    no neighbors in either direction — build_neighbor_table masks both
+    sides). So the cotangent w.r.t. features is THE SAME conv with reversed
+    tap order and per-tap-transposed weights — pure gathers, no scatters:
+
+        d_f[j] = sum_k g[i : nbr[i,k]=j] @ W[k]^T
+               = sum_k' gather(g, nbr[j, k']) @ W[K-1-k']^T
+    """
+    M, Cin = features.shape
+    f_pad = jnp.concatenate(
+        [features, jnp.zeros((1, Cin), features.dtype)], axis=0
+    )  # sentinel zero row
+    out = _conv_taps(f_pad, neighbor_idx, weights)
+    return jnp.where(valid[:, None], out, 0)
+
+
+def _conv_core_fwd(features, neighbor_idx, weights, valid):
+    return (
+        _conv_core(features, neighbor_idx, weights, valid),
+        (features, neighbor_idx, weights, valid),
+    )
+
+
+def _conv_core_bwd(res, g):
+    features, neighbor_idx, weights, valid = res
+    M, Cin = features.shape
+    K = weights.shape[0]
+    g = jnp.where(valid[:, None], g.astype(jnp.float32), 0.0)
+    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
+    # d_features: the transposed stencil conv (gathers, not scatters)
+    w_t = weights[::-1].transpose(0, 2, 1).astype(jnp.float32)  # [K, Cout, Cin]
+    d_f = _conv_taps(g_pad, neighbor_idx, w_t)
+    d_f = jnp.where(valid[:, None], d_f, 0.0).astype(features.dtype)
+
+    # d_weights[k] = gathered_k^T @ g (re-gather per tap — rematerialization,
+    # mirroring the checkpointed forward)
+    f_pad = jnp.concatenate(
+        [features.astype(jnp.float32), jnp.zeros((1, Cin), jnp.float32)], axis=0
+    )
+
+    def step(_, k):
+        gathered = f_pad[neighbor_idx[:, k]]                # [M, Cin]
+        dw_k = jax.lax.dot_general(
+            gathered, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [Cin, Cout]
+        return None, dw_k
+
+    _, d_w = jax.lax.scan(step, None, jnp.arange(K))
+    return d_f, None, d_w.astype(weights.dtype), None
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
 def sparse_conv3(
     features: jax.Array,      # [M, Cin]
     neighbor_idx: jax.Array,  # [M, K] int32, sentinel == M
@@ -112,14 +178,10 @@ def sparse_conv3(
     accum_dtype=jnp.float32,
 ) -> jax.Array:
     """out[i] = sum_k F[nbr[i,k]] @ W[k]  (+ bias), zeros beyond valid rows."""
-    M, Cin = features.shape
-    f_pad = jnp.concatenate(
-        [features, jnp.zeros((1, Cin), features.dtype)], axis=0
-    )  # sentinel zero row
-    out = _conv_taps(f_pad, neighbor_idx, weights).astype(accum_dtype)
+    out = _conv_core(features, neighbor_idx, weights, valid).astype(accum_dtype)
     if bias is not None:
         out = out + bias[None, :].astype(accum_dtype)
-    out = jnp.where(valid[:, None], out, 0)
+        out = jnp.where(valid[:, None], out, 0)
     return out.astype(features.dtype)
 
 

@@ -73,6 +73,37 @@ def test_sparse_conv_matches_dense_conv(rng):
         np.testing.assert_allclose(out[i], dense_out[tuple(coords[i])], rtol=1e-4, atol=1e-4)
 
 
+def test_sparse_conv_custom_vjp_matches_autodiff(rng):
+    """The gather-based backward (symmetric-stencil transpose, custom_vjp)
+    must equal XLA's automatic scatter-add transpose of the raw tap conv."""
+    from geopurify_tpu.ops.sparse_conv import _conv_taps
+
+    dv = _make_voxels(rng, extent=5, max_voxels=128)
+    M = dv.voxel_coords.shape[0]
+    nbr = build_neighbor_table(dv.voxel_coords, dv.voxel_valid)
+    valid = dv.voxel_valid
+    Cin, Cout = 6, 5
+    f = jnp.asarray(rng.normal(size=(M, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(M, Cout)).astype(np.float32))
+
+    def with_vjp(f, w, b):
+        return jnp.vdot(sparse_conv3(f, nbr, w, valid, bias=b), cot)
+
+    def reference(f, w, b):  # raw taps: XLA autodiff (scatter-add transpose)
+        f_pad = jnp.concatenate([f, jnp.zeros((1, Cin), f.dtype)])
+        out = _conv_taps(f_pad, nbr, w) + b[None, :]
+        out = jnp.where(valid[:, None], out, 0)
+        return jnp.vdot(out, cot)
+
+    g1 = jax.grad(with_vjp, argnums=(0, 1, 2))(f, w, b)
+    g2 = jax.grad(reference, argnums=(0, 1, 2))(f, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_masked_batch_stats(rng):
     x = rng.normal(size=(100, 8)).astype(np.float32)
     valid = np.zeros(100, bool)
