@@ -214,6 +214,16 @@ def main():
         P, M, V, Pv = 131072, 65536, 8, 16384
     if args.views:
         V = args.views
+        if (not args.preset_scale and V >= 16
+                and not any(o.startswith("xdecoder.view_batch=")
+                            for o in args.overrides)):
+            # view-dominated regime: micro-batch 16 amortizes per-dispatch
+            # tunnel latency best at Pv=16384 (V=64 A/B: B=8 0.222, B=16
+            # 0.333, B=32 0.300 scenes/s). Preset scale stays at 8 — B=16
+            # at Pv=65536 thrashes HBM (0.134 -> 0.081 measured).
+            cfg = dataclasses.replace(
+                cfg, xdecoder=dataclasses.replace(cfg.xdecoder, view_batch=16)
+            )
 
     hw = tuple(cfg.xdecoder.mask_shape)
     n_cls = len(cfg.data.all_label)
