@@ -322,6 +322,44 @@ def resize_bilinear_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     return y.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _aa_resize_taps(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Compact per-output-row taps of ``_aa_resize_weights``: (tap_lo [out]
+    int32, tap_w [out, T] float32). Row i of the dense matrix is nonzero only
+    on columns [lo_i, hi_i) (ATen's clipped window); this extracts exactly
+    that slice from the SAME cached matrix, so ``sum_t tap_w[i, t] *
+    x[tap_lo[i] + t]`` equals the dense matmul bit-for-bit per term. T is the
+    static max window width (4 for any upscale; wider when downscaling).
+
+    Used by the point-evaluated mask lift (models/lift.py): interpolating the
+    [Q, h, w] masks only AT the Pv view-point pixels replaces the full
+    [Q, H, W] resize + argmax grid, whose result was only ever consumed at
+    those pixels."""
+    W = _aa_resize_weights(in_size, out_size)
+    scale = in_size / out_size
+    support = 2.0 * max(scale, 1.0)
+    los = np.zeros((out_size,), np.int32)
+    his = np.zeros((out_size,), np.int32)
+    for i in range(out_size):
+        center = scale * (i + 0.5)
+        los[i] = max(int(center - support + 0.5), 0)
+        his[i] = min(int(center + support + 0.5), in_size)
+    T = int(np.max(his - los))
+    tap_w = np.zeros((out_size, T), np.float32)
+    for i in range(out_size):
+        n = his[i] - los[i]
+        tap_w[i, :n] = W[i, los[i] : his[i]]
+    # clamp lo so lo+T-1 stays in bounds (zero-weight tail taps must still
+    # gather in-bounds rows); the weights were extracted at the unclamped lo,
+    # so shift them to match
+    lo_c = np.minimum(los, max(in_size - T, 0))
+    for i in range(out_size):
+        d = los[i] - lo_c[i]
+        if d:
+            tap_w[i] = np.concatenate([np.zeros(d, np.float32), tap_w[i, :-d]])
+    return lo_c.astype(np.int32), tap_w
+
+
 def resize_bicubic_antialias(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Bicubic resize, exact to the reference's F.interpolate(mode='bicubic',
     align_corners=False, antialias=True) (affinity_module.py:527-533,
