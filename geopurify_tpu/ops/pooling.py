@@ -250,15 +250,24 @@ def build_banded_operator(
     rank = jnp.cumsum(out_mask.astype(jnp.int32)) - 1
     n_out = jnp.sum(out_mask.astype(jnp.int32))
     R = max_residual
-    edge_ids = jnp.arange(M * K, dtype=jnp.int32)
     if (
         assume_unique_neighbors
         and jnp.dtype(dtype).itemsize == 2
-        and M * band + R < 2**31  # flat i32 index must not overflow
+        and M * band + R < 2**31  # flat index must not overflow
     ):
+        # fused single-scatter build into a U16 flat buffer (half the i32
+        # original — the [M*band] build transient was what OOMed band >= 8192
+        # at M=2^18): in-band edges write their bf16 weight BIT PATTERN at
+        # row*band+col, out-of-band edges write their TAP INDEX k (< K <=
+        # 2^16) at base+rank. The residual's row ids — which no longer fit
+        # 16 bits — are recovered from the rank instead: ranks are assigned
+        # in row-major edge order, so rank r belongs to the row whose
+        # inclusive cumulative out-of-band count first exceeds r (one
+        # searchsorted over [M]); cols/weights then derive from (row, k)
+        # gathers at the compact size.
         w16 = jax.lax.bitcast_convert_type(
             weights.astype(dtype), jnp.uint16
-        ).astype(jnp.int32).reshape(-1)            # [M*K] weight bit patterns
+        ).reshape(-1)                                # [M*K] weight bit patterns
         in_band_f = in_band.reshape(-1)
         keep = out_mask & (rank < R)
         base = M * band
@@ -267,37 +276,51 @@ def build_banded_operator(
             flat_rows * band + li.reshape(-1),
             jnp.where(keep, base + rank, base + R),  # overflow/dead -> OOB
         )
-        val = jnp.where(in_band_f, w16, edge_ids)
-        flat = jnp.zeros((base + R,), jnp.int32).at[tgt].set(
+        taps16 = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.uint16)[None], (M, K)
+        ).reshape(-1)
+        val = jnp.where(in_band_f, w16, taps16)
+        flat = jnp.zeros((base + R,), jnp.uint16).at[tgt].set(
             val, mode="drop", unique_indices=True
         )
-        S = jax.lax.bitcast_convert_type(
-            flat[:base].astype(jnp.uint16), dtype    # low 16 bits
-        ).reshape(M, band)
-        E = flat[base:]
+        S = jax.lax.bitcast_convert_type(flat[:base], dtype).reshape(M, band)
+        row_out_cum = jnp.cumsum(
+            jnp.sum(out_mask.reshape(M, K).astype(jnp.int32), axis=1)
+        )                                            # [M] inclusive
+        e_live = jnp.arange(R) < jnp.minimum(n_out, R)
+        res_row = jnp.searchsorted(
+            row_out_cum, jnp.arange(R, dtype=jnp.int32), side="right",
+            method="sort",
+        ).astype(jnp.int32)                          # non-decreasing; M at pad
+        res_row = jnp.where(e_live, res_row, M)
+        rk = jnp.minimum(res_row, M - 1) * K + flat[base:].astype(jnp.int32)
+        res_col = jnp.where(e_live, nbr.reshape(-1)[rk], 0)
+        res_w = jnp.where(e_live, weights.reshape(-1)[rk], 0.0)
+        n_dropped = jnp.maximum(n_out - R, 0)
+        return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped)
+    edge_ids = jnp.arange(M * K, dtype=jnp.int32)
+    if assume_unique_neighbors:
+        # unique-index SET straight into the compute dtype — no f32
+        # accumulation buffer and no read-modify-write; out-of-band taps
+        # get their own trash column band+k
+        taps = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (M, K))
+        flat_cols = jnp.where(in_band, li, band + taps).reshape(-1)
+        S = jnp.zeros((M, band + K), dtype)
+        S = S.at[flat_rows, flat_cols].set(
+            weights.astype(dtype).reshape(-1), unique_indices=True
+        )[:, :band]
     else:
-        if assume_unique_neighbors:
-            # unique-index SET straight into the compute dtype — no f32
-            # accumulation buffer and no read-modify-write; out-of-band taps
-            # get their own trash column band+k
-            taps = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (M, K))
-            flat_cols = jnp.where(in_band, li, band + taps).reshape(-1)
-            S = jnp.zeros((M, band + K), dtype)
-            S = S.at[flat_rows, flat_cols].set(
-                weights.astype(dtype).reshape(-1), unique_indices=True
-            )[:, :band]
-        else:
-            # duplicate neighbors must sum (fixed_degree_spmm semantics)
-            flat_cols = jnp.where(in_band, li, band).reshape(-1)
-            S = jnp.zeros((M, band + 1), jnp.float32)
-            S = S.at[flat_rows, flat_cols].add(
-                weights.reshape(-1)
-            ).astype(dtype)[:, :band]
-        keep = out_mask & (rank < R)
-        slot = jnp.where(keep, rank, R + 1)              # out of bounds -> drop
-        E = jnp.zeros((R + 1,), jnp.int32).at[slot].set(
-            edge_ids, mode="drop", unique_indices=True
-        )[:R]
+        # duplicate neighbors must sum (fixed_degree_spmm semantics)
+        flat_cols = jnp.where(in_band, li, band).reshape(-1)
+        S = jnp.zeros((M, band + 1), jnp.float32)
+        S = S.at[flat_rows, flat_cols].add(
+            weights.reshape(-1)
+        ).astype(dtype)[:, :band]
+    keep = out_mask & (rank < R)
+    slot = jnp.where(keep, rank, R + 1)              # out of bounds -> drop
+    E = jnp.zeros((R + 1,), jnp.int32).at[slot].set(
+        edge_ids, mode="drop", unique_indices=True
+    )[:R]
     e_live = jnp.arange(R) < jnp.minimum(n_out, R)
     res_row = jnp.where(e_live, E // K, M)               # non-decreasing
     res_col = jnp.where(e_live, nbr.reshape(-1)[E], 0)
