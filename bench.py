@@ -197,16 +197,20 @@ def main():
         P, M, V, Pv = 512, 256, 2, 128
     elif args.preset_scale:
         cfg = load_config("scannet", overrides=args.overrides)
-        # GATHER-mode smoothing at preset scale: in logit space (C=19) the
-        # fixed-degree gather matches the banded matmul per round (1.61 vs
-        # 1.63 s measured at M=2^18 — both are edge-count-bound at tiny C)
-        # and drops the banded build (0.61 s) + Hilbert reorder entirely.
-        # Wider bands that would shrink the residual (8192+) OOM the 16 GB
-        # chip (S is [M, band] bf16). The banded path still wins at C=512
-        # (feature-space smoothing) and at the driver spec's M=65536.
+        # BANDED smoothing at preset scale, at band 6144: the default 12288
+        # exceeds the u16 fused build's int32 flat-index guard at M=2^18
+        # (M*band = 3.2e9 > 2^31), silently falls back to the i32 [M, band+K]
+        # build, and OOMs the chip (XLA materializes the 6 GB S twice: the
+        # padded copy AND its slice — measured 18.7 G > 15.75 G). At band
+        # 6144 (+2M residual capacity, chunk-gated per round) the u16 path
+        # applies and WINS over gather mode: build 0.37 s + 19 rounds 0.96 s
+        # vs 1.62 s (measured M=2^18, logit space C=128). Pass --overrides
+        # pooling.spmm_mode=gather to A/B.
         cfg = dataclasses.replace(
             cfg,
-            pooling=dataclasses.replace(cfg.pooling, spmm_mode="gather"),
+            pooling=dataclasses.replace(
+                cfg.pooling, band=6144, max_residual=2 * 1024 * 1024
+            ),
         )
         P, M, V, Pv = 2 ** 20, 2 ** 18, 32, 2 ** 16
     else:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from geopurify_tpu.ops.knn import nearest_fill, nearest_fill_grid
 from geopurify_tpu.ops.segment import segment_sum
-from geopurify_tpu.models.layers import _aa_resize_taps
+from geopurify_tpu.models.layers import _aa_resize_taps, resize_bicubic_antialias
 
 
 class ViewLift(NamedTuple):
@@ -51,15 +51,20 @@ def lift_view_features(
 ) -> ViewLift:
     """Single-view mask assembly -> per-point features -> hole fill -> logits.
 
-    The mask-id argmax grid is evaluated ONLY at the Pv point pixels: the
-    reference resizes pred_masks to the full [Q, H, W] grid, argmaxes every
-    pixel, then reads the result at the visible points' (row, col)
-    (affinity_module.py:527-593) — but nothing else consumes the grid, and
-    the separable bicubic resample at one pixel is just a (taps_h x taps_w)
-    weighted window of the stride-4 masks. Gathering those windows per point
-    ([Pv, T, Q] instead of [Q, H, W] ~ 250 MB of resized masks per view) is
-    the same math term-for-term (same clipped/renormalized tap weights,
-    extracted from the same cached matrices — layers._aa_resize_taps)."""
+    The mask-id argmax grid is evaluated ONLY at the Pv point pixels when
+    that is cheaper: the reference resizes pred_masks to the full [Q, H, W]
+    grid, argmaxes every pixel, then reads the result at the visible points'
+    (row, col) (affinity_module.py:527-593) — but nothing else consumes the
+    grid, and the separable bicubic resample at one pixel is just a
+    (taps_h x taps_w) weighted window of the stride-4 masks. Gathering those
+    windows per point ([Pv, T, Q]) is the same math term-for-term (same
+    clipped/renormalized tap weights, extracted from the same cached
+    matrices — layers._aa_resize_taps). STATIC GATE: the point-evaluated
+    form touches Pv*Ty*Tx*Q mask samples vs the grid's H*W*Q — at the
+    driver spec (Pv=16384, T=16: 0.26M < 0.31M pixels) point-eval wins
+    (bench 1.048 -> 1.074 scenes/s); at preset scale (Pv=65536 the gather
+    is 843 MB/view, 3.3x the grid) the full-grid resize wins and lift_total
+    regressed 1.74 -> 2.21 s/scene without the gate."""
     H, W = mask_shape
     Q, h, w = pred_masks.shape
 
@@ -71,22 +76,38 @@ def lift_view_features(
     lo_y, w_y = (jnp.asarray(a) for a in _aa_resize_taps(h, H))
     lo_x, w_x = (jnp.asarray(a) for a in _aa_resize_taps(w, W))
     Ty, Tx = w_y.shape[1], w_x.shape[1]
-    py, wy = lo_y[r], w_y[r]                                  # [Pv], [Pv, Ty]
-    px, wx = lo_x[c], w_x[c]
-    # flat pixel ids of each point's (Ty x Tx) source window
-    pix = (
-        (py[:, None, None] + jnp.arange(Ty, dtype=jnp.int32)[None, :, None]) * w
-        + (px[:, None, None] + jnp.arange(Tx, dtype=jnp.int32)[None, None, :])
-    ).reshape(-1, Ty * Tx)                                    # [Pv, T]
-    masks_flat = pred_masks.transpose(1, 2, 0).reshape(h * w, Q)
-    g = masks_flat[pix].astype(jnp.float32)                   # [Pv, T, Q]
-    wts = (wy[:, :, None] * wx[:, None, :]).reshape(-1, Ty * Tx)
-    vals = jnp.einsum(
-        "pt,ptq->pq", wts, g, preferred_element_type=jnp.float32
-    )                                                         # [Pv, Q] mask logits
-    sig_pts = jax.nn.sigmoid(vals)
-    winner = jnp.argmax(scores[None, :] * sig_pts, axis=-1)   # [Pv]
-    sig_win = jnp.take_along_axis(sig_pts, winner[:, None], axis=-1)[:, 0]
+    Pv = rows.shape[0]
+    if Pv * Ty * Tx <= H * W:
+        py, wy = lo_y[r], w_y[r]                              # [Pv], [Pv, Ty]
+        px, wx = lo_x[c], w_x[c]
+        # flat pixel ids of each point's (Ty x Tx) source window
+        pix = (
+            (py[:, None, None]
+             + jnp.arange(Ty, dtype=jnp.int32)[None, :, None]) * w
+            + (px[:, None, None]
+               + jnp.arange(Tx, dtype=jnp.int32)[None, None, :])
+        ).reshape(-1, Ty * Tx)                                # [Pv, T]
+        masks_flat = pred_masks.transpose(1, 2, 0).reshape(h * w, Q)
+        g = masks_flat[pix].astype(jnp.float32)               # [Pv, T, Q]
+        wts = (wy[:, :, None] * wx[:, None, :]).reshape(-1, Ty * Tx)
+        vals = jnp.einsum(
+            "pt,ptq->pq", wts, g, preferred_element_type=jnp.float32
+        )                                                     # [Pv, Q] mask logits
+        sig_pts = jax.nn.sigmoid(vals)
+        winner = jnp.argmax(scores[None, :] * sig_pts, axis=-1)   # [Pv]
+        sig_win = jnp.take_along_axis(sig_pts, winner[:, None], axis=-1)[:, 0]
+    else:
+        # full-grid resize path: dense [Q, H, W] via the same AA weight
+        # matrices as matmuls (layers.resize_bicubic_antialias), per-pixel
+        # argmax grid, read at the point pixels
+        masks = resize_bicubic_antialias(
+            pred_masks.transpose(1, 2, 0)[None], (H, W)
+        )[0].transpose(2, 0, 1)                               # [Q, H, W] f32
+        sig = jax.nn.sigmoid(masks)                           # [Q, H, W]
+        prob_masks = scores[:, None, None] * sig
+        mask_ids = jnp.argmax(prob_masks, axis=0)             # [H, W]
+        winner = mask_ids[r, c]                               # [Pv]
+        sig_win = sig[winner, r, c]
     covered = (sig_win >= mask_threshold) & pv_valid
     feats = jnp.where(
         covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0

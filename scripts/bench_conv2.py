@@ -70,6 +70,130 @@ def main():
         t = t_sync(conv, f32.astype(dt), W.astype(dt))
         print(f"tap-scan {dt.__name__}: {t:.1f} ms")
 
+    # --- scatter-form: out[nbr[j,K-1-k]] += f[j] @ W[k] (stencil symmetry:
+    # nbr[i,k]=j <=> nbr[j,K-1-k]=i, see ops/sparse_conv._conv_core_bwd).
+    # Per tap: one dense [M,Cin]@[Cin,Cout] matmul (no gather at all) + one
+    # unique-index scatter-add of M rows (sentinel M rows drop out of bounds).
+    # Gathers cost ~20 ns/row at this table size vs ~12 ns/row scatters, so
+    # trading the tap gather for a scatter should win despite the RMW.
+    def make_scatter_conv(dt):
+        Wd = W.astype(dt)
+
+        @jax.jit
+        def conv(f):
+            fd = f.astype(dt)
+
+            def body(acc, k):
+                g = jax.lax.dot_general(
+                    fd, Wd[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dst = nbr[:, K - 1 - k]
+                acc = acc.at[dst].add(g, mode="drop", unique_indices=True)
+                return acc, None
+
+            acc0 = jnp.zeros((M, Cout), jnp.float32)
+            acc, _ = jax.lax.scan(body, acc0, jnp.arange(K))
+            return jnp.where(valid[:, None], acc, 0).astype(dt)
+
+        return conv
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        t = t_sync(make_scatter_conv(dt), f32)
+        print(f"scatter-form {dt.__name__}: {t:.1f} ms")
+    ref0 = sparse_conv3(f32, nbr, W, valid)
+    outs = make_scatter_conv(jnp.float32)(f32)
+    err0 = float(jnp.max(jnp.abs(outs - ref0)) / (jnp.max(jnp.abs(ref0)) + 1e-9))
+    print(f"scatter-form f32 rel err vs tap-scan: {err0:.2e}")
+
+    # --- z-stacked columns: voxels are lex-sorted (x,y,z), so the z-pred/
+    # z-succ of row r are rows r-1/r+1 WHEN THEY EXIST. Build once per conv
+    # H = [f(z-pred) || f || f(z-succ)] [M+1, 3C] (two shifts + masks, zero
+    # sentinel row), then each (dx,dy) column needs ONE row-gather at the
+    # dz=0 tap's index with 3C-wide rows: 27 gathers -> 9, same bytes, 3x
+    # fewer gather indices (the per-index cost dominates at C=512 — see the
+    # scatter/gather cost model in CLAUDE.md). Misses (middle voxel absent
+    # but z+-1 present: a hole or run boundary in the neighbor column) are
+    # repaired by an exact per-tap residual over a compacted edge list.
+    coords_np = np.asarray(batch.voxel_coords)
+    valid_np = np.asarray(valid)
+    nbr_np = np.asarray(nbr)
+    adj = (
+        np.all(coords_np[1:] - coords_np[:-1] == np.array([0, 0, 1]), axis=-1)
+        & valid_np[1:] & valid_np[:-1]
+    )
+    has_pred = jnp.asarray(np.concatenate([[False], adj]))
+    has_succ = jnp.asarray(np.concatenate([adj, [False]]))
+    # column order: kernel_offsets_3d is x-major product, so taps 3c, 3c+1,
+    # 3c+2 are (dx,dy,-1), (dx,dy,0), (dx,dy,+1) of column c
+    t_mid = jnp.asarray(nbr_np[:, np.arange(1, K, 3)])  # [M, 9]
+    # residual edges: tap k=3c+-1 live while the column's mid tap absent —
+    # compacted host-side per tap (in the real impl this is a once-per-scene
+    # device compaction with static capacity, like the banded residual)
+    res_edges = []   # (tap, dst_rows, src_rows)
+    for c in range(9):
+        mid_dead = nbr_np[:, 3 * c + 1] >= M
+        for k in (3 * c, 3 * c + 2):
+            dst = np.nonzero((nbr_np[:, k] < M) & mid_dead)[0]
+            if dst.size:
+                res_edges.append(
+                    (k, jnp.asarray(dst.astype(np.int32)),
+                     jnp.asarray(nbr_np[dst, k].astype(np.int32)))
+                )
+    n_res = int(sum(d.shape[0] for _, d, _ in res_edges))
+    print(f"z-stack residual edges: {n_res} ({n_res/(M*K):.4f} of all taps, "
+          f"{len(res_edges)} taps)")
+
+    def make_zstack_conv(dt):
+        # stacked weights: column c uses [W[3c]; W[3c+1]; W[3c+2]] [3C, Cout]
+        Wz = jnp.stack(
+            [jnp.concatenate([W[3 * c], W[3 * c + 1], W[3 * c + 2]], axis=0)
+             for c in range(9)]
+        ).astype(dt)                               # [9, 3Cin, Cout]
+        t_mid_s = jnp.where(t_mid < M, t_mid, M)   # sentinel -> zero row
+
+        @jax.jit
+        def conv(f):
+            fd = f.astype(dt)
+            fm = jnp.where(has_pred[:, None], jnp.concatenate(
+                [fd[:1] * 0, fd[:-1]], axis=0), 0)
+            fp = jnp.where(has_succ[:, None], jnp.concatenate(
+                [fd[1:], fd[:1] * 0], axis=0), 0)
+            H = jnp.concatenate([fm, fd, fp], axis=1)          # [M, 3C]
+            H = jnp.concatenate([H, jnp.zeros((1, 3 * Cin), dt)], axis=0)
+
+            def body(acc, c):
+                g = H[t_mid_s[:, c]]                           # [M, 3C]
+                acc = acc + jax.lax.dot_general(
+                    g, Wz[c], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return acc, None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((M, Cout), jnp.float32), jnp.arange(9))
+            # residual: missed z+-1 edges, compacted per tap
+            for k, dst, src in res_edges:
+                g = jax.lax.dot_general(
+                    fd[src], W[k].astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc.at[dst].add(g, unique_indices=True)
+            return jnp.where(valid[:, None], acc, 0).astype(dt)
+
+        return conv
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        t = t_sync(make_zstack_conv(dt), f32)
+        print(f"z-stack {dt.__name__}: {t:.1f} ms")
+    outz = make_zstack_conv(jnp.float32)(f32)
+    errz = float(jnp.max(jnp.abs(outz - ref0)) / (jnp.max(jnp.abs(ref0)) + 1e-9))
+    print(f"z-stack f32 rel err vs tap-scan: {errz:.2e}")
+
+    if M * K * Cout * 4 > 6e9:
+        print("skipping edge-compacted variants (pre-matmul buffer would OOM)")
+        return
+
     # --- edge-compacted: pack live edge ids once per scene
     @jax.jit
     def edge_pack(nbr):

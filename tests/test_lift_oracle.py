@@ -213,3 +213,48 @@ def test_voxel_fill_approximation_bound(rng):
 
     agree = (pred(exact[un]) == pred(approx[un])).mean()
     assert agree > 0.9, f"argmax agreement on filled rows {agree:.2%}"
+
+
+def test_lift_point_eval_and_grid_branches_agree(rng):
+    """lift_view_features has two statically-gated implementations of the
+    mask-id argmax (point-evaluated AA taps when Pv*Ty*Tx <= H*W, the dense
+    [Q, H, W] resize grid otherwise). Same inputs through both branches must
+    produce the same features — the gate is a perf decision, not a semantic
+    one. Pv toggles the branch; padded rows are invalid so the common rows
+    see identical donors/queries in the hole fill."""
+    Q, h, w = 6, 12, 16
+    H, W = 48, 64          # H*W = 3072; T = 4x4 taps at this upscale
+    n_cls, C = 4, 8
+    pred_masks = rng.normal(0, 3, (Q, h, w)).astype(np.float32)
+    mask_embed = rng.normal(size=(Q, C)).astype(np.float32)
+    pred_logits = rng.normal(size=(Q, n_cls + 1)).astype(np.float32)
+    text = rng.normal(size=(n_cls, C)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+
+    Pv_small, Pv_big = 64, 256   # 64*16=1024 <= 3072 < 4096=256*16
+    rows = rng.integers(0, H, Pv_small).astype(np.int32)
+    cols = rng.integers(0, W, Pv_small).astype(np.int32)
+    coords = rng.normal(size=(Pv_small, 3)).astype(np.float32)
+
+    def run(Pv):
+        pad = Pv - Pv_small
+        return lift_view_features(
+            jnp.asarray(pred_masks), jnp.asarray(mask_embed),
+            jnp.asarray(pred_logits),
+            jnp.asarray(np.pad(rows, (0, pad))),
+            jnp.asarray(np.pad(cols, (0, pad))),
+            jnp.asarray(np.pad(np.ones(Pv_small, bool), (0, pad))),
+            jnp.asarray(np.pad(coords, ((0, pad), (0, 0)))),
+            jnp.asarray(text), jnp.float32(10.0), (H, W),
+        )
+
+    small = run(Pv_small)   # point-evaluated branch
+    big = run(Pv_big)       # full-grid branch
+    np.testing.assert_allclose(
+        np.asarray(small.features),
+        np.asarray(big.features)[:Pv_small], rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(small.logits),
+        np.asarray(big.logits)[:Pv_small], rtol=2e-4, atol=2e-4,
+    )
