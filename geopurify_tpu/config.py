@@ -107,6 +107,11 @@ class StudentConfig:
     # "bfloat16" runs inference conv compute in bf16 (params/BN stay f32);
     # embedding-vs-f32 error bound pinned in tests/test_sparse_conv.py
     compute_dtype: str = "float32"
+    # Stage-2 eval: voxel count at/above which the student's 3^3 convs run
+    # the z-stacked fast path (ops/sparse_conv.ZStackTable — 9 wide gathers
+    # instead of 27; ~15% faster per conv at M=2^18 on v5e, slower at
+    # M=65536 where row-gathers are already bytes-bound)
+    zstack_min_voxels: int = 131072
 
 
 @dataclass

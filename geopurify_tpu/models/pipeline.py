@@ -50,7 +50,7 @@ from geopurify_tpu.ops.contrastive import (
 )
 from geopurify_tpu.ops.pooling import geometry_guided_pooling
 from geopurify_tpu.ops.segment import segment_mean
-from geopurify_tpu.ops.sparse_conv import build_neighbor_table
+from geopurify_tpu.ops.sparse_conv import build_neighbor_table, build_zstack_table
 
 
 class SceneFeatures(NamedTuple):
@@ -286,6 +286,13 @@ class GeoPurifyPipeline:
         voxel_in = jnp.concatenate([voxel_sem, voxel_geom], axis=1)  # [M, 518]
 
         nbr = build_neighbor_table(batch.voxel_coords, batch.voxel_valid)
+        if M >= self.cfg.student.zstack_min_voxels:
+            # z-stacked conv fast path (ops/sparse_conv.ZStackTable): wins
+            # ~15% per conv at M=2^18, loses at M=65536 — static gate on M
+            nbr = build_zstack_table(
+                batch.voxel_coords, batch.voxel_valid, nbr,
+                res_budget=max(16384, M // 16),
+            )
         embed = self.student.apply(
             student_vars, voxel_in, nbr, batch.voxel_valid, train=False
         )

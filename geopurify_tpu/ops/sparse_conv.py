@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import itertools
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,16 +169,173 @@ def _conv_core_bwd(res, g):
 _conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
 
 
+class ZStackTable(NamedTuple):
+    """Aux structure for the z-stacked 3^3 conv (large-M eval fast path).
+
+    Lex-sorted voxels put (x, y, z-1) / (x, y, z+1) at the ADJACENT table
+    rows of (x, y, z) whenever they exist, so the three dz taps of a kernel
+    column (dx, dy) can share ONE row-gather at the dz=0 tap's index over
+    H = [f(z-pred) || f || f(z-succ)] — 27 row-gathers become 9 gathers of
+    3C-wide rows. Measured on v5e (scripts/bench_conv2.py): 15% faster at
+    M=2^18 (183 vs 215 ms/conv), SLOWER at M=65536 (row-gathers at 2KB rows
+    are already bytes-bound there) — gate on M (student.zstack_min_voxels).
+
+    Columns whose dz=0 voxel is ABSENT while a dz=+-1 neighbor exists (a
+    hole or run boundary in the neighbor z-column; 0.3-9% of taps on
+    surface scenes) are repaired by an exact per-tap compacted residual.
+    ``overflow`` means a tap's residual exceeded the static budget — callers
+    must fall back to the tap-scan conv (the result here would be inexact).
+    """
+
+    nbr: jax.Array        # [M, K] the plain table (fallback + d_weights)
+    t_mid: jax.Array      # [M, 9] dz=0 tap index per column (sentinel M)
+    has_pred: jax.Array   # [M] row i-1 is i's z-predecessor
+    has_succ: jax.Array   # [M] row i+1 is i's z-successor
+    res_dst: jax.Array    # [18, B] destination rows (pad M)
+    res_src: jax.Array    # [18, B] source rows (pad M -> zero sentinel)
+    res_cnt: jax.Array    # [18] live edge count per residual tap
+    overflow: jax.Array   # [] bool
+
+
+# residual tap ids: dz=-1 and dz=+1 of each of the 9 (dx,dy) columns
+_Z_RES_TAPS = np.array(
+    [k for c in range(9) for k in (3 * c, 3 * c + 2)], dtype=np.int32
+)
+
+
+@partial(jax.jit, static_argnames=("res_budget",))
+def build_zstack_table(
+    voxel_coords: jax.Array,  # [M, 3] int32, lex-sorted
+    voxel_valid: jax.Array,   # [M] bool
+    neighbor_idx: jax.Array,  # [M, 27] from build_neighbor_table
+    res_budget: int = 16384,
+) -> ZStackTable:
+    """Derive the z-stack structure from the 27-neighbor table, once per
+    scene (shared by every 3^3 conv layer, like the table itself)."""
+    M = neighbor_idx.shape[0]
+    K = 27
+    adj = (
+        jnp.all(
+            voxel_coords[1:] - voxel_coords[:-1]
+            == jnp.asarray([0, 0, 1], voxel_coords.dtype),
+            axis=-1,
+        )
+        & voxel_valid[1:]
+        & voxel_valid[:-1]
+    )
+    has_pred = jnp.concatenate([jnp.zeros((1,), bool), adj])
+    has_succ = jnp.concatenate([adj, jnp.zeros((1,), bool)])
+    t_mid = neighbor_idx[:, 1::3]                    # [M, 9]
+
+    # residual edges, one fused scatter: for tap slot t (global tap k) the
+    # live-while-mid-absent edges compact at their per-tap rank; the edge id
+    # i*K+k is scattered (fits int32), dst/src derive by cheap gathers at
+    # the compact size. Overflow rows go out of bounds (mode="drop").
+    ks = jnp.asarray(_Z_RES_TAPS)                    # [18]
+    live = neighbor_idx[:, ks] < M                   # [M, 18]
+    mid_dead = t_mid >= M                            # [M, 9]
+    mask = (live & jnp.repeat(mid_dead, 2, axis=1)).T   # [18, M]
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    cnt = jnp.sum(mask.astype(jnp.int32), axis=1)    # [18]
+    B = res_budget
+    rows = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (18, M))
+    eid = rows * K + ks[:, None].astype(jnp.int32)   # [18, M]
+    slot = jnp.where(
+        mask & (rank < B),
+        jnp.arange(18, dtype=jnp.int32)[:, None] * B + rank,
+        18 * B,
+    )
+    flat = jnp.full((18 * B,), -1, jnp.int32).at[slot.reshape(-1)].set(
+        eid.reshape(-1), mode="drop", unique_indices=True
+    )
+    e_live = (
+        jnp.arange(B, dtype=jnp.int32)[None, :] < jnp.minimum(cnt, B)[:, None]
+    )                                                # [18, B]
+    eid_c = flat.reshape(18, B)
+    dst = jnp.where(e_live, eid_c // K, M)
+    src = jnp.where(
+        e_live, neighbor_idx.reshape(-1)[jnp.maximum(eid_c, 0)], M
+    )
+    return ZStackTable(
+        neighbor_idx, t_mid, has_pred, has_succ,
+        dst, src, cnt, jnp.any(cnt > B),
+    )
+
+
+def _conv_zstack(features: jax.Array, zt: ZStackTable,
+                 weights: jax.Array, valid: jax.Array) -> jax.Array:
+    """The z-stacked 3^3 conv body (see ZStackTable). Exact vs _conv_core
+    when ``not zt.overflow`` (test-pinned); callers gate on the flag."""
+    M, Cin = features.shape
+    Cout = weights.shape[2]
+    fd = features
+    zero = jnp.zeros((1, Cin), fd.dtype)
+    fm = jnp.where(zt.has_pred[:, None], jnp.concatenate([zero, fd[:-1]]), 0)
+    fp = jnp.where(zt.has_succ[:, None], jnp.concatenate([fd[1:], zero]), 0)
+    H = jnp.concatenate([fm, fd, fp], axis=1)        # [M, 3C]
+    H = jnp.concatenate([H, jnp.zeros((1, 3 * Cin), fd.dtype)], axis=0)
+    # stacked per-column weights [9, 3C, Cout]
+    Wz = weights.reshape(9, 3, Cin, Cout).reshape(9, 3 * Cin, Cout)
+
+    def col(acc, c):
+        g = H[zt.t_mid[:, c]]                        # [M, 3C]
+        acc = acc + jax.lax.dot_general(
+            g, Wz[c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(col, jnp.zeros((M, Cout), jnp.float32),
+                          jnp.arange(9))
+
+    f_pad = jnp.concatenate([fd, zero], axis=0)
+    k_map = jnp.asarray(_Z_RES_TAPS)
+
+    def resid(t, acc):
+        def live(acc):
+            g = jax.lax.dot_general(
+                f_pad[zt.res_src[t]],
+                jax.lax.dynamic_index_in_dim(
+                    weights, k_map[t], keepdims=False
+                ).astype(fd.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc.at[zt.res_dst[t]].add(
+                g, mode="drop", unique_indices=True
+            )
+
+        return jax.lax.cond(zt.res_cnt[t] > 0, live, lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, 18, resid, acc)
+    return jnp.where(valid[:, None], acc, 0)
+
+
 def sparse_conv3(
     features: jax.Array,      # [M, Cin]
-    neighbor_idx: jax.Array,  # [M, K] int32, sentinel == M
+    neighbor_idx,             # [M, K] int32 table (sentinel == M) or ZStackTable
     weights: jax.Array,       # [K, Cin, Cout]
     valid: jax.Array,         # [M] bool
     bias: Optional[jax.Array] = None,  # [Cout]
     accum_dtype=jnp.float32,
 ) -> jax.Array:
-    """out[i] = sum_k F[nbr[i,k]] @ W[k]  (+ bias), zeros beyond valid rows."""
-    out = _conv_core(features, neighbor_idx, weights, valid).astype(accum_dtype)
+    """out[i] = sum_k F[nbr[i,k]] @ W[k]  (+ bias), zeros beyond valid rows.
+
+    With a ``ZStackTable`` the z-stacked large-M fast path runs (exact;
+    a residual-budget overflow falls back to the tap-scan conv under a
+    runtime cond). The z-stack path is forward-only (Stage-2 eval) — the
+    training step keeps the plain table and its gather-based custom VJP."""
+    if isinstance(neighbor_idx, ZStackTable):
+        zt = neighbor_idx
+        out = jax.lax.cond(
+            zt.overflow,
+            lambda: _conv_core(features, zt.nbr, weights, valid),
+            lambda: _conv_zstack(features, zt, weights, valid),
+        ).astype(accum_dtype)
+    else:
+        out = _conv_core(
+            features, neighbor_idx, weights, valid
+        ).astype(accum_dtype)
     if bias is not None:
         out = out + bias[None, :].astype(accum_dtype)
         out = jnp.where(valid[:, None], out, 0)

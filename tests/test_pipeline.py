@@ -169,3 +169,28 @@ def test_stage1_loss_and_grads(setup):
         lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0
     )
     assert gnorm > 0
+
+
+def test_evaluate_scene_zstack_gate_matches(setup):
+    """Stage-2 with the z-stack student fast path forced ON (threshold 1)
+    must reproduce the default (table) pipeline's predictions exactly —
+    the M-gated dispatch in _voxel_embed is perf-only."""
+    cfg, batch, pipe, student_vars = setup
+    cfg_z = dataclasses.replace(
+        cfg, student=dataclasses.replace(cfg.student, zstack_min_voxels=1)
+    )
+    pipe_z = GeoPurifyPipeline(
+        cfg=cfg_z, teacher_params=pipe.teacher_params,
+        text_embeddings=pipe.text_embeddings, logit_scale=pipe.logit_scale,
+        sonata_params=pipe.sonata_params,
+    )
+    out_z = pipe_z.evaluate_scene(student_vars, batch)
+    out = pipe.evaluate_scene(student_vars, batch)
+    valid = np.asarray(batch.point_valid)
+    np.testing.assert_array_equal(
+        np.asarray(out_z["pred"])[valid], np.asarray(out["pred"])[valid]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_z["logits"])[valid], np.asarray(out["logits"])[valid],
+        rtol=5e-4, atol=5e-4,
+    )

@@ -200,3 +200,70 @@ def test_student_bf16_compute_affinity_bound(rng):
     w32, w16 = weights(e32), weights(e16.astype(np.float64))
     rel = np.abs(w32 - w16).max() / np.abs(w32).max()
     assert rel < 0.05, f"affinity weight drift {rel:.3f}"
+
+
+def test_zstack_conv_matches_tap_scan(rng):
+    """The z-stacked fast path (ZStackTable) must equal the tap-scan conv on
+    scenes WITH z-holes (middle voxel absent, z+-1 present — the residual
+    path) — sparse random occupancy produces plenty of them."""
+    from geopurify_tpu.ops.sparse_conv import build_zstack_table
+
+    dv = _make_voxels(rng, n_pts=700, extent=7, max_voxels=512)
+    M = dv.voxel_coords.shape[0]
+    nbr = build_neighbor_table(dv.voxel_coords, dv.voxel_valid)
+    zt = build_zstack_table(dv.voxel_coords, dv.voxel_valid, nbr,
+                            res_budget=256)
+    assert not bool(zt.overflow)
+    assert int(jnp.sum(zt.res_cnt)) > 0, "scene has no z-holes; weak test"
+
+    Cin, Cout = 12, 10
+    f = jnp.asarray(rng.normal(size=(M, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+
+    ref = sparse_conv3(f, nbr, w, dv.voxel_valid, bias=b)
+    got = sparse_conv3(f, zt, w, dv.voxel_valid, bias=b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_zstack_overflow_falls_back_exactly(rng):
+    """A residual budget of 0 forces overflow; the runtime cond must route to
+    the tap-scan conv and stay exact."""
+    from geopurify_tpu.ops.sparse_conv import build_zstack_table
+
+    dv = _make_voxels(rng, n_pts=700, extent=7, max_voxels=512)
+    M = dv.voxel_coords.shape[0]
+    nbr = build_neighbor_table(dv.voxel_coords, dv.voxel_valid)
+    zt = build_zstack_table(dv.voxel_coords, dv.voxel_valid, nbr, res_budget=1)
+    assert bool(zt.overflow)
+
+    Cin, Cout = 8, 6
+    f = jnp.asarray(rng.normal(size=(M, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1)
+    ref = sparse_conv3(f, nbr, w, dv.voxel_valid)
+    got = sparse_conv3(f, zt, w, dv.voxel_valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_student_forward_zstack_matches_table(rng):
+    """AffinityPredictor with a ZStackTable neighbor arg equals the plain
+    table forward (the pipeline's M-gated dispatch must be a no-op
+    semantically)."""
+    from geopurify_tpu.ops.sparse_conv import build_zstack_table
+
+    dv = _make_voxels(rng, n_pts=500, extent=6, max_voxels=256)
+    M = dv.voxel_coords.shape[0]
+    nbr = build_neighbor_table(dv.voxel_coords, dv.voxel_valid)
+    zt = build_zstack_table(dv.voxel_coords, dv.voxel_valid, nbr,
+                            res_budget=256)
+    model = AffinityPredictor(input_dim=14, hidden_dim=16, embed_dim=8,
+                              num_res_blocks=2)
+    f = jnp.asarray(rng.normal(size=(M, 14)).astype(np.float32))
+    variables = model.init(jax.random.key(0), f, nbr, dv.voxel_valid,
+                           train=False)
+    ref = model.apply(variables, f, nbr, dv.voxel_valid, train=False)
+    got = model.apply(variables, f, zt, dv.voxel_valid, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
