@@ -228,20 +228,30 @@ def knn_self_grid(
     cf = coords.astype(jnp.float32)
     c_sq = jnp.sum(cf * cf, axis=-1)
     r2 = jnp.float32(radius) * jnp.float32(radius)
-    # gid-packed selection keys (M <= 65536): integer voxel coords make d2 an
-    # exact f32 integer, so key = min(d2, 255)*65536 + global_id fits 2^24
-    # exactly and the top-k returns neighbor IDS IN THE KEY — no [G,T,k]
-    # cand_idx gather afterwards (measured ~60 ms of the 167 ms topk phase at
-    # M=65536). The d2 clamp is certificate-safe: a certified row has
-    # d_k <= r2 = 144 < 255 so all its true top-k keys are unclamped and
-    # clamped far candidates can never displace them; uncertified rows are
-    # recomputed exactly by pass 2 regardless. Ties break by id (allowed —
-    # result is exact up to equal-distance ties). Requires an INTEGER coords
-    # dtype (float coords make d2 fractional and the mod-decode garbles ids).
-    pack_ids = (
-        M <= 65536 and radius <= 15
-        and jnp.issubdtype(coords.dtype, jnp.integer)
-    )
+    # TILE-RELATIVE packed selection keys: integer voxel coords make d2 an
+    # exact f32 integer, so key = min(d2, r2+1)*B + (global_id - tile_base)
+    # with B = 2^24 // (r2+2) fits 2^24 exactly and the top-k returns
+    # neighbor IDS IN THE KEY — no [G,T,k] cand_idx gather afterwards
+    # (measured ~60 ms of the 167 ms topk phase at M=65536; the gather is
+    # per-index cost, ~25M indices at M=2^18). tile_base is the tile's
+    # minimum candidate id: voxels are lex-sorted (x-major — the device
+    # contract), so a tile's bbox-pruned candidates occupy a bounded row
+    # RANGE (x-window slabs). B is the maximal exact budget: at radius 12,
+    # B = 114912 — measured 0.15% of tiles overflow it at M=2^18 on the
+    # bench scene (vs 5.9% at a 65536 budget, scripts/probe_tile_ranges.py);
+    # overflowing tiles simply FAIL their certificate (their overflow
+    # candidates are masked to +inf so a garbled id can never be returned,
+    # and every query of the tile is recomputed exactly by pass 2). At
+    # M <= 65536 rel <= M-1 always fits. The d2 clamp is certificate-safe:
+    # a certified row has d_k <= r2 < r2+1 so all its true top-k keys are
+    # unclamped and clamped far candidates can never displace them;
+    # uncertified rows are recomputed exactly by pass 2 regardless. Ties
+    # break by id (allowed — result is exact up to equal-distance ties).
+    # Requires an INTEGER coords dtype (float coords make d2 fractional and
+    # the mod-decode garbles ids).
+    pack_ids = radius <= 15 and jnp.issubdtype(coords.dtype, jnp.integer)
+    pack_B = float(2**24 // (radius * radius + 2))
+    pack_clamp = float(radius * radius + 1)
 
     # Hilbert-order the QUERIES only (db stays in caller order; indices are
     # caller-order throughout). Invalid rows sort last.
@@ -297,8 +307,15 @@ def knn_self_grid(
         d2 = q_sq + c_sq[cand_idx][None, :] - 2.0 * dots
         bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
         if pack_ids:
-            d2 = jnp.minimum(d2, 255.0) * 65536.0 + cand_idx[None, :]
-        return jnp.where(bad, _INF, d2), cand_idx, total
+            base = jnp.min(jnp.where(cand_ok, cand_idx, jnp.int32(2**30)))
+            rel = cand_idx - base
+            rel_fits = ~jnp.any(cand_ok & (rel >= int(pack_B)))
+            bad = bad | (rel >= int(pack_B))[None, :]
+            d2 = jnp.minimum(d2, pack_clamp) * pack_B + rel[None, :].astype(
+                jnp.float32
+            )
+            return jnp.where(bad, _INF, d2), base, (total, rel_fits)
+        return jnp.where(bad, _INF, d2), cand_idx, (total, jnp.bool_(True))
 
     all_idx = jnp.arange(M, dtype=jnp.int32)
 
@@ -331,23 +348,32 @@ def knn_self_grid(
                 qids, qvs, all_idx, valid
             )
 
-        d2, cand_idx, total = jax.lax.cond(s_fits, pruned, full_scan)
+        d2, cand_idx, (total, rel_fits) = jax.lax.cond(s_fits, pruned, full_scan)
         pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k, selector=selector)
         if pack_ids:
-            pi = jnp.where(
-                jnp.isfinite(pd), jnp.mod(pd, 65536.0), 0.0
-            ).astype(jnp.int32).reshape(G, T, k)
+            # cand_idx here is the per-tile base id [G]; rel rides the key.
+            # Decode in INTEGER arithmetic: keys are exact f32 integers
+            # < 2^24 so the int32 cast is exact, while f32 floor(key/B) at
+            # non-power-of-two B mis-rounds when rel is within ~B*2^-24 of B
+            # (division rounds key/B up to the next integer).
+            fin = jnp.isfinite(pd)
+            ki = jnp.where(fin, pd, 0.0).astype(jnp.int32)
+            Bi = jnp.int32(int(pack_B))
+            pi = (ki % Bi).reshape(G, T, k) + cand_idx[:, None, None]
+            pi = jnp.where(fin.reshape(G, T, k), pi, 0)
             pd = jnp.where(
-                jnp.isfinite(pd), jnp.floor(pd / 65536.0), _INF
+                fin, (ki // Bi).astype(jnp.float32), _INF
             ).reshape(G, T, k)
         else:
             pd = pd.reshape(G, T, k)
             loc = loc.reshape(G, T, k)
             pi = jax.vmap(lambda ci, lc: ci[lc])(cand_idx, loc)  # [G, T, k]
         # per-query certificate (k-th distance within the dilation radius);
-        # an overflowing tile certifies nothing (truncation). The full-scan
-        # branch replaces the supertile-overflow failure mode exactly.
-        cert = (pd[:, :, k - 1] <= r2) & (total <= C)[:, None]
+        # an overflowing tile certifies nothing (truncation), and neither
+        # does a tile whose relative ids overflowed 16 bits (masked
+        # candidates). The full-scan branch replaces the supertile-overflow
+        # failure mode exactly.
+        cert = (pd[:, :, k - 1] <= r2) & (total <= C)[:, None] & rel_fits[:, None]
         return pd, pi, cert | ~qvs
 
     q_tiles = perm_p.reshape(n_t // G, G, T)
