@@ -286,14 +286,24 @@ def knn_self_grid(
         total = jnp.sum(keep.astype(jnp.int32))
         return out, total
 
-    def tile_prep(qid, qv, sci, s_ok):
-        """Distance block for ONE tile against the supertile's candidates."""
+    def tile_prep(qid, qv, sci, sc, s_ok):
+        """Distance block for ONE tile against the supertile's candidates.
+
+        ``sc`` (= cf[sci]) is passed in from the supertile level rather
+        than gathered here. Measured a NO-OP perf-wise (tileprep 0.676 s
+        unchanged at M=2^18): under vmap the gather had no batched inputs,
+        so XLA already hoisted it out of the G tiles. Kept for clarity.
+        tileprep's real cost is the per-tile compact SCATTER over Cs
+        (~12 ns/source element x G x n_super x Cs ≈ 0.4 s at M=2^18); a
+        searchsorted x-window subrange instead is the already-recorded
+        index-window dead end (floor/wall slabs over-include in any
+        lex-prefix order, blowing the certificate-failure rate).
+        """
         q = cf[qid]                            # [T, 3]
         q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
         qvc = qv[:, None]
         lo = jnp.min(jnp.where(qvc, q, jnp.float32(jnp.inf)), axis=0) - radius
         hi = jnp.max(jnp.where(qvc, q, -jnp.float32(jnp.inf)), axis=0) + radius
-        sc = cf[sci]                           # [Cs, 3]
         in_box = jnp.all((sc >= lo[None]) & (sc <= hi[None]), axis=-1) & s_ok
         cand_idx, total = _compact(in_box, sci, C)
         cand_ok = jnp.arange(C) < jnp.minimum(total, C)
@@ -332,8 +342,8 @@ def knn_self_grid(
         s_fits = s_total <= Cs
 
         def pruned():
-            return jax.vmap(tile_prep, in_axes=(0, 0, None, None))(
-                qids, qvs, sci, s_ok_mask
+            return jax.vmap(tile_prep, in_axes=(0, 0, None, None, None))(
+                qids, qvs, sci, cf[sci], s_ok_mask
             )
 
         def full_scan():
@@ -344,8 +354,8 @@ def knn_self_grid(
             # over M, paid only when this branch is taken (lax.cond inside
             # the supertile lax.map, NOT inside a vmap — a vmapped cond
             # would lower to select and run both branches everywhere).
-            return jax.vmap(tile_prep, in_axes=(0, 0, None, None))(
-                qids, qvs, all_idx, valid
+            return jax.vmap(tile_prep, in_axes=(0, 0, None, None, None))(
+                qids, qvs, all_idx, cf, valid
             )
 
         d2, cand_idx, (total, rel_fits) = jax.lax.cond(s_fits, pruned, full_scan)

@@ -10,12 +10,14 @@ regular gather + weighted-sum — no CSR, no host round-trips, fully jittable.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from geopurify_tpu.ops import pallas_band
 from geopurify_tpu.ops.knn import knn_search, knn_self_grid
 
 
@@ -222,6 +224,13 @@ def build_banded_operator(
             + row_tile // 2 - band // 2,
             0, max(M - band, 0),
         )
+    # Window starts quantize DOWN to multiples of 8: the Pallas smoothing
+    # kernel (ops/pallas_band.py) DMAs F[start : start+band] from HBM and
+    # Mosaic requires the dynamic row offset divisible by the sublane
+    # tiling. Rounding down preserves the [0, M-band] clip, and window
+    # placement is a free parameter (the residual keeps any placement
+    # exact).
+    starts = (starts // 8) * 8
     ws = starts[tile]
     li = nbr - ws[:, None]                               # [M, K] local col
     # Unfilled kNN slots carry w==0 and a CLAMPED index (often 0): under the
@@ -355,21 +364,53 @@ def iterate_pooling_banded(
     # res_row is non-decreasing with M-padding, so edges count = rows < M.
     n_res = jnp.sum((op.res_row < M).astype(jnp.int32)) if R else jnp.int32(0)
     Mp = n_t * row_tile
-    S3 = jnp.pad(S, ((0, Mp - M), (0, 0))).reshape(n_t, row_tile, band)
-    win_idx = jnp.minimum(
-        op.starts[:, None] + jnp.arange(band, dtype=jnp.int32)[None], M - 1
-    )                                                    # [n_t, band]
+    # Pallas windowed-matmul core (ops/pallas_band.py): DMAs each tile's F
+    # window straight into VMEM instead of materializing the [n_t, band, C]
+    # gather transient every round. OPT-IN ONLY (GEOPURIFY_PALLAS_BAND=1):
+    # through the axon tunnel every process pays a 1-13 min SERVER-SIDE
+    # Mosaic compile at the kernel's first execution — the persistent cache
+    # stores only the client artifact (client compile < 1 s), so the cost
+    # recurs per process and would blow the driver bench's warmup (measured
+    # 2026-08-19: 53/89/415 s for a trivial kernel, 395-754 s for this one
+    # at small shapes). Also gated on TPU + bf16 + the double buffers
+    # fitting VMEM (logit-space C<=128 fits; feature-space C=512 keeps the
+    # XLA einsum). Channels pad to the 128 lane width for the kernel; the
+    # rounds are per-channel independent so carrying zero-padded lanes
+    # through the loop is exact.
+    C_pad = -(-C // 128) * 128
+    use_pallas = (
+        os.environ.get("GEOPURIFY_PALLAS_BAND") == "1"
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(S.dtype).itemsize == 2
+        and M >= band
+        and pallas_band.vmem_bytes(band, C_pad, 128, 2)
+        <= pallas_band.VMEM_BUDGET_BYTES
+    )
+    if use_pallas:
+        S2 = jnp.pad(S, ((0, Mp - M), (0, 0)))
+    else:
+        C_pad = C
+        S3 = jnp.pad(S, ((0, Mp - M), (0, 0))).reshape(n_t, row_tile, band)
+        win_idx = jnp.minimum(
+            op.starts[:, None] + jnp.arange(band, dtype=jnp.int32)[None],
+            M - 1,
+        )                                                # [n_t, band]
 
     def one_round(f):
         fb = f.astype(S.dtype)
-        # one batched matmul over all tiles (a lax.map of dynamic-sliced
-        # per-tile dots left the MXU ~6x under-utilized); the window gather
-        # is a plain [n_t, band, C] take
-        FW = fb[win_idx]                                 # [n_t, band, C]
-        banded = jnp.einsum(
-            "trb,tbc->trc", S3, FW, preferred_element_type=jnp.float32
-        )
-        banded = banded.reshape(Mp, C)[:M]
+        if use_pallas:
+            banded = pallas_band.banded_window_matmul(
+                S2, op.starts, fb, band=band, row_tile=row_tile
+            )[:M]
+        else:
+            # one batched matmul over all tiles (a lax.map of dynamic-sliced
+            # per-tile dots left the MXU ~6x under-utilized); the window
+            # gather is a plain [n_t, band, C] take
+            FW = fb[win_idx]                             # [n_t, band, C]
+            banded = jnp.einsum(
+                "trb,tbc->trc", S3, FW, preferred_element_type=jnp.float32
+            )
+            banded = banded.reshape(Mp, C)[:M]
         # exact residual: out-of-window edges, applied in fixed chunks so the
         # gathered [chunk, C] transient stays bounded (a 2M-edge residual
         # at C=518 would otherwise materialize 4.3 GB per round). The gather
@@ -393,13 +434,15 @@ def iterate_pooling_banded(
             return jax.lax.cond(c * res_chunk < n_res, live, lambda a: a, acc)
 
         resid = jax.lax.fori_loop(
-            0, n_rc, resid_chunk, jnp.zeros((M, C), jnp.float32)
-        ) if n_rc else jnp.zeros((M, C), jnp.float32)
+            0, n_rc, resid_chunk, jnp.zeros((M, C_pad), jnp.float32)
+        ) if n_rc else jnp.zeros((M, C_pad), jnp.float32)
         return (banded + resid).astype(S.dtype)
 
     out = feats.astype(S.dtype)
+    if C_pad != C:
+        out = jnp.pad(out, ((0, 0), (0, C_pad - C)))
     out = jax.lax.fori_loop(0, num_iterations, lambda _, f: one_round(f), out)
-    return out.astype(out_dtype)
+    return out[:, :C].astype(out_dtype)
 
 
 def geometry_guided_pooling(

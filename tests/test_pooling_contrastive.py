@@ -228,6 +228,39 @@ def test_banded_spmm_matches_gather(rng):
     assert int(opu.n_dropped) == int(opd.n_dropped) == 0
 
 
+def test_pallas_banded_window_matmul_matches_einsum(rng):
+    """The Pallas windowed-matmul core (interpret mode on CPU) must equal the
+    XLA einsum over the same gathered windows — including padded tail rows,
+    non-aligned window starts, and the channel lane-padding path."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.pallas_band import banded_window_matmul
+
+    M, band, row_tile, row_sub, C = 700, 256, 128, 8, 128
+    Mp = -(-M // row_tile) * row_tile
+    n_t = Mp // row_tile
+    S = jnp.asarray(
+        rng.normal(size=(Mp, band)).astype(np.float32), jnp.bfloat16
+    )
+    starts = jnp.asarray(
+        (rng.integers(0, M - band, size=(n_t,)) // 8 * 8).astype(np.int32)
+    )   # multiples of 8 — the kernel's Mosaic sublane-offset contract
+    f = jnp.asarray(rng.normal(size=(M, C)).astype(np.float32), jnp.bfloat16)
+
+    out = banded_window_matmul(
+        S, starts, f, band=band, row_tile=row_tile, row_sub=row_sub,
+        interpret=True,
+    )
+    win_idx = starts[:, None] + jnp.arange(band)[None]
+    FW = f[win_idx]                                     # [n_t, band, C]
+    ref = jnp.einsum(
+        "trb,tbc->trc", S.reshape(n_t, row_tile, band), FW,
+        preferred_element_type=jnp.float32,
+    ).reshape(Mp, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_contrastive_sampler_small_scene(rng):
     """Anchor budget larger than the scene point count must not break."""
     import jax
