@@ -7,9 +7,9 @@ masks + class ids -> the (images, gt_classes, gt_masks, gt_valid) batches
 run/train2d.py consumes. Two layouts:
 
 1. COCO-instance json (``annotations.json`` at the root): images[] +
-   annotations[] with polygon segmentations (rasterized via PIL) or
-   uncompressed RLE counts. Compressed RLE needs pycocotools (absent in this
-   environment) and raises with a clear message.
+   annotations[] with polygon segmentations (rasterized via PIL),
+   uncompressed RLE counts, or compressed RLE strings (pure-python decoder
+   of the published maskApi varint format — no pycocotools needed).
 2. folder layout::
 
      root/images/<stem>.{jpg,png}
@@ -53,13 +53,40 @@ def _poly_to_mask(polys: Sequence[Sequence[float]], hw: Tuple[int, int]) -> np.n
     return np.asarray(img, bool)
 
 
+def _decode_rle_string(s) -> List[int]:
+    """Decode COCO's compressed RLE ``counts`` string to run lengths.
+
+    Pure-python port of the published maskApi encoding (pycocotools
+    rleFrString): each count is a little-endian base-32 varint in printable
+    chars (ASCII - 48), 5 data bits + 1 continuation bit per char, sign-
+    extended when the last chunk's 0x10 bit is set; counts from the third
+    on are deltas against count[i-2]."""
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
 def _rle_to_mask(rle: Dict, hw: Tuple[int, int]) -> np.ndarray:
     counts = rle.get("counts")
     if isinstance(counts, (bytes, str)):
-        raise NotImplementedError(
-            "compressed COCO RLE needs pycocotools (not in this environment);"
-            " export polygon or uncompressed-RLE annotations"
-        )
+        counts = _decode_rle_string(counts)
     H, W = rle.get("size", hw)
     flat = np.zeros(H * W, bool)
     pos = 0

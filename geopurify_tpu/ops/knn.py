@@ -175,7 +175,7 @@ def _chunked_topk_min(d2: jax.Array, k: int, chunk: int = 4096,
 @partial(
     jax.jit,
     static_argnames=("k", "radius", "num_candidates", "query_tile",
-                     "tiles_per_call", "selector"),
+                     "tiles_per_call", "selector", "compact_block"),
 )
 def knn_self_grid(
     coords: jax.Array,        # [M, 3] integer voxel coords (any numeric dtype)
@@ -186,6 +186,7 @@ def knn_self_grid(
     query_tile: int = 128,
     tiles_per_call: int = 16,    # 2048-row top_k calls (A/B: 12% over G=32)
     selector: str = "approx",    # see _chunked_topk_min
+    compact_block: int = 8,      # see BLK below; 1 = per-element compaction
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact self-kNN over integer voxel coords via Morton-tiled bbox pruning
     with PER-QUERY full-row fallback.
@@ -272,6 +273,23 @@ def knn_self_grid(
     # swept 3/4/5/6*C at M=65536 (205/182/190/205 ms full pass) and M=2^18
     # (1791/1706/-/1739 ms): 4*C wins or ties at both scales, identical idx
     Cs = min(4 * C, max(M, 1))
+    # BLOCK-compacted candidate selection: TPU scatters cost ~12 ns per
+    # INDEX, so compacting runs of BLK consecutive rows (keep a block iff
+    # ANY member is in-box) cuts both compaction scatters BLK-fold — the
+    # supertile pass (M -> M/BLK indices) and the per-tile pass
+    # (Cs -> Cs/BLK), together ~0.8 s of the 1.23 s kNN at M=2^18. Kept
+    # blocks expand by arithmetic (supertile: positions ARE ids) or one
+    # [C/BLK, BLK] row-gather (tile level; row-gathers are per-ROW cost).
+    # Exactness is untouched: out-of-box members of kept blocks are masked
+    # to +inf (they only waste top-k width), and the budget check moves to
+    # BLOCKS — a tile whose kept blocks exceed C/BLK fails its certificate
+    # into the exact pass 2 exactly like an element overflow did. Lex-sorted
+    # voxels make in-box rows run in z-spans, so blocks are mostly full;
+    # partially-full blocks shrink the effective in-box budget and can only
+    # raise the (measured) fallback rate, never corrupt a result.
+    BLK = compact_block
+    if BLK > 1 and (M % BLK or Cs % BLK or C % BLK):
+        BLK = 1
 
     def _compact(keep, src_idx, budget):
         """Indices (from src_idx) of keep==True rows, rank-ordered, padded."""
@@ -285,6 +303,27 @@ def knn_self_grid(
         )
         total = jnp.sum(keep.astype(jnp.int32))
         return out, total
+
+    def _blk_compact(keep, budget):
+        """Block-compact keep==True rows of a [n] mask (n, budget % BLK == 0).
+
+        Returns (blk_idx [budget//BLK] kept-block ids rank-ordered,
+        elem_ok [budget] per-expanded-element liveness — block ranked under
+        budget AND the element itself kept, fits = no block overflow).
+        Order-preserving, like _compact."""
+        nb = keep.shape[0] // BLK
+        kb = keep.reshape(nb, BLK)
+        blk_keep = jnp.any(kb, axis=1)
+        bb = budget // BLK
+        bslot = jnp.cumsum(blk_keep.astype(jnp.int32)) - 1
+        bslot = jnp.where(blk_keep & (bslot < bb), bslot, bb)
+        blk_idx = jnp.zeros((bb,), jnp.int32).at[bslot].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+        blk_total = jnp.sum(blk_keep.astype(jnp.int32))
+        blk_live = jnp.arange(bb) < jnp.minimum(blk_total, bb)
+        elem_ok = kb[blk_idx].reshape(budget) & jnp.repeat(blk_live, BLK)
+        return blk_idx, elem_ok, blk_total <= bb
 
     def tile_prep(qid, qv, sci, sc, s_ok):
         """Distance block for ONE tile against the supertile's candidates.
@@ -305,16 +344,30 @@ def knn_self_grid(
         lo = jnp.min(jnp.where(qvc, q, jnp.float32(jnp.inf)), axis=0) - radius
         hi = jnp.max(jnp.where(qvc, q, -jnp.float32(jnp.inf)), axis=0) + radius
         in_box = jnp.all((sc >= lo[None]) & (sc <= hi[None]), axis=-1) & s_ok
-        cand_idx, total = _compact(in_box, sci, C)
-        cand_ok = jnp.arange(C) < jnp.minimum(total, C)
+        if BLK == 1:
+            cand_idx, total = _compact(in_box, sci, C)
+            cand_ok = jnp.arange(C) < jnp.minimum(total, C)
+            fits = total <= C
+            cd = cf[cand_idx]                  # [C, 3]
+        else:
+            # Block-granular gathers: ids and coords come out in BLK-row
+            # chunks (C/BLK indices instead of C — gathers, like scatters,
+            # cost per INDEX; the two per-element gathers here were ~0.3 s
+            # of the 0.47 s tileprep at M=2^18, the compact scatter itself
+            # only ~0.04 s).
+            blk_idx, cand_ok, fits = _blk_compact(in_box, C)
+            nb = sci.shape[0] // BLK
+            cand_idx = sci.reshape(nb, BLK)[blk_idx].reshape(C)
+            cd = sc.reshape(nb, BLK * 3)[blk_idx].reshape(C, 3)
 
-        cd = cf[cand_idx]                      # [C, 3]
         dots = jax.lax.dot_general(
             q, cd, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        d2 = q_sq + c_sq[cand_idx][None, :] - 2.0 * dots
+        # ||cand||^2 recomputed from the gathered coords (3 mults/row)
+        # instead of a second per-element c_sq gather — bit-identical.
+        d2 = q_sq + jnp.sum(cd * cd, axis=-1)[None, :] - 2.0 * dots
         bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
         if pack_ids:
             base = jnp.min(jnp.where(cand_ok, cand_idx, jnp.int32(2**30)))
@@ -324,8 +377,8 @@ def knn_self_grid(
             d2 = jnp.minimum(d2, pack_clamp) * pack_B + rel[None, :].astype(
                 jnp.float32
             )
-            return jnp.where(bad, _INF, d2), base, (total, rel_fits)
-        return jnp.where(bad, _INF, d2), cand_idx, (total, jnp.bool_(True))
+            return jnp.where(bad, _INF, d2), base, (fits, rel_fits)
+        return jnp.where(bad, _INF, d2), cand_idx, (fits, jnp.bool_(True))
 
     all_idx = jnp.arange(M, dtype=jnp.int32)
 
@@ -337,13 +390,22 @@ def knn_self_grid(
         s_lo = jnp.min(jnp.where(qv_all, q_all, jnp.float32(jnp.inf)), axis=0) - radius
         s_hi = jnp.max(jnp.where(qv_all, q_all, -jnp.float32(jnp.inf)), axis=0) + radius
         s_in = jnp.all((cf >= s_lo[None]) & (cf <= s_hi[None]), axis=-1) & valid
-        sci, s_total = _compact(s_in, all_idx, Cs)
-        s_ok_mask = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
-        s_fits = s_total <= Cs
+        if BLK == 1:
+            sci, s_total = _compact(s_in, all_idx, Cs)
+            s_ok_mask = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
+            s_fits = s_total <= Cs
+            sc_sup = cf[sci]
+        else:
+            # src ids are arange(M): kept-block expansion is pure arithmetic,
+            # and the supertile coord gather happens at block granularity
+            sblk, s_ok_mask, s_fits = _blk_compact(s_in, Cs)
+            sci = (sblk[:, None] * BLK
+                   + jnp.arange(BLK, dtype=jnp.int32)[None]).reshape(Cs)
+            sc_sup = cf.reshape(M // BLK, BLK * 3)[sblk].reshape(Cs, 3)
 
         def pruned():
             return jax.vmap(tile_prep, in_axes=(0, 0, None, None, None))(
-                qids, qvs, sci, cf[sci], s_ok_mask
+                qids, qvs, sci, sc_sup, s_ok_mask
             )
 
         def full_scan():
@@ -358,7 +420,7 @@ def knn_self_grid(
                 qids, qvs, all_idx, cf, valid
             )
 
-        d2, cand_idx, (total, rel_fits) = jax.lax.cond(s_fits, pruned, full_scan)
+        d2, cand_idx, (fits, rel_fits) = jax.lax.cond(s_fits, pruned, full_scan)
         pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k, selector=selector)
         if pack_ids:
             # cand_idx here is the per-tile base id [G]; rel rides the key.
@@ -383,7 +445,7 @@ def knn_self_grid(
         # does a tile whose relative ids overflowed 16 bits (masked
         # candidates). The full-scan branch replaces the supertile-overflow
         # failure mode exactly.
-        cert = (pd[:, :, k - 1] <= r2) & (total <= C)[:, None] & rel_fits[:, None]
+        cert = (pd[:, :, k - 1] <= r2) & fits[:, None] & rel_fits[:, None]
         return pd, pi, cert | ~qvs
 
     q_tiles = perm_p.reshape(n_t // G, G, T)

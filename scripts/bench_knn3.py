@@ -144,9 +144,18 @@ def main():
     for stage in ("sort", "super", "tileprep", "topk"):
         print(f"{stage:9s}", t_sync(partial(staged, stage=stage), coords, valid))
 
-    full = jax.jit(lambda c, v: knn_self_grid(
-        c, v, k=k, radius=radius, num_candidates=C))
-    print("full     ", t_sync(full, coords, valid))
+    # B=16/32 measured 2.1/12.1 s at M=2^18 (partially-full blocks shrink
+    # the effective in-box budget -> certificate-fallback blowup); 8 is it
+    for blk in (1, 8):
+        full = jax.jit(lambda c, v: knn_self_grid(
+            c, v, k=k, radius=radius, num_candidates=C, compact_block=blk))
+        print(f"full B={blk:<3d}", t_sync(full, coords, valid))
+    # exactness across blocks (ties aside, distances must match exactly)
+    d1, _ = knn_self_grid(coords, valid, k=k, radius=radius,
+                          num_candidates=C, compact_block=1)
+    d8, _ = knn_self_grid(coords, valid, k=k, radius=radius,
+                          num_candidates=C, compact_block=8)
+    print("max |d1-d8|:", float(jnp.max(jnp.abs(d1 - d8))))
 
 
 if __name__ == "__main__":

@@ -66,26 +66,35 @@ def _grid_scene(rng, kind, n=900):
 
 
 @pytest.mark.parametrize("kind", ["surface", "sparse"])
-def test_knn_self_grid_matches_full(rng, kind):
+@pytest.mark.parametrize("blk", [1, 8])
+def test_knn_self_grid_matches_full(rng, kind, blk):
     """Morton-tiled bbox kNN == brute force up to equal-distance ties, on
-    both the certificate-pass path and the fallback path."""
+    both the certificate-pass path and the fallback path, with per-element
+    (blk=1) and block (blk=8) candidate compaction. The block path needs
+    M % 8 == 0, so the scene is padded to a multiple of 8 under the valid
+    mask (partially-full blocks can only fail certificates, never corrupt)."""
     from geopurify_tpu.ops.knn import knn_self_grid
 
     c = _grid_scene(rng, kind)
     M = len(c)
+    pad = (-M) % 8
+    cp = np.concatenate([c, np.zeros((pad, 3), c.dtype)])
+    valid = np.zeros(M + pad, bool)
+    valid[:M] = True
     k = 12
     d, i = knn_self_grid(
-        jnp.asarray(c), jnp.ones(M, bool), k=k,
-        radius=6, num_candidates=512, query_tile=128,
+        jnp.asarray(cp), jnp.asarray(valid), k=k,
+        radius=6, num_candidates=512, query_tile=128, compact_block=blk,
     )
     od, _ = _brute_knn(c.astype(np.float64), c.astype(np.float64), k,
                        exclude_self_ids=np.arange(M))
-    d, i = np.asarray(d), np.asarray(i)
+    d, i = np.asarray(d)[:M], np.asarray(i)[:M]
     np.testing.assert_allclose(d, od, atol=1e-3)
     # returned indices actually realize those distances and exclude self
     gathered = ((c[:, None, :] - c[i]) ** 2).sum(-1)
     np.testing.assert_allclose(gathered, od, atol=1e-3)
     assert not np.any(i == np.arange(M)[:, None])
+    assert i.max() < M  # never padding
 
 
 def test_nearest_fill_grid_matches_exact(rng):

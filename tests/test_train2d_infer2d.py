@@ -153,6 +153,41 @@ def test_seg2d_coco_json_layout(tmp_path, rng):
     assert b[3][:, :2].all()
 
 
+def test_seg2d_compressed_rle_decoder(rng):
+    """The pure-python compressed-RLE decoder must invert the published
+    maskApi varint encoding (5 data bits/char, 0x20 continuation, 0x10 sign
+    bit, delta vs count[i-2] from the third count on) and produce the same
+    mask as the uncompressed counts list."""
+    from geopurify_tpu.data.seg2d import _decode_rle_string, _rle_to_mask
+
+    def encode(counts):  # maskApi rleToString, the decoder's inverse
+        out = []
+        for i, c in enumerate(counts):
+            x = int(c) - (int(counts[i - 2]) if i > 2 else 0)
+            more = True
+            while more:
+                ch = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (ch & 0x10) else (x != 0)
+                if more:
+                    ch |= 0x20
+                out.append(chr(ch + 48))
+        return "".join(out)
+
+    for _ in range(20):
+        n = int(rng.integers(1, 12))
+        counts = rng.integers(0, 2000, n).tolist()
+        assert _decode_rle_string(encode(counts)) == counts
+    # single-char counts, zeros, and a large value crossing several chunks
+    for counts in ([0, 1536], [5], [0, 0, 0, 7], [123456, 1, 999999]):
+        assert _decode_rle_string(encode(counts)) == counts
+    # mask equality vs the uncompressed path
+    counts = [10, 20, 32 * 48 - 30]
+    a = _rle_to_mask({"size": [32, 48], "counts": counts}, (32, 48))
+    b = _rle_to_mask({"size": [32, 48], "counts": encode(counts)}, (32, 48))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_vlp_head_caption_slots(rng):
     """VLP task: caption tokens join the decoder as causal extra slots; the
     object-query outputs stay bit-identical with and without captions
