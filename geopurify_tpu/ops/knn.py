@@ -689,7 +689,7 @@ def nearest_fill(
 @partial(
     jax.jit,
     static_argnames=("query_tile", "num_candidates", "radius_cells",
-                     "grid_bits", "tiles_per_super"),
+                     "grid_bits", "tiles_per_super", "compact_block"),
 )
 def nearest_fill_grid(
     features: jax.Array,     # [N, C]
@@ -701,6 +701,7 @@ def nearest_fill_grid(
     radius_cells: int = 16,
     grid_bits: int = 9,
     tiles_per_super: int = 8,
+    compact_block: int = 1,  # blocks LOSE here — see the comment below
 ) -> jax.Array:
     """Hilbert-tiled bbox-pruned exact donor fill — ``nearest_fill`` with the
     kNN grid machinery (ops/knn.knn_self_grid) specialized to k=1 and
@@ -762,6 +763,18 @@ def nearest_fill_grid(
     qpos = _pad_to(order, n_q, value=max(N - 1, 0))
     q_live = jnp.arange(n_q) < n_need
 
+    # block compaction (see knn_self_grid) is available but DEFAULTS OFF
+    # here: kNN's in-box mask is spatially coherent (blocks mostly full),
+    # but the donor mask is a ~random subset of rows — almost every block
+    # contains SOME donor, so blocks keep nothing out while only coverage%
+    # of kept elements are usable, shrinking the effective budget and
+    # blowing the certificate-fallback rate (measured at Pv=16384:
+    # 28 -> 72 ms at 30% unseen). The inline ||c||^2 recompute below is
+    # kept — that win is unconditional.
+    BLK = compact_block
+    if BLK > 1 and (N % BLK or Cs % BLK or Cb % BLK):
+        BLK = 1
+
     def _compact(keep, src_idx, budget):
         """Indices (from src_idx) of keep==True rows, rank-ordered, padded.
         Overflow/dropped rows go OUT of bounds so the uniqueness hint holds."""
@@ -772,28 +785,53 @@ def nearest_fill_grid(
         )
         return out, jnp.sum(keep.astype(jnp.int32))
 
-    def tile_argmin(qp, live, cand_src, cand_src_ok):
-        """Argmin donor for ONE tile against a candidate source set."""
+    def _blk_compact(keep, budget):
+        """Kept-block ids (rank-ordered) + expanded element liveness + fits."""
+        nb = keep.shape[0] // BLK
+        kb = keep.reshape(nb, BLK)
+        blk_keep = jnp.any(kb, axis=1)
+        bb = budget // BLK
+        bslot = jnp.cumsum(blk_keep.astype(jnp.int32)) - 1
+        bslot = jnp.where(blk_keep & (bslot < bb), bslot, bb)
+        blk_idx = jnp.zeros((bb,), jnp.int32).at[bslot].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+        blk_total = jnp.sum(blk_keep.astype(jnp.int32))
+        blk_live = jnp.arange(bb) < jnp.minimum(blk_total, bb)
+        elem_ok = kb[blk_idx].reshape(budget) & jnp.repeat(blk_live, BLK)
+        return blk_idx, elem_ok, blk_total <= bb
+
+    def tile_argmin(qp, live, cand_src, sc, cand_src_ok):
+        """Argmin donor for ONE tile against a candidate source set
+        (``sc`` = cf[cand_src], gathered once at the supertile level)."""
         q = cf[qp]
         qv = live[:, None]
         tlo = jnp.min(jnp.where(qv, q, _INF), axis=0) - radius
         thi = jnp.max(jnp.where(qv, q, -_INF), axis=0) + radius
-        sc = cf[cand_src]
         in_box = jnp.all((sc >= tlo[None]) & (sc <= thi[None]), axis=-1) & cand_src_ok
-        cand, total = _compact(in_box, cand_src, Cb)
-        cand_ok = jnp.arange(Cb) < jnp.minimum(total, Cb)
+        if BLK == 1:
+            cand, total = _compact(in_box, cand_src, Cb)
+            cand_ok = jnp.arange(Cb) < jnp.minimum(total, Cb)
+            fits = total <= Cb
+            cd = cf[cand]
+        else:
+            blk_idx, cand_ok, fits = _blk_compact(in_box, Cb)
+            nb = cand_src.shape[0] // BLK
+            cand = cand_src.reshape(nb, BLK)[blk_idx].reshape(Cb)
+            cd = sc.reshape(nb, BLK * 3)[blk_idx].reshape(Cb, 3)
 
-        cd = cf[cand]
         dots = jax.lax.dot_general(
             q, cd, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        d2 = jnp.sum(q * q, axis=-1, keepdims=True) + c_sq[cand][None] - 2.0 * dots
+        # ||cand||^2 from the gathered coords — no second per-element gather
+        d2 = (jnp.sum(q * q, axis=-1, keepdims=True)
+              + jnp.sum(cd * cd, axis=-1)[None] - 2.0 * dots)
         d2 = jnp.where(cand_ok[None, :], d2, _INF)
         best = jnp.min(d2, axis=1)
         arg = cand[jnp.argmin(d2, axis=1)]
-        cert = ((best <= r2) & (total <= Cb)) | ~live
+        cert = ((best <= r2) & fits) | ~live
         return arg, cert
 
     def one_super(args):
@@ -805,23 +843,31 @@ def nearest_fill_grid(
             s_lo = jnp.min(jnp.where(lv, q_all, _INF), axis=0) - radius
             s_hi = jnp.max(jnp.where(lv, q_all, -_INF), axis=0) + radius
             s_in = jnp.all((cf >= s_lo[None]) & (cf <= s_hi[None]), axis=-1) & donors_ok
-            sci, s_total = _compact(s_in, all_idx, Cs)
-            s_ok = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
+            if BLK == 1:
+                sci, s_total = _compact(s_in, all_idx, Cs)
+                s_ok = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
+                s_fits = s_total <= Cs
+                sc_sup = cf[sci]
+            else:
+                sblk, s_ok, s_fits = _blk_compact(s_in, Cs)
+                sci = (sblk[:, None] * BLK
+                       + jnp.arange(BLK, dtype=jnp.int32)[None]).reshape(Cs)
+                sc_sup = cf.reshape(N // BLK, BLK * 3)[sblk].reshape(Cs, 3)
 
             def pruned():
-                return jax.vmap(tile_argmin, in_axes=(0, 0, None, None))(
-                    qp, live, sci, s_ok
+                return jax.vmap(tile_argmin, in_axes=(0, 0, None, None, None))(
+                    qp, live, sci, sc_sup, s_ok
                 )
 
             def full_scan():
                 # supertile candidate overflow (dense donor region): select
                 # per-tile candidates from the FULL db instead — pays G
                 # cumsums over N, only when this branch is taken
-                return jax.vmap(tile_argmin, in_axes=(0, 0, None, None))(
-                    qp, live, all_idx, donors_ok
+                return jax.vmap(tile_argmin, in_axes=(0, 0, None, None, None))(
+                    qp, live, all_idx, cf, donors_ok
                 )
 
-            return jax.lax.cond(s_total <= Cs, pruned, full_scan)
+            return jax.lax.cond(s_fits, pruned, full_scan)
 
         def dead():
             return jnp.zeros((G, T), jnp.int32), jnp.ones((G, T), bool)
