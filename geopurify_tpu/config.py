@@ -202,6 +202,11 @@ class FocalNetConfig:
     use_postln_in_modulation: bool = False
     use_layerscale: bool = True
     out_indices: Tuple[int, ...] = _tuple_field(0, 1, 2, 3)
+    # "focal" (xdecoder_focall) or "focal_dw" (the SEEM-release FocalNet:
+    # vision/backbone/focal_dw.py — dw residual convs, stem pad 3, optional
+    # pre-norm downsample embeds)
+    variant: str = "focal"
+    use_pre_norms: Tuple[bool, ...] = _tuple_field(False, False, False, False)
 
 
 @dataclass

@@ -32,24 +32,42 @@ def _gelu_exact(x):
 
 
 class PatchEmbed(nn.Module):
-    """Overlapped conv patch embedding: stem 7x7/4 pad2, else 3x3/2 pad1 (+LN)."""
+    """Conv patch embedding (+LN).
+
+    Overlapped (``use_conv_embed``): stem 7x7/4, else 3x3/2 pad1. The stem pad
+    differs between the two reference files — focal.py:310 pads 2,
+    focal_dw.py stem pads 3 (``stem_pad``). Non-overlapped: patch_size^2
+    non-overlapping conv (stem) / 2x2 s2 (downsample), focal_dw.py:394-402.
+    ``pre_norm`` (focal_dw.py:404-420, use_pre_norm) normalizes the INPUT
+    channels before the projection instead of the output."""
 
     embed_dim: int
     is_stem: bool = False
     use_norm: bool = True
+    use_conv_embed: bool = True
+    patch_size: int = 4
+    stem_pad: int = 2
+    pre_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
-        if self.is_stem:
-            kernel, stride, pad = (7, 7), (4, 4), ((2, 2), (2, 2))
+        if self.use_conv_embed:
+            if self.is_stem:
+                p = self.stem_pad
+                kernel, stride, pad = (7, 7), (4, 4), ((p, p), (p, p))
+            else:
+                kernel, stride, pad = (3, 3), (2, 2), ((1, 1), (1, 1))
         else:
-            kernel, stride, pad = (3, 3), (2, 2), ((1, 1), (1, 1))
+            k = self.patch_size if self.is_stem else 2
+            kernel, stride, pad = (k, k), (k, k), ((0, 0), (0, 0))
+        if self.use_norm and self.pre_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         x = nn.Conv(
             self.embed_dim, kernel, strides=stride, padding=pad,
             dtype=self.dtype, name="proj",
         )(x)
-        if self.use_norm:
+        if self.use_norm and not self.pre_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return x
 
@@ -93,7 +111,14 @@ class FocalModulation(nn.Module):
 
 
 class FocalModulationBlock(nn.Module):
-    """PostLN + LayerScale block (focal.py:118-195)."""
+    """PostLN + LayerScale block (focal.py:118-195).
+
+    ``use_dw`` switches to the focal_dw variant (focal_dw.py:118-205, the
+    SEEM-release FocalNet): depthwise 3x3 residual convs before the
+    modulation (dw1) and before the FFN (dw2), and DIFFERENT norm placement
+    under postLN — norm1 applies AFTER the modulation residual add, and the
+    FFN is ``x + gamma_2*mlp(x)`` followed by norm2 over the whole residual
+    stream (vs focal.py's pre-add norm1 / ``x + gamma_2*norm2(mlp(x))``)."""
 
     dim: int
     mlp_ratio: float = 4.0
@@ -103,6 +128,7 @@ class FocalModulationBlock(nn.Module):
     use_postln_in_modulation: bool = False
     scaling_modulator: bool = True
     use_layerscale: bool = True
+    use_dw: bool = False
     layerscale_value: float = 1e-4
     dtype: Dtype = jnp.float32
 
@@ -116,23 +142,42 @@ class FocalModulationBlock(nn.Module):
             gamma_2 = self.param(
                 "gamma_2", nn.initializers.constant(self.layerscale_value), (self.dim,)
             )
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        if self.use_dw:
+            x = x + nn.Conv(
+                self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
+                dtype=self.dtype, name="dw1",
+            )(x)
         shortcut = x
         if not self.use_postln:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+            x = norm1(x).astype(self.dtype)
         x = FocalModulation(
             self.dim, self.focal_level, self.focal_window,
             scaling_modulator=self.scaling_modulator,
             use_postln_in_modulation=self.use_postln_in_modulation,
             dtype=self.dtype, name="modulation",
         )(x)
-        if self.use_postln:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        x = shortcut + gamma_1 * x
+        if self.use_dw:
+            x = shortcut + gamma_1 * x
+            if self.use_postln:
+                x = norm1(x).astype(self.dtype)
+            x = x + nn.Conv(
+                self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
+                dtype=self.dtype, name="dw2",
+            )(x)
+        else:
+            if self.use_postln:
+                x = norm1(x).astype(self.dtype)
+            x = shortcut + gamma_1 * x
 
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         if self.use_postln:
-            x = x + gamma_2 * norm2(mlp(x)).astype(self.dtype)
+            if self.use_dw:
+                x = x + gamma_2 * mlp(x)
+                x = norm2(x).astype(self.dtype)
+            else:
+                x = x + gamma_2 * norm2(mlp(x)).astype(self.dtype)
         else:
             x = x + gamma_2 * mlp(norm2(x).astype(self.dtype))
         return x
@@ -152,6 +197,7 @@ class _FocalScanBody(nn.Module):
     use_postln_in_modulation: bool
     scaling_modulator: bool
     use_layerscale: bool
+    use_dw: bool
     dtype: Dtype
 
     @nn.compact
@@ -165,6 +211,7 @@ class _FocalScanBody(nn.Module):
             use_postln_in_modulation=self.use_postln_in_modulation,
             scaling_modulator=self.scaling_modulator,
             use_layerscale=self.use_layerscale,
+            use_dw=self.use_dw,
             dtype=self.dtype,
             name="block",
         )(x)
@@ -191,12 +238,23 @@ class FocalNet(nn.Module):
     use_postln_in_modulation: bool = False
     scaling_modulator: bool = True
     use_layerscale: bool = True
+    # focal_dw variant (vision/backbone/focal_dw.py — the SEEM-release
+    # FocalNet): dw residual convs in every block, stem pad 3, optional
+    # pre-norm downsample embeds (use_pre_norms[i] applies to the embed that
+    # CLOSES stage i, focal_dw.py:266-270)
+    use_dw: bool = False
+    use_pre_norms: Sequence[bool] = (False, False, False, False)
+    patch_size: int = 4
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:  # [B,H,W,3]
-        x = PatchEmbed(self.embed_dim, is_stem=True, dtype=self.dtype, name="patch_embed")(x)
+        x = PatchEmbed(
+            self.embed_dim, is_stem=True, use_conv_embed=self.use_conv_embed,
+            patch_size=self.patch_size, stem_pad=3 if self.use_dw else 2,
+            dtype=self.dtype, name="patch_embed",
+        )(x)
         outs: Dict[str, jax.Array] = {}
         num_layers = len(self.depths)
         for i in range(num_layers):
@@ -216,6 +274,7 @@ class FocalNet(nn.Module):
                 use_postln_in_modulation=self.use_postln_in_modulation,
                 scaling_modulator=self.scaling_modulator,
                 use_layerscale=self.use_layerscale,
+                use_dw=self.use_dw,
                 dtype=self.dtype,
                 name=f"layers{i}_blocks",
             )(x, None)
@@ -224,6 +283,8 @@ class FocalNet(nn.Module):
                 outs[f"res{i + 2}"] = out.astype(self.dtype)
             if i < num_layers - 1:
                 x = PatchEmbed(
-                    2 * dim, is_stem=False, dtype=self.dtype, name=f"layers{i}_downsample"
+                    2 * dim, is_stem=False, use_conv_embed=self.use_conv_embed,
+                    pre_norm=bool(self.use_pre_norms[i]),
+                    dtype=self.dtype, name=f"layers{i}_downsample",
                 )(x)
         return outs

@@ -248,10 +248,14 @@ def _make_backbone(cfg: XDecoderConfig, name: Optional[str] = None) -> nn.Module
         focal_levels=tuple(cfg.backbone.focal_levels),
         focal_windows=tuple(cfg.backbone.focal_windows),
         mlp_ratio=cfg.backbone.mlp_ratio,
+        use_conv_embed=cfg.backbone.use_conv_embed,
         use_postln=cfg.backbone.use_postln,
         use_postln_in_modulation=cfg.backbone.use_postln_in_modulation,
         scaling_modulator=cfg.backbone.scaling_modulator,
         use_layerscale=cfg.backbone.use_layerscale,
+        use_dw=(cfg.backbone.variant == "focal_dw"),
+        use_pre_norms=tuple(cfg.backbone.use_pre_norms),
+        patch_size=cfg.backbone.patch_size,
         dtype=dtype,
         name=name,
     )

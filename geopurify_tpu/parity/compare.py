@@ -44,6 +44,37 @@ def parity_focalnet(size: str = "small") -> Dict[str, Tuple[float, float]]:
     }
 
 
+def parity_focalnet_dw(use_postln: bool = True) -> Dict[str, Tuple[float, float]]:
+    """focal_dw variant (the SEEM-release FocalNet) — dw residual convs,
+    post-residual norm placement, pre-norm downsample embeds."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.focalnet import FocalNet
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_focalnet
+
+    kw = oracle.FOCAL_SMALL
+    pre_norms = (False, True, True, False)
+    ref = oracle.focalnet_dw_oracle(
+        embed_dim=kw["embed_dim"], depths=kw["depths"],
+        use_conv_embed=False, use_postln=use_postln, use_pre_norms=pre_norms,
+    )
+    params = convert_focalnet(ref["sd"], "backbone", ref["depths"])
+    model = FocalNet(
+        embed_dim=kw["embed_dim"], depths=ref["depths"],
+        focal_levels=(3, 3, 3, 3), focal_windows=(9, 9, 9, 9),
+        use_conv_embed=False, use_postln=use_postln,
+        use_dw=True, use_pre_norms=pre_norms,
+        dtype=jnp.float32,
+    )
+    outs = model.apply({"params": params}, jnp.asarray(ref["input_nhwc"]))
+    tag = "postln" if use_postln else "preln"
+    return {
+        f"focalnet_dw_{tag}/{k}": _diff(np.asarray(outs[k]), v)
+        for k, v in ref["acts"].items()
+    }
+
+
 def parity_davit(size: str = "small") -> Dict[str, Tuple[float, float]]:
     import jax.numpy as jnp
 
@@ -464,6 +495,7 @@ ALL_STAGES = {
     "resize": parity_resize,
     "lang": parity_lang,
     "focalnet": parity_focalnet,
+    "focalnet_dw": parity_focalnet_dw,
     "davit": parity_davit,
     "vit": parity_vit,
     "pixel_decoder": parity_pixel_decoder,

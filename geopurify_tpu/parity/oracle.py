@@ -121,6 +121,52 @@ def focalnet_oracle(
     }
 
 
+def focalnet_dw_oracle(
+    image_hw: Tuple[int, int] = (64, 96),
+    embed_dim: int = 16,
+    depths: Tuple[int, ...] = (1, 2, 2, 1),
+    use_conv_embed: bool = False,
+    use_postln: bool = True,
+    use_pre_norms: Tuple[bool, ...] = (False, True, True, False),
+    seed: int = 0,
+) -> Dict:
+    """Reference focal_dw FocalNet (vision/backbone/focal_dw.py:118-205,
+    355-595 — the SEEM-release variant: per-block dw residual convs, postLN
+    after the residual add, norm2 over the whole FFN residual stream,
+    optional pre-norm downsample embeds). Pinned at both postLN settings by
+    the test."""
+    torch = _torch()
+    from xdecoder.modeling.vision.backbone.focal_dw import FocalNet
+
+    torch.manual_seed(seed)
+    m = FocalNet(
+        patch_size=4,
+        embed_dim=embed_dim,
+        depths=list(depths),
+        focal_levels=[3, 3, 3, 3],
+        focal_windows=[9, 9, 9, 9],
+        drop_path_rate=0.0,
+        use_conv_embed=use_conv_embed,
+        use_postln=use_postln,
+        use_postln_in_modulation=False,
+        scaling_modulator=True,
+        use_layerscale=True,
+        use_pre_norms=list(use_pre_norms),
+    )
+    randomize_module_(m, seed)
+    m.eval()
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, (1, 3) + tuple(image_hw)).astype(np.float32)
+    with torch.no_grad():
+        outs = m(torch.from_numpy(x))
+    return {
+        "input_nhwc": np.ascontiguousarray(x.transpose(0, 2, 3, 1)),
+        "acts": {k: _nchw_to_nhwc(v) for k, v in outs.items()},
+        "sd": {f"backbone.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "depths": tuple(depths),
+    }
+
+
 def davit_oracle(
     image_hw: Tuple[int, int] = (64, 96),
     embed_dims: Tuple[int, ...] = (8, 16, 24, 32),

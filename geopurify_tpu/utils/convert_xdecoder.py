@@ -137,6 +137,11 @@ def convert_focalnet(sd: SD, prefix: str, depths) -> Dict[str, Any]:
             if f"{bp}.gamma_1" in sd:
                 blk["gamma_1"] = _get(sd, f"{bp}.gamma_1")
                 blk["gamma_2"] = _get(sd, f"{bp}.gamma_2")
+            # focal_dw variant (vision/backbone/focal_dw.py): per-block
+            # depthwise residual convs
+            if f"{bp}.dw1.weight" in sd:
+                blk["dw1"] = _conv(sd, f"{bp}.dw1", depthwise=True)
+                blk["dw2"] = _conv(sd, f"{bp}.dw2", depthwise=True)
             blocks.append(blk)
         # stack per-block subtrees along a leading depth axis — the layout of
         # the scanned stage (models/focalnet.FocalNet: layers{i}_blocks/block)

@@ -35,6 +35,15 @@ def test_parity_focalnet():
     _check(compare.parity_focalnet())
 
 
+def test_parity_focalnet_dw():
+    """focal_dw (SEEM-release FocalNet, vision/backbone/focal_dw.py): dw
+    residual convs, post-residual norm1 under postLN, norm2 over the whole
+    FFN residual, non-overlapping patch embeds with pre-norm — both postLN
+    settings."""
+    _check(compare.parity_focalnet_dw(use_postln=True))
+    _check(compare.parity_focalnet_dw(use_postln=False))
+
+
 def test_parity_pixel_decoder():
     _check(compare.parity_pixel_decoder())
 
