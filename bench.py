@@ -280,7 +280,8 @@ def main():
         def evaluate(sc):
             fused, count = sharded_lift_scene(pipe, sc, vp_mesh)
             refined, overflow, logits, pred = pipe._pool_classify(
-                student_vars, fused, sc, pipe.text_embeddings, pipe.logit_scale
+                student_vars, fused, sc, pipe.text_embeddings, pipe.logit_scale,
+                want_features=False,
             )
             return {"pred": pred, "band_overflow": overflow}
 
@@ -330,7 +331,7 @@ def main():
             # by default — see PoolingConfig.smooth_space)
             refined, ov, logits, pred = pipe._pool_classify(
                 student_vars, feats, sc,
-                pipe.text_embeddings, pipe.logit_scale,
+                pipe.text_embeddings, pipe.logit_scale, want_features=False,
             )
             jax.block_until_ready(pred)
             t2 = time.time()

@@ -111,7 +111,10 @@ class GeoPurifyPipeline:
         # (fused features + banded operator + refined) OOM a 16 GB chip.
         # f2d (arg 1) is donated: the [P, 512] f32 lift output (2.1 GB at
         # preset scale) is consumed here and never reused.
-        self._pool_classify = jax.jit(self._pool_classify_impl, donate_argnums=(1,))
+        self._pool_classify = jax.jit(
+            self._pool_classify_impl, donate_argnums=(1,),
+            static_argnames=("want_features",),
+        )
 
     # ------------------------------------------------------------------
     # Stage-2: lift + pooling
@@ -331,14 +334,21 @@ class GeoPurifyPipeline:
         return jnp.where(batch.point_valid[:, None], out, 0), band_overflow
 
     def evaluate_scene(
-        self, student_vars, batch: SceneBatch, n_valid_views: Optional[int] = None
+        self, student_vars, batch: SceneBatch, n_valid_views: Optional[int] = None,
+        want_features: bool = False,
     ) -> Dict[str, jax.Array]:
-        """Full Stage-2: returns refined per-point features + open-vocab logits."""
+        """Full Stage-2: returns per-point open-vocab logits + predictions.
+
+        ``want_features`` additionally returns the per-point feature surface
+        (``scene_features``; None otherwise). Under logit-space smoothing it
+        is a debug/visualization output whose [P, feature_dim] point gather
+        costs real HBM traffic — predictions never need it, so it's opt-in."""
         lifted = self.lift_scene(batch, n_valid=n_valid_views)
         f2d, view_count = lifted.features, lifted.view_count
         del lifted  # drop the extra device-buffer reference before the tail
         refined, band_overflow, logits, pred = self._pool_classify(
-            student_vars, f2d, batch, self.text_embeddings, self.logit_scale
+            student_vars, f2d, batch, self.text_embeddings, self.logit_scale,
+            want_features=want_features,
         )
         return {
             "scene_features": refined,
@@ -350,7 +360,8 @@ class GeoPurifyPipeline:
             "band_overflow": band_overflow,
         }
 
-    def _pool_classify_impl(self, student_vars, f2d, batch, text, logit_scale):
+    def _pool_classify_impl(self, student_vars, f2d, batch, text, logit_scale,
+                            want_features: bool = True):
         if self.cfg.pooling.smooth_space == "logit":
             # Argmax-exact fast path (see PoolingConfig.smooth_space): project
             # the 512-d voxel semantics onto the normalized text embeddings
@@ -371,21 +382,29 @@ class GeoPurifyPipeline:
             logits = logit_scale * jnp.where(batch.point_valid[:, None], pt, 0.0)
             pred = jnp.argmax(logits, axis=-1)
             # debug/visualization surface: the PRE-smoothing fused features.
-            # Slice to the semantic dims and (at HBM-straining scales)
-            # downcast BEFORE the [P, C] point gather — gathering the full
-            # [P, 518] f32 then slicing materializes ~4.3 GB of transients
-            # at preset scale (OOMed the 16 GB chip).
-            P = batch.point_valid.shape[0]
-            vi = voxel_in[:, : pc.feature_dim]
-            if P * pc.feature_dim >= (1 << 28):
-                vi = vi.astype(jnp.bfloat16)
-            vi = jnp.concatenate([vi, jnp.zeros((1, vi.shape[1]), vi.dtype)], 0)
-            refined = jnp.where(
-                batch.point_valid[:, None], vi[jnp.minimum(p2v, M)], 0.0
-            ).astype(vi.dtype)
+            # OPT-IN (want_features): the [P, feature_dim] point gather +
+            # masked write cost ~0.5-3 GB of HBM traffic per scene that
+            # predictions never read. Slice to the semantic dims and (at
+            # HBM-straining scales) downcast BEFORE the gather — the full
+            # [P, 518] f32 gather-then-slice materializes ~4.3 GB of
+            # transients at preset scale (OOMed the 16 GB chip).
+            refined = None
+            if want_features:
+                P = batch.point_valid.shape[0]
+                vi = voxel_in[:, : pc.feature_dim]
+                if P * pc.feature_dim >= (1 << 28):
+                    vi = vi.astype(jnp.bfloat16)
+                vi = jnp.concatenate(
+                    [vi, jnp.zeros((1, vi.shape[1]), vi.dtype)], 0
+                )
+                refined = jnp.where(
+                    batch.point_valid[:, None], vi[jnp.minimum(p2v, M)], 0.0
+                ).astype(vi.dtype)
             return refined, band_overflow, logits, pred
         refined, band_overflow = self._pool_scene_impl(student_vars, f2d, batch)
         logits, pred = self._classify_impl(refined, text, logit_scale)
+        if not want_features:
+            return None, band_overflow, logits, pred
         # at HBM-straining scales the returned per-point features ride bf16
         # (they are a debug/visualization surface; pred/logits stay f32)
         if refined.size >= (1 << 28):

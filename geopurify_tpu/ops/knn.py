@@ -421,6 +421,12 @@ def knn_self_grid(
             )
 
         d2, cand_idx, (fits, rel_fits) = jax.lax.cond(s_fits, pruned, full_scan)
+        # (A runtime-gated NARROW top-k over the first C/2 compacted columns
+        # — exact when every tile of the supertile holds <= C/2 candidates,
+        # 2.4x cheaper per selector sweep — is a MEASURED DEAD END on the
+        # bench scene family: per-tile candidate counts sit right at C/2
+        # (median ~2000-2250 at radius 12), so only 3.1% / 0.8% of
+        # supertiles at M=65536 / 2^18 pass the all-tiles gate. See ROADMAP.)
         pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k, selector=selector)
         if pack_ids:
             # cand_idx here is the per-tile base id [G]; rel rides the key.
@@ -524,8 +530,13 @@ def knn_self_grid(
     )
 
     # back to caller order by GATHER with the inverse permutation (inv[i] =
-    # sorted position of caller row i); the scatter form costs ~100 ms
-    inv = jnp.argsort(perm)
+    # sorted position of caller row i); scattering the [Mp, k] ROWS instead
+    # costs ~100 ms (dynamic row scatters lower serially). The inverse perm
+    # itself is ONE element scatter (perm is a permutation, indices unique)
+    # — a second argsort re-sorts M keys for ~20 ms at M=2^18.
+    inv = jnp.zeros((M,), jnp.int32).at[perm].set(
+        jnp.arange(M, dtype=jnp.int32), unique_indices=True
+    )
     dists = pd_s[inv]
     idx = pi_s[inv]
     return dists, jnp.maximum(idx, 0)

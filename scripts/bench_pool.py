@@ -130,6 +130,16 @@ def main():
     ))
     print("19x banded smoothing:",
           t_sync(smooth, op, sfeats, trials=args.trials))
+    # split: re-run with the residual EMPTIED (res_row=M padding everywhere)
+    # — the runtime chunk gate skips every residual chunk, so the difference
+    # vs the full op is the 19x residual cost (gather + sorted segment_sum)
+    n_res = int(jax.device_get((op.res_row < M).sum()))
+    op_nores = op._replace(
+        res_row=jnp.full_like(op.res_row, M),
+        res_w=jnp.zeros_like(op.res_w),
+    )
+    t_core = t_sync(smooth, op_nores, sfeats, trials=args.trials)
+    print(f"  banded core only (residual gated off; n_res={n_res}):", t_core)
 
     # gather-path A/B: in LOGIT space (C=n_cls) the per-round gather traffic
     # scales with C while the banded path's S-read cost is C-independent —

@@ -122,6 +122,14 @@ def test_evaluate_scene(setup):
     assert out["logits"].shape == (P, n_cls)
     assert out["pred"].shape == (P,)
     assert np.asarray(out["pred"]).max() < n_cls
+    # the per-point feature surface is opt-in (costs a [P, C] gather the
+    # predictions never read); predictions are unaffected by the flag
+    assert out["scene_features"] is None
+    out_f = pipe.evaluate_scene(student_vars, batch, want_features=True)
+    assert out_f["scene_features"].shape == (P, cfg.pooling.feature_dim)
+    np.testing.assert_array_equal(
+        np.asarray(out_f["pred"]), np.asarray(out["pred"])
+    )
 
 
 def test_logit_space_smoothing_argmax_exact(setup):
