@@ -206,10 +206,15 @@ def main():
         # applies and WINS over gather mode: build 0.37 s + 19 rounds 0.96 s
         # vs 1.62 s (measured M=2^18, logit space C=128). Pass --overrides
         # pooling.spmm_mode=gather to A/B.
+        # res_chunk == capacity: ONE residual segment_sum per round — at
+        # preset scale the residual nearly fills capacity (~1.66M of 2M
+        # edges), so chunk gating buys nothing and its per-chunk dense
+        # accumulator adds cost ~85 ms/scene (sweep in ROADMAP).
         cfg = dataclasses.replace(
             cfg,
             pooling=dataclasses.replace(
-                cfg.pooling, band=6144, max_residual=2 * 1024 * 1024
+                cfg.pooling, band=6144, max_residual=2 * 1024 * 1024,
+                res_chunk=2 * 1024 * 1024,
             ),
         )
         P, M, V, Pv = 2 ** 20, 2 ** 18, 32, 2 ** 16

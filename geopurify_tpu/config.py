@@ -134,6 +134,13 @@ class PoolingConfig:
     # back to the exact gather path. Hilbert order + adaptive window starts
     # leave ~2-3.5% of M*96 edges out-of-band at band 12288 at M=65k.
     max_residual: int = 262144
+    # Residual segment_sum chunk size. Chunks bound the gathered [chunk, C]
+    # transient AND runtime-gate cost to the actual edge count; when the
+    # expected residual nearly fills capacity (preset scale: ~1.66M of 2M),
+    # ONE full-capacity call wins (0.815 vs 0.900 s/19 rounds measured at
+    # M=2^18 — no fori_loop, no per-chunk dense [M, C] accumulator adds).
+    # 0 means "use max_residual" (one call).
+    res_chunk: int = 262144
     # kNN strategy: 'grid' = Morton-tiled bbox-pruned exact kNN (certificate
     # + full-row fallback; ~7x faster on v5e at M=65k), 'full' = brute force.
     knn_mode: str = "grid"

@@ -153,10 +153,12 @@ def fuse_views(
     flat_ids = jnp.where(view_point_valid, view_point_ids, num_points).reshape(-1)
 
     sum_logits = segment_sum(
-        view_logits.reshape(-1, n_cls).astype(jnp.float32), flat_ids, num_points
+        view_logits.reshape(-1, n_cls).astype(jnp.float32), flat_ids, num_points,
+        sorted_hint="never",
     )
     count = segment_sum(
-        view_point_valid.reshape(-1, 1).astype(jnp.float32), flat_ids, num_points
+        view_point_valid.reshape(-1, 1).astype(jnp.float32), flat_ids, num_points,
+        sorted_hint="never",
     )[:, 0]
     consensus = jnp.argmax(sum_logits / jnp.maximum(count, 1.0)[:, None], axis=-1)
 

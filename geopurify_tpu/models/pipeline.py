@@ -309,6 +309,7 @@ class GeoPurifyPipeline:
             spmm_mode=pc.spmm_mode, band=pc.band, max_residual=pc.max_residual,
             knn_mode=pc.knn_mode, knn_radius=pc.knn_radius,
             knn_candidates=pc.knn_candidates,
+            res_chunk=getattr(pc, "res_chunk", 262144),
         )
 
     def _pool_scene_impl(

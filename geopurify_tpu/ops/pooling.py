@@ -338,13 +338,15 @@ def build_banded_operator(
     return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped)
 
 
-@partial(jax.jit, static_argnames=("num_iterations", "band", "row_tile"))
+@partial(jax.jit, static_argnames=("num_iterations", "band", "row_tile",
+                                   "res_chunk"))
 def iterate_pooling_banded(
     op: BandedOperator,
     feats: jax.Array,     # [M, C]
     num_iterations: int = 19,
     band: int = 12288,
     row_tile: int = 2048,
+    res_chunk: int = 262144,
 ) -> jax.Array:
     """19 rounds of F <- A @ F with the banded-dense operator + COO residual."""
     S = op.S
@@ -356,7 +358,7 @@ def iterate_pooling_banded(
     # chunk sizing trades per-call segment_sum overhead against gating
     # granularity: 65536 (8 calls at cap 2^19) measured 0.55 s vs 0.30 at one
     # call on an all-live scene — per-call overhead dominates below ~2^18
-    res_chunk = min(R, 262144)
+    res_chunk = min(R, res_chunk)
     n_rc = -(-R // res_chunk) if R else 0
     # residual cost is ~linear in the STATIC capacity (CLAUDE.md bench note);
     # gating each chunk on the ACTUAL edge count makes it linear in the real
@@ -459,6 +461,7 @@ def geometry_guided_pooling(
     knn_mode: str = "grid",
     knn_radius: int = 12,
     knn_candidates: int = 4096,
+    res_chunk: int = 262144,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full Stage-2 smoothing: graph build + iterated aggregation.
 
@@ -502,7 +505,8 @@ def geometry_guided_pooling(
             lambda: iterate_pooling(w_h, nbr_h, feats_h,
                                     num_iterations=num_iterations),
             lambda: iterate_pooling_banded(
-                op, feats_h, num_iterations=num_iterations, band=band
+                op, feats_h, num_iterations=num_iterations, band=band,
+                res_chunk=res_chunk or max_residual,
             ),
         )
         return out_h[rank], op.n_dropped

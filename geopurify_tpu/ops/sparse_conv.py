@@ -86,10 +86,20 @@ def _conv_taps(f_pad: jax.Array, neighbor_idx: jax.Array, weights: jax.Array):
     Rematerialized (jax.checkpoint): without it, scan's backward saves every
     per-tap gather — K x [M, Cin] residuals (3.4 GB at 65k voxels x 512 ch),
     which OOMs the training step; recomputing the K gathers in the backward
-    costs a few ms."""
+    costs a few ms.
+
+    The CENTER tap of a full 3^3 stencil ((0,0,0) — product-order index 13)
+    is the identity on valid rows (nbr[i, 13] == i; invalid rows gather the
+    zero sentinel), so it runs as a direct full-matrix matmul instead of a
+    gather — 1/K of the conv's gather traffic for free. Exact because every
+    caller masks invalid OUTPUT rows (forward: where(valid); backward: the
+    cotangent g is pre-zeroed at invalid rows, so d_weights contributions
+    from invalid rows vanish either way)."""
     K = weights.shape[0]
     M = neighbor_idx.shape[0]
     Cout = weights.shape[2]
+    # product-order center ((0,0,0)) is K//2 for odd cubic kernels (3^3, 5^3)
+    center = K // 2 if K in (27, 125) else None
 
     def step(acc, k):
         gathered = f_pad[neighbor_idx[:, k]]  # [M, Cin]
@@ -98,8 +108,17 @@ def _conv_taps(f_pad: jax.Array, neighbor_idx: jax.Array, weights: jax.Array):
         )
         return acc, None
 
-    acc0 = jnp.zeros((M, Cout), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0, jnp.arange(K))
+    if center is None:
+        acc0 = jnp.zeros((M, Cout), jnp.float32)
+        taps = jnp.arange(K)
+    else:
+        acc0 = jnp.dot(
+            f_pad[:M], weights[center], preferred_element_type=jnp.float32
+        )
+        taps = jnp.asarray(
+            [k for k in range(K) if k != center], dtype=jnp.int32
+        )
+    out, _ = jax.lax.scan(step, acc0, taps)
     return out
 
 
@@ -285,8 +304,17 @@ def _conv_zstack(features: jax.Array, zt: ZStackTable,
         )
         return acc, None
 
-    acc, _ = jax.lax.scan(col, jnp.zeros((M, Cout), jnp.float32),
-                          jnp.arange(9))
+    # center column ((dx,dy)=(0,0)): t_mid[:, 4] is the identity on valid
+    # rows (a voxel is its own (0,0,0) neighbor) and invalid OUTPUT rows are
+    # masked below, so it runs as a direct matmul on H[:M] — 1/9 of the
+    # conv's wide-row gather traffic for free
+    acc0 = jax.lax.dot_general(
+        H[:M], Wz[4], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc, _ = jax.lax.scan(
+        col, acc0, jnp.asarray([0, 1, 2, 3, 5, 6, 7, 8], jnp.int32)
+    )
 
     f_pad = jnp.concatenate([fd, zero], axis=0)
     k_map = jnp.asarray(_Z_RES_TAPS)

@@ -92,10 +92,12 @@ def sharded_lift_scene(
         flat_ids = jnp.where(vv_pv, ids, P_pts).reshape(-1)
         n_cls = vlogits.shape[-1]
         sum_logits = segment_sum(
-            vlogits.reshape(-1, n_cls).astype(jnp.float32), flat_ids, P_pts
+            vlogits.reshape(-1, n_cls).astype(jnp.float32), flat_ids, P_pts,
+            sorted_hint="never",
         )
         count = segment_sum(
-            vv_pv.reshape(-1, 1).astype(jnp.float32), flat_ids, P_pts
+            vv_pv.reshape(-1, 1).astype(jnp.float32), flat_ids, P_pts,
+            sorted_hint="never",
         )[:, 0]
         # global consensus class: psum'd mean logits (≙ fuse_views:101-107)
         sum_logits = jax.lax.psum(sum_logits, axis)

@@ -176,7 +176,25 @@ def main():
     stud = jax.jit(lambda f, nb, v: student.apply(svars, f, nb, v, train=False))
     print("neighbor table:", t_sync(
         jax.jit(build_neighbor_table), coords, valid, trials=args.trials))
-    print("student fwd:", t_sync(stud, feats, nbr_tab, valid, trials=args.trials))
+    print("student fwd (tap-scan):",
+          t_sync(stud, feats, nbr_tab, valid, trials=args.trials))
+    if M >= cfg.student.zstack_min_voxels:
+        # mirror the pipeline's large-M fast path (_voxel_embed): z-stack
+        # table derived from the 27-table, conv via rolls + 9 wide gathers
+        from geopurify_tpu.ops.sparse_conv import build_zstack_table
+
+        zbuild = jax.jit(lambda c, v, nb: build_zstack_table(
+            c, v, nb, res_budget=max(16384, M // 16)))
+        print("zstack table build:",
+              t_sync(lambda c, v: zbuild(c, v, nbr_tab), coords, valid,
+                     trials=args.trials))
+        zt = zbuild(coords, valid, nbr_tab)
+        # zt rides as a traced pytree argument — a closure capture would bake
+        # the [M, 27] table into the jaxpr as constants (compile blowup)
+        studz = jax.jit(
+            lambda f, z, v: student.apply(svars, f, z, v, train=False))
+        print("student fwd (z-stack):",
+              t_sync(studz, feats, zt, valid, trials=args.trials))
 
     p2v = jnp.asarray(rng.integers(0, M, P, ), jnp.int32)
     f2d = jnp.asarray(rng.normal(0, 1, (P, 512)).astype(np.float32))

@@ -254,3 +254,20 @@ def test_segment_mean_drops_out_of_range(rng):
     np.testing.assert_allclose(np.asarray(m)[2:], 0)
     s = segment_sum(jnp.asarray(data), jnp.asarray(ids), num_segments=7)
     np.testing.assert_allclose(np.asarray(s)[0], data[:10].sum(0), rtol=1e-5)
+
+
+def test_segment_sum_sorted_hint_matches(rng):
+    """The runtime-gated sorted fast path (ops/segment.segment_sum
+    sorted_hint='auto') must be value-identical to the plain scatter on
+    BOTH sorted and shuffled ids, above and below the size gate."""
+    for n in (1000, 8192):
+        data = rng.uniform(size=(n, 8)).astype(np.float32)
+        ids_sorted = np.sort(rng.integers(0, 64, n)).astype(np.int32)
+        ids_shuffled = rng.permutation(ids_sorted)
+        for ids in (ids_sorted, ids_shuffled):
+            ref = segment_sum(jnp.asarray(data), jnp.asarray(ids), 64,
+                              sorted_hint="never")
+            out = segment_sum(jnp.asarray(data), jnp.asarray(ids), 64,
+                              sorted_hint="auto")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-6)
