@@ -227,6 +227,16 @@ def test_banded_spmm_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(opu.res_w), np.asarray(opd.res_w))
     assert int(opu.n_dropped) == int(opd.n_dropped) == 0
 
+    # res_chunk is perf-only (preset override passes capacity = one call):
+    # a small chunk (8 gated calls) must match the one-call result up to
+    # f32 summation order
+    out_rc = iterate_pooling_banded(
+        op, jnp.asarray(feats), num_iterations=3, band=128, row_tile=64,
+        res_chunk=512,
+    )
+    np.testing.assert_allclose(np.asarray(out_rc), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_pallas_banded_window_matmul_matches_einsum(rng):
     """The Pallas windowed-matmul core (interpret mode on CPU) must equal the
