@@ -61,21 +61,55 @@ def build_neighbor_table(
     big = jnp.int32(2**31 - 1)
     keys = jnp.where(voxel_valid, raw_keys, big)
 
-    # The linear key is affine, so target keys for offset o are keys + const_o:
-    # ONE flattened [K*M] searchsorted covers all offsets. method="sort"
-    # (union-argsort lowering) beats the default binary-search scan ~4x on TPU
-    # — the scan's 17 dependent gather rounds dominate (A/B on v5e:
-    # 255 ms -> 60 ms at M=65536, bit-identical). Targets come from the RAW
-    # keys (a padded row's big+const would overflow); invalid queries are
-    # masked out of `hit` below.
+    # The linear key is affine, so target keys for offset o are keys + const_o.
+    # method="sort" (union-argsort lowering) beats the default binary-search
+    # scan ~4x on TPU — the scan's 17 dependent gather rounds dominate (A/B on
+    # v5e: 255 ms -> 60 ms at M=65536, bit-identical). Targets come from the
+    # RAW keys (a padded row's big+const would overflow); invalid queries are
+    # masked out below.
+    #
+    # Z-CHAIN: only the kernel_size^2 dz==0 offsets are searched. dz is the
+    # FASTEST key axis (lex sort), so the (dx, dy, dz+-d) targets are t +- d
+    # and their positions CHAIN from the dz=0 insertion point p by strict
+    # monotonicity: pos(t+d) = pos(t+d-1) + [keys[pos(t+d-1)] == t+d-1],
+    # downward pos(t-d) = pos(t-(d-1)) - [exists], existence = one kp compare
+    # each. The union sort shrinks from (K+1)M to (K/kz+1)M elements
+    # (28M -> 10M at kernel 3, 126M -> 26M at the Sonata k5 stem). The +1
+    # coord shift and spans = maxc+3 keep t +- (kz//2) from ever colliding
+    # with a real key of a neighboring (x, y) column (shifted z' spans
+    # [1, maxz+1]; the wrap slots z'=0 / z'=maxz+2 are never occupied).
+    kz = kernel_size
+    n_col = K // kz
+    mid_tap = kz // 2
     kconst = (
         offsets[:, 0] * spans[1] + offsets[:, 1]
     ) * spans[2] + offsets[:, 2]                               # [K]
-    targets = (raw_keys[None, :] + kconst[:, None]).reshape(-1)  # [K*M]
-    pos = jnp.searchsorted(keys, targets, method="sort").reshape(K, M)
-    pos_c = jnp.clip(pos, 0, M - 1)
-    hit = (keys[pos_c] == targets.reshape(K, M)) & voxel_valid[None, :] & (pos < M)
-    table = jnp.where(hit, pos_c, M).astype(jnp.int32)         # [K, M]
+    col_const = kconst[mid_tap::kz]                            # [n_col] dz=0
+    targets = raw_keys[None, :] + col_const[:, None]           # [n_col, M]
+    p = jnp.searchsorted(
+        keys, targets.reshape(-1), method="sort"
+    ).reshape(n_col, M).astype(jnp.int32)
+    kp = jnp.concatenate([keys, jnp.full((1,), big, keys.dtype)])  # [M+1]
+    qv = voxel_valid[None, :]
+
+    cols = [None] * kz                                         # [n_col, M] each
+    hit_mid = (kp[p] == targets) & qv
+    cols[mid_tap] = jnp.where(hit_mid, p, M)
+    q, tq = p, targets
+    for d in range(1, kz - mid_tap):
+        q = q + (kp[q] == tq).astype(jnp.int32)                # pos(t+d)
+        tq = tq + 1
+        hit = (kp[jnp.minimum(q, M)] == tq) & qv
+        cols[mid_tap + d] = jnp.where(hit, q, M)
+    r, tr = p, targets
+    for d in range(1, mid_tap + 1):
+        tr = tr - 1
+        prev = jnp.maximum(r - 1, 0)
+        hit = (kp[prev] == tr) & (r >= 1) & qv
+        cols[mid_tap - d] = jnp.where(hit, prev, M)
+        r = jnp.where(hit, prev, r)
+    # interleave back to product order (dz fastest): [n_col, kz, M]
+    table = jnp.stack(cols, axis=1).reshape(K, M).astype(jnp.int32)
     return table.T  # [M, K]
 
 

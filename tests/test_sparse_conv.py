@@ -38,6 +38,26 @@ def test_neighbor_table_matches_bruteforce(rng):
     assert np.all(nbr[~valid] == M)
 
 
+def test_neighbor_table_k5_matches_bruteforce(rng):
+    """The z-chain construction (only dz==0 offsets searched; dz=+-1/+-2
+    positions derived from the insertion point by monotonic key steps) must
+    match brute force for the Sonata k5 stem's 125-offset table too."""
+    dv = _make_voxels(rng)
+    M = dv.voxel_coords.shape[0]
+    nbr = np.asarray(
+        build_neighbor_table(dv.voxel_coords, dv.voxel_valid, kernel_size=5)
+    )
+    coords = np.asarray(dv.voxel_coords)
+    valid = np.asarray(dv.voxel_valid)
+    lut = {tuple(c): i for i, c in enumerate(coords[valid])}
+    offsets = kernel_offsets_3d(5)
+    for i in np.where(valid)[0][:48]:
+        for k, off in enumerate(offsets):
+            want = lut.get(tuple(coords[i] + off), M)
+            assert nbr[i, k] == want, (i, k, off)
+    assert np.all(nbr[~valid] == M)
+
+
 def test_sparse_conv_matches_dense_conv(rng):
     dv = _make_voxels(rng, extent=5, max_voxels=128)
     M = dv.voxel_coords.shape[0]
