@@ -25,7 +25,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from geopurify_tpu.ops.knn import nearest_fill, nearest_fill_grid
+from geopurify_tpu.ops.knn import nearest_donor, nearest_fill, nearest_fill_grid
 from geopurify_tpu.ops.segment import segment_sum
 from geopurify_tpu.models.layers import _aa_resize_taps, resize_bicubic_antialias
 
@@ -33,6 +33,15 @@ from geopurify_tpu.models.layers import _aa_resize_taps, resize_bicubic_antialia
 class ViewLift(NamedTuple):
     features: jax.Array   # [Pv, C] L2-normalized per-point features (0 if unseen)
     logits: jax.Array     # [Pv, n_cls] scaled cosine logits vs text
+
+
+class ViewLiftIds(NamedTuple):
+    """Index-valued lift of one view (see ``lift_view_ids``): every per-point
+    feature is a row of a Q+1-row table, so the view ships a [Pv] int32
+    instead of [Pv, C] floats."""
+    winner: jax.Array       # [Pv] int32 in [0, Q]; Q = the no-feature sentinel
+    embed_table: jax.Array  # [Q+1, C] L2-normalized mask embeds, zero sentinel row
+    logit_table: jax.Array  # [Q+1, n_cls] scaled cosine logits, zero sentinel row
 
 
 @partial(jax.jit, static_argnames=("mask_shape", "mask_threshold"))
@@ -50,6 +59,41 @@ def lift_view_features(
     mask_threshold: float = 0.5,
 ) -> ViewLift:
     """Single-view mask assembly -> per-point features -> hole fill -> logits.
+
+    Prefer ``lift_view_ids`` (the index-valued form) on the default pipeline
+    path — same math, a [Pv] int32 output instead of [Pv, C] floats."""
+    winner, covered = _view_winner(
+        pred_masks, pred_logits, rows, cols, pv_valid, mask_shape, mask_threshold
+    )
+    feats = jnp.where(
+        covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0
+    )                                                         # [Pv, C]
+
+    # per-view nearest fill for visible-but-uncovered points (ref :604-625):
+    # both-compacted gated sweep — O(n_unseen * n_covered) pairs, which beats
+    # the Hilbert-grid-pruned fill at every unseen fraction at view shapes
+    # (47-59 vs 51-76 ms at Pv=65536 incl. ~28 ms dispatch; the random-
+    # teacher bench views are ~90% uncovered, where donor compaction wins 8x)
+    feats = nearest_fill(feats, view_coords.astype(jnp.float32), covered, pv_valid)
+    feats = jnp.where(pv_valid[:, None], feats, 0.0)
+
+    norm = jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+    feats = feats / norm
+    logits = logit_scale * feats @ text_embeddings.astype(jnp.float32).T
+    return ViewLift(feats, logits)
+
+
+def _view_winner(
+    pred_masks: jax.Array,     # [Q, h, w] stride-4 mask logits
+    pred_logits: jax.Array,    # [Q, n_cls+1]
+    rows: jax.Array,           # [Pv]
+    cols: jax.Array,           # [Pv]
+    pv_valid: jax.Array,       # [Pv] bool
+    mask_shape: Tuple[int, int],
+    mask_threshold: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Winning mask id + covered flag per view point (shared by the dense and
+    index-valued lifts).
 
     The mask-id argmax grid is evaluated ONLY at the Pv point pixels when
     that is cheaper: the reference resizes pred_masks to the full [Q, H, W]
@@ -109,22 +153,61 @@ def lift_view_features(
         winner = mask_ids[r, c]                               # [Pv]
         sig_win = sig[winner, r, c]
     covered = (sig_win >= mask_threshold) & pv_valid
-    feats = jnp.where(
-        covered[:, None], mask_embed.astype(jnp.float32)[winner], 0.0
-    )                                                         # [Pv, C]
+    return winner, covered
 
-    # per-view nearest fill for visible-but-uncovered points (ref :604-625):
-    # both-compacted gated sweep — O(n_unseen * n_covered) pairs, which beats
-    # the Hilbert-grid-pruned fill at every unseen fraction at view shapes
-    # (47-59 vs 51-76 ms at Pv=65536 incl. ~28 ms dispatch; the random-
-    # teacher bench views are ~90% uncovered, where donor compaction wins 8x)
-    feats = nearest_fill(feats, view_coords.astype(jnp.float32), covered, pv_valid)
-    feats = jnp.where(pv_valid[:, None], feats, 0.0)
 
-    norm = jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-    feats = feats / norm
-    logits = logit_scale * feats @ text_embeddings.astype(jnp.float32).T
-    return ViewLift(feats, logits)
+@partial(jax.jit, static_argnames=("mask_shape", "mask_threshold"))
+def lift_view_ids(
+    pred_masks: jax.Array,     # [Q, h, w] stride-4 mask logits (padded-image grid)
+    mask_embed: jax.Array,     # [Q, C]
+    pred_logits: jax.Array,    # [Q, n_cls+1]
+    rows: jax.Array,           # [Pv]
+    cols: jax.Array,           # [Pv]
+    pv_valid: jax.Array,       # [Pv] bool
+    view_coords: jax.Array,    # [Pv, 3] coords for the hole fill
+    text_embeddings: jax.Array,  # [n_cls, C] L2-normalized (background excluded)
+    logit_scale: jax.Array,    # []
+    mask_shape: Tuple[int, int],
+    mask_threshold: float = 0.5,
+) -> ViewLiftIds:
+    """Index-valued single-view lift — ``lift_view_features`` restructured
+    around the observation that EVERY per-point feature is one of only Q
+    rows: covered points take ``mask_embed[winner]``, hole-filled points take
+    their donor's (again a winner row, the donor being a covered point), and
+    unseen points are zero (ref affinity_module.py:560-625 — the per-query
+    assignment followed by the per-view KDTree fill). So the view's output is
+    a [Pv] int32 ``winner`` into a [Q+1, C] normalized-embedding table (row Q
+    = the zero no-feature sentinel) plus the matching [Q+1, n_cls] logits
+    table: the [Pv, C] normalize + [Pv, C] @ [C, n_cls] logits matmul
+    collapse to Q-row table ops, the hole fill fills an int instead of
+    scattering C-wide rows, and downstream fusion never materializes a
+    [V, Pv, C] feature buffer (2.1 GB bf16 at preset scale — the buffer that
+    forced the old bf16 storage compromise). Gathering the tables at
+    ``winner`` reproduces ``lift_view_features`` exactly (same winner, same
+    donor ties, same normalize-then-project per row)."""
+    winner, covered = _view_winner(
+        pred_masks, pred_logits, rows, cols, pv_valid, mask_shape, mask_threshold
+    )
+    Q, C = mask_embed.shape
+
+    emb = mask_embed.astype(jnp.float32)
+    norm = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    emb_n = emb / norm
+    logits_q = logit_scale * emb_n @ text_embeddings.astype(jnp.float32).T
+    embed_table = jnp.concatenate([emb_n, jnp.zeros((1, C), jnp.float32)])
+    logit_table = jnp.concatenate(
+        [logits_q, jnp.zeros((1, logits_q.shape[1]), jnp.float32)]
+    )
+
+    # per-view nearest fill on INDICES (ref :604-625): the donor search is
+    # nearest_fill's exact core (shared — identical donors incl. ties); only
+    # the payload changes from [Pv, C] features to the winner int
+    donor, filled = nearest_donor(
+        view_coords.astype(jnp.float32), covered, pv_valid
+    )
+    w = jnp.where(covered, winner, jnp.where(filled, winner[donor], Q))
+    w = jnp.where(pv_valid, w, Q).astype(jnp.int32)
+    return ViewLiftIds(w, embed_table, logit_table)
 
 
 @partial(jax.jit, static_argnames=("num_points", "top_k"))
@@ -136,20 +219,81 @@ def fuse_views(
     num_points: int,
     top_k: int = 3,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Cross-view consensus fusion (ref :647-685).
+    """Cross-view consensus fusion (ref :647-685), dense-feature form.
 
-    The running top-k merge tracks POINTERS (view*Pv + slot), not features:
+    Used by the lseg/ape lift backends and the view-parallel path; the
+    default xdecoder pipeline fuses through ``fuse_views_indexed``.
+    """
+    V, Pv, C = view_feats.shape
+    ptrs = (
+        jnp.arange(V, dtype=jnp.int32)[:, None] * Pv
+        + jnp.arange(Pv, dtype=jnp.int32)[None, :]
+    )
+    return _fuse_core(
+        view_logits, ptrs, view_feats.reshape(V * Pv, C),
+        view_point_ids, view_point_valid, num_points, top_k,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_points", "top_k"))
+def fuse_views_indexed(
+    winner: jax.Array,           # [V, Pv] int32 table rows (Q = sentinel)
+    embed_tables: jax.Array,     # [V, Q+1, C] per-view normalized embeds
+    logit_tables: jax.Array,     # [V, Q+1, n_cls]
+    view_point_ids: jax.Array,   # [V, Pv] int32 scene-point id, == num_points pad
+    view_point_valid: jax.Array, # [V, Pv] bool
+    num_points: int,
+    top_k: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-view consensus fusion over index-valued views (``ViewLiftIds``).
+
+    Identical math to ``fuse_views`` on the gathered-dense equivalents
+    (``embed_tables[v][winner[v]]`` / ``logit_tables[v][winner[v]]``): the
+    top-k merge's pointers simply point INTO the flattened [V*(Q+1), C]
+    embed table instead of a [V*Pv, C] feature buffer — built by arithmetic
+    on ``winner`` (no extra gathers), so the only materialized per-point
+    transient is the [V*Pv, n_cls] logits rows the consensus vote needs
+    anyway. The final agreement-weighted feature mix gathers from the tiny
+    table.
+    """
+    V, Pv = winner.shape
+    Qe, C = embed_tables.shape[1:]
+    n_cls = logit_tables.shape[-1]
+    ptrs = jnp.arange(V, dtype=jnp.int32)[:, None] * Qe + winner     # [V, Pv]
+    view_logits = (
+        logit_tables.reshape(V * Qe, n_cls)
+        .astype(jnp.float32)[ptrs.reshape(-1)]
+        .reshape(V, Pv, n_cls)
+    )
+    return _fuse_core(
+        view_logits, ptrs, embed_tables.reshape(V * Qe, C),
+        view_point_ids, view_point_valid, num_points, top_k,
+    )
+
+
+def _fuse_core(
+    view_logits: jax.Array,      # [V, Pv, n_cls]
+    ptrs: jax.Array,             # [V, Pv] int32 row of `table` backing each slot
+    table: jax.Array,            # [R, C] feature rows the pointers index
+    view_point_ids: jax.Array,   # [V, Pv]
+    view_point_valid: jax.Array, # [V, Pv] bool
+    num_points: int,
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared consensus + top-k agreement merge (ref :647-685).
+
+    The running top-k merge tracks POINTERS into ``table``, not features:
     features are selected by agreement score and only mixed at the very end,
     so the scan carries [P, k] scores + [P, k] i32 pointers instead of a
     [P, k, C] feature buffer — ~16x less fuse gather/scatter traffic per
     view, one final [P, k, C] gather, and no HBM-pressure buffer at preset
-    scale (the old bf16 storage_dtype compromise is gone: the merge is now
+    scale (the old bf16 storage_dtype compromise is gone: the merge is
     exactly feature-preserving at every scale).
 
     Returns (fused_features [P, C] f32, view_count [P]).
     """
-    V, Pv, C = view_feats.shape
-    n_cls = view_logits.shape[-1]
+    V, Pv, n_cls = view_logits.shape
+    C = table.shape[1]
     flat_ids = jnp.where(view_point_valid, view_point_ids, num_points).reshape(-1)
 
     sum_logits = segment_sum(
@@ -165,7 +309,6 @@ def fuse_views(
     top_scores0 = jnp.full((num_points + 1, top_k), -jnp.inf)
     top_ptr0 = jnp.zeros((num_points + 1, top_k), jnp.int32)
     consensus_pad = jnp.concatenate([consensus, jnp.zeros((1,), consensus.dtype)])
-    slot_base = jnp.arange(Pv, dtype=jnp.int32)
 
     def merge_view(carry, v):
         ts, tp = carry
@@ -178,7 +321,7 @@ def fuse_views(
         cur_s = ts[ids]                                             # [Pv, k]
         cur_p = tp[ids]                                             # [Pv, k]
         cat_s = jnp.concatenate([cur_s, agree[:, None]], axis=1)    # [Pv, k+1]
-        cat_p = jnp.concatenate([cur_p, (v * Pv + slot_base)[:, None]], axis=1)
+        cat_p = jnp.concatenate([cur_p, ptrs[v][:, None]], axis=1)
         new_s, arg = jax.lax.top_k(cat_s, top_k)
         new_p = jnp.take_along_axis(cat_p, arg, axis=1)
         # per-view point ids are unique (the loader samples visible points
@@ -197,12 +340,12 @@ def fuse_views(
         jnp.where(jnp.isfinite(top_scores), top_scores, -jnp.inf), axis=-1
     )
     w = jnp.where(jnp.isfinite(top_scores), w, 0.0)
-    # dead pointer slots default to (view 0, slot 0): their weight is exactly
+    # dead pointer slots default to table row 0: their weight is exactly
     # 0.0 (the where above), so the gathered garbage never contributes.
     # The gather+einsum is TILED over points: an unchunked [P, k, C] gather
     # plus its f32 cast materializes ~9.6 GB at preset scale (P=2^20) —
-    # OOMed the 16 GB chip next to the [V, Pv, C] view buffer.
-    vf = view_feats.reshape(V * Pv, C)
+    # OOMed the 16 GB chip next to the dense-path [V, Pv, C] view buffer.
+    vf = table
     PT = min(num_points, 1 << 17)
     n_pt = -(-num_points // PT)
     pad = n_pt * PT - num_points

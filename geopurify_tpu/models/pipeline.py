@@ -37,9 +37,11 @@ from geopurify_tpu.config import GeoPurifyConfig
 from geopurify_tpu.data.batch import SceneBatch
 from geopurify_tpu.models.lift import (
     ViewLift,
+    ViewLiftIds,
     fill_unseen_points,
     fuse_views,
-    lift_view_features,
+    fuse_views_indexed,
+    lift_view_ids,
 )
 from geopurify_tpu.models.student import AffinityPredictor
 from geopurify_tpu.models.sonata import SonataTeacher
@@ -180,9 +182,11 @@ class GeoPurifyPipeline:
         # static unrolled per-sample lift: vmap of the lift (kNN hole fill,
         # mask resize, argmax assembly) lowers ~7x slower on TPU than the
         # plain single-view graphs (measured 260 vs 36 ms/view) — unroll B
-        # instead; B is a small static constant.
+        # instead; B is a small static constant. Index-valued lift: each view
+        # ships a [Pv] int32 winner + [Q+1]-row tables instead of [Pv, C]
+        # floats (models/lift.lift_view_ids).
         lifts = [
-            lift_view_features(
+            lift_view_ids(
                 out["pred_masks"][b], out["mask_embed"][b], out["pred_logits"][b],
                 rows[b], cols[b], pv_valid[b], view_coords[b],
                 text_no_bg, logit_scale,
@@ -191,9 +195,10 @@ class GeoPurifyPipeline:
             )
             for b in range(images.shape[0])
         ]
-        return ViewLift(
-            jnp.stack([l.features for l in lifts]),
-            jnp.stack([l.logits for l in lifts]),
+        return ViewLiftIds(
+            jnp.stack([l.winner for l in lifts]),
+            jnp.stack([l.embed_table for l in lifts]),
+            jnp.stack([l.logit_table for l in lifts]),
         )
 
     def lift_scene(self, batch: SceneBatch, n_valid: Optional[int] = None) -> SceneFeatures:
@@ -211,13 +216,14 @@ class GeoPurifyPipeline:
 
         if n_valid is None:
             n_valid = int(np.asarray(jnp.sum(batch.view_valid)))
-        # storage dtype for the accumulated per-view features — decided HERE
-        # so the f32 view outputs convert as they are appended (a python list
-        # of 32 f32 views at preset scale would hold 4.3 GB before any
-        # later conversion could run)
+        indexed = self.cfg.xdecoder.lift_backend == "xdecoder"
+        bufs = ([], [], []) if indexed else ([], [])
+        # dense path only: storage dtype for the accumulated per-view
+        # features — decided HERE so the f32 view outputs convert as they
+        # are appended (a python list of 32 f32 views at preset scale would
+        # hold 4.3 GB). The indexed path ships [Pv] int32 winners + tiny
+        # tables per view — no HBM-straining buffer, no bf16 compromise.
         vdtype = jnp.bfloat16 if V * Pv * C >= (1 << 28) else jnp.float32
-        feats_buf = []
-        logits_buf = []
         for lo in range(0, n_valid, B):
             start = min(lo, max(V - B, 0))  # shift the tail batch back, no wrap
             lift = self._view_step(
@@ -225,39 +231,66 @@ class GeoPurifyPipeline:
                 batch, jnp.int32(start),
             )
             keep = min(B, n_valid - lo)
-            if keep == B and start == lo:
-                f = lift.features
-                logits_buf.append(lift.logits)
+            sl = (
+                slice(None) if (keep == B and start == lo)
+                else slice(lo - start, lo - start + keep)
+            )
+            if indexed:
+                bufs[0].append(lift.winner[sl])
+                bufs[1].append(lift.embed_table[sl])
+                bufs[2].append(lift.logit_table[sl])
             else:
-                f = lift.features[lo - start : lo - start + keep]
-                logits_buf.append(lift.logits[lo - start : lo - start + keep])
-            # avoid a per-view eager dispatch (~5-10 ms each on the tunnel)
-            # when no conversion is needed
-            feats_buf.append(f if vdtype == jnp.float32 else f.astype(vdtype))
+                f = lift.features[sl]
+                bufs[1].append(lift.logits[sl])
+                # avoid a per-view eager dispatch (~5-10 ms each on the
+                # tunnel) when no conversion is needed
+                bufs[0].append(f if vdtype == jnp.float32 else f.astype(vdtype))
 
-        # (bf16 storage quantizes features ~0.4%, so the standard eval spec
-        # keeps f32 — only HBM-straining shapes convert, see vdtype above)
         pad = V - n_valid
-        if n_valid == 0:
-            view_feats = jnp.zeros((V, Pv, C), vdtype)
-            view_logits = jnp.zeros((V, Pv, n_cls), jnp.float32)
-        else:
-            view_feats = jnp.concatenate(feats_buf)
-            view_logits = jnp.concatenate(logits_buf)
-            if pad:
-                view_feats = jnp.concatenate(
-                    [view_feats, jnp.zeros((pad, Pv, C), vdtype)]
-                )
-                view_logits = jnp.concatenate(
-                    [view_logits, jnp.zeros((pad, Pv, n_cls), jnp.float32)]
-                )
         vp_valid = batch.view_point_valid & batch.view_valid[:, None]
-        # the pointer-tracking merge carries no [P, k, C] buffer, so fusion
-        # needs no bf16 HBM compromise at any scale (see fuse_views)
-        fused, count = fuse_views(
-            view_feats, view_logits, batch.view_point_ids, vp_valid,
-            num_points=P, top_k=self.cfg.xdecoder.fusion_top_k,
-        )
+        if indexed:
+            if n_valid == 0:
+                # table shape is arbitrary here: every slot is invalid
+                winner = jnp.zeros((V, Pv), jnp.int32)
+                emb_t = jnp.zeros((V, 2, C), jnp.float32)
+                logit_t = jnp.zeros((V, 2, n_cls), jnp.float32)
+            else:
+                winner = jnp.concatenate(bufs[0])
+                emb_t = jnp.concatenate(bufs[1])
+                logit_t = jnp.concatenate(bufs[2])
+                if pad:
+                    Qe = emb_t.shape[1]
+                    winner = jnp.concatenate(
+                        [winner, jnp.zeros((pad, Pv), jnp.int32)]
+                    )
+                    emb_t = jnp.concatenate(
+                        [emb_t, jnp.zeros((pad, Qe, C), jnp.float32)]
+                    )
+                    logit_t = jnp.concatenate(
+                        [logit_t, jnp.zeros((pad, Qe, n_cls), jnp.float32)]
+                    )
+            fused, count = fuse_views_indexed(
+                winner, emb_t, logit_t, batch.view_point_ids, vp_valid,
+                num_points=P, top_k=self.cfg.xdecoder.fusion_top_k,
+            )
+        else:
+            if n_valid == 0:
+                view_feats = jnp.zeros((V, Pv, C), vdtype)
+                view_logits = jnp.zeros((V, Pv, n_cls), jnp.float32)
+            else:
+                view_feats = jnp.concatenate(bufs[0])
+                view_logits = jnp.concatenate(bufs[1])
+                if pad:
+                    view_feats = jnp.concatenate(
+                        [view_feats, jnp.zeros((pad, Pv, C), vdtype)]
+                    )
+                    view_logits = jnp.concatenate(
+                        [view_logits, jnp.zeros((pad, Pv, n_cls), jnp.float32)]
+                    )
+            fused, count = fuse_views(
+                view_feats, view_logits, batch.view_point_ids, vp_valid,
+                num_points=P, top_k=self.cfg.xdecoder.fusion_top_k,
+            )
         if P >= (1 << 19):
             # HUGE scenes: the point-to-point fill is O(P^2) (it dominated
             # preset-scale wall clock); fill at voxel resolution instead —

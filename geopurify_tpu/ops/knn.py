@@ -593,32 +593,21 @@ def argmin_search(
     return idx.reshape(-1)[:Q]
 
 
-def nearest_fill(
-    features: jax.Array,     # [N, C]
-    coords: jax.Array,       # [N, D]
-    has_value: jax.Array,    # [N] bool — rows with real features
-    valid: jax.Array,        # [N] bool — padding mask
-    query_tile: int = 4096,
-    db_chunk: int = 32768,
-) -> jax.Array:
-    """Fill rows without features from their nearest (by coords) row that has one.
+def _nearest_donor_core(
+    cf: jax.Array,           # [N, D] f32 coords
+    donors_ok: jax.Array,    # [N] bool — rows usable as donors
+    need: jax.Array,         # [N] bool — rows that want a donor
+    query_tile: int,
+    db_chunk: int,
+):
+    """Donor search shared by ``nearest_fill`` and ``nearest_donor``.
 
-    Device-side replacement for the per-view / global KDTree fills
-    (affinity_module.py:604-625, 687-696). BOTH sides are compacted: queries
-    (rows needing a donor) into runtime-gated ``query_tile`` tiles, donors
-    (covered rows) into runtime-gated ``db_chunk`` chunks — so the distance
-    sweep costs O(n_unseen * n_donors) pairs whatever the coverage mix
-    (the one-sided form degraded at HIGH unseen fractions, where queries are
-    many but donors few: the synthetic bench's random-teacher views are ~90%
-    uncovered and paid a full O(n_unseen * N) sweep). Exact 1-NN, all shapes
-    static; at D=3 the distance matmul is ~free on the MXU and each
-    [4096, 32768] block is ~1 ms of bandwidth on v5e.
+    Returns (qpos [n_qt*T] needing-row ids rank-compacted, q_live liveness,
+    donor [n_qt*T] global donor row per live query, n_donors). Both sides are
+    compacted into runtime-gated tiles/chunks — O(n_need * n_donors) pairs.
     """
-    N = coords.shape[0]
+    N = cf.shape[0]
     T = query_tile
-    cf = coords.astype(jnp.float32)
-    donors_ok = has_value & valid
-    need = valid & ~has_value
 
     # rank-compact donors: one unique-index scatter (dropped rows OOB)
     n_dc = -(-N // db_chunk)
@@ -688,6 +677,35 @@ def nearest_fill(
     donor = jax.lax.map(
         one_tile, (qpos.reshape(n_qt, T), q_live.reshape(n_qt, T))
     ).reshape(-1)
+    return qpos, q_live, donor, n_donors
+
+
+def nearest_fill(
+    features: jax.Array,     # [N, C]
+    coords: jax.Array,       # [N, D]
+    has_value: jax.Array,    # [N] bool — rows with real features
+    valid: jax.Array,        # [N] bool — padding mask
+    query_tile: int = 4096,
+    db_chunk: int = 32768,
+) -> jax.Array:
+    """Fill rows without features from their nearest (by coords) row that has one.
+
+    Device-side replacement for the per-view / global KDTree fills
+    (affinity_module.py:604-625, 687-696). BOTH sides are compacted: queries
+    (rows needing a donor) into runtime-gated ``query_tile`` tiles, donors
+    (covered rows) into runtime-gated ``db_chunk`` chunks — so the distance
+    sweep costs O(n_unseen * n_donors) pairs whatever the coverage mix
+    (the one-sided form degraded at HIGH unseen fractions, where queries are
+    many but donors few: the synthetic bench's random-teacher views are ~90%
+    uncovered and paid a full O(n_unseen * N) sweep). Exact 1-NN, all shapes
+    static; at D=3 the distance matmul is ~free on the MXU and each
+    [4096, 32768] block is ~1 ms of bandwidth on v5e.
+    """
+    N = coords.shape[0]
+    cf = coords.astype(jnp.float32)
+    qpos, q_live, donor, _ = _nearest_donor_core(
+        cf, has_value & valid, valid & ~has_value, query_tile, db_chunk
+    )
 
     # scatter donated features back to the needing rows (OOB-drop the dead slots)
     scatter_rows = jnp.where(q_live, qpos, N)
@@ -695,6 +713,43 @@ def nearest_fill(
         features[donor], mode="drop", unique_indices=True
     )
     return jnp.where(has_value[:, None], features, out)
+
+
+def nearest_donor(
+    coords: jax.Array,       # [N, D]
+    has_value: jax.Array,    # [N] bool — rows usable as donors
+    valid: jax.Array,        # [N] bool — padding mask
+    query_tile: int = 4096,
+    db_chunk: int = 32768,
+) -> Tuple[jax.Array, jax.Array]:
+    """Index form of ``nearest_fill``: per-row nearest-donor ROW IDS.
+
+    Returns (donor [N] int32, filled [N] bool): ``donor[i] == i`` for rows
+    that already have a value (or are padding / could not be filled), and
+    the nearest has_value row otherwise; ``filled`` marks rows that actually
+    received a donor (``valid & ~has_value`` and at least one donor exists).
+    Donor choice (including equal-distance ties) is IDENTICAL to
+    ``nearest_fill`` — the search is shared — so gathering any per-row
+    payload through ``donor`` equals filling that payload dense. Used by the
+    index-valued lift (models/lift.lift_view_ids): when all features are rows
+    of a small table, filling the table INDEX replaces a [N, C] feature
+    scatter with a [N] int one.
+    """
+    N = coords.shape[0]
+    cf = coords.astype(jnp.float32)
+    qpos, q_live, donor, n_donors = _nearest_donor_core(
+        cf, has_value & valid, valid & ~has_value, query_tile, db_chunk
+    )
+    scatter_rows = jnp.where(q_live & (n_donors > 0), qpos, N)
+    donor_full = (
+        jnp.arange(N, dtype=jnp.int32)
+        .at[scatter_rows]
+        .set(donor.astype(jnp.int32), mode="drop", unique_indices=True)
+    )
+    filled = jnp.zeros((N,), bool).at[scatter_rows].set(
+        True, mode="drop", unique_indices=True
+    )
+    return donor_full, filled
 
 
 @partial(
