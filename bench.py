@@ -324,7 +324,7 @@ def main():
                     pipe.teacher_params, pipe.text_embeddings, pipe.logit_scale,
                     sc, _jnp.int32(lo),
                 )
-            jax.block_until_ready(jax.tree_util.tree_leaves(out_v)[0])
+            jax.block_until_ready(out_v)
             t0b = time.time()
             del out_v
             lifted = pipe.lift_scene(sc, n_valid=V)

@@ -174,6 +174,11 @@ def grid_knn(coords: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def nearest_donor(coords: np.ndarray, has_value: np.ndarray) -> np.ndarray:
+    """Host-side (C++) nearest-donor index per row: for each row of
+    ``coords``, the index of the nearest row with ``has_value`` set (rows
+    that already have a value return themselves). NOT the device-side
+    ``geopurify_tpu.ops.knn.nearest_donor`` — that one takes a ``valid``
+    padding mask and returns an (donor, filled) pair."""
     lib = _get()
     assert lib is not None
     c = np.ascontiguousarray(coords, np.float32)

@@ -730,7 +730,12 @@ def nearest_donor(
     received a donor (``valid & ~has_value`` and at least one donor exists).
     Donor choice (including equal-distance ties) is IDENTICAL to
     ``nearest_fill`` — the search is shared — so gathering any per-row
-    payload through ``donor`` equals filling that payload dense. Used by the
+    payload through ``donor`` equals filling that payload dense, EXCEPT in
+    the degenerate zero-donor case: with no has_value rows at all,
+    ``nearest_fill`` copies ``features[0]`` into needing rows (its donor
+    index defaults to 0) while this returns ``donor[i] == i, filled=False``.
+    Not to be confused with the host-side ``geopurify_tpu.native``
+    ``nearest_donor`` (different signature/contract). Used by the
     index-valued lift (models/lift.lift_view_ids): when all features are rows
     of a small table, filling the table INDEX replaces a [N, C] feature
     scatter with a [N] int one.

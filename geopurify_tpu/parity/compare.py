@@ -490,6 +490,204 @@ def parity_lift(size: str = "small") -> Dict[str, Tuple[float, float]]:
     return {"lift/final_features": _diff(np.asarray(final), ref["final_features"])}
 
 
+def _our_lift_from(ref, coords_key: str = "points"):
+    """Run OUR full lift (per-view features + top-3 consensus fusion + unseen
+    fill) on the oracle's recorded teacher outputs; returns [N, C] f32."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.lift import (
+        fill_unseen_points, fuse_views, lift_view_features,
+    )
+
+    N = ref["num_points"]
+    V = len(ref["teacher"])
+    text = ref["text"] / np.linalg.norm(ref["text"], axis=-1, keepdims=True)
+    C = text.shape[1]
+    n_cls = text.shape[0]
+    coords = ref[coords_key]
+    Pv = max(int(ref["vis"][v].sum()) for v in range(V))
+
+    vf = np.zeros((V, Pv, C), np.float32)
+    vl = np.zeros((V, Pv, n_cls), np.float32)
+    ids = np.full((V, Pv), N, np.int32)
+    pvv = np.zeros((V, Pv), bool)
+    for v in range(V):
+        sel = np.where(ref["vis"][v])[0]
+        t = ref["teacher"][v]
+        out = lift_view_features(
+            jnp.asarray(t["pred_masks"]), jnp.asarray(t["mask_embed"]),
+            jnp.asarray(t["pred_logits"]),
+            jnp.asarray(np.pad(ref["xl"][v, sel], (0, Pv - len(sel)))),
+            jnp.asarray(np.pad(ref["yl"][v, sel], (0, Pv - len(sel)))),
+            jnp.asarray(np.arange(Pv) < len(sel)),
+            jnp.asarray(np.pad(coords[sel], ((0, Pv - len(sel)), (0, 0)))),
+            jnp.asarray(text), jnp.float32(ref["logit_scale"]),
+            tuple(ref["mask_hw"]),
+        )
+        vf[v] = np.asarray(out.features)
+        vl[v] = np.asarray(out.logits)
+        ids[v, : len(sel)] = sel
+        pvv[v, : len(sel)] = True
+
+    fused, count = fuse_views(
+        jnp.asarray(vf), jnp.asarray(vl), jnp.asarray(ids), jnp.asarray(pvv), N
+    )
+    return fill_unseen_points(
+        fused, jnp.asarray(coords), count, jnp.ones((N,), bool)
+    )
+
+
+def parity_stage2(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    """COMPOSED Stage-2 parity (VERDICT r3 item #1): the reference's
+    evaluate_scene + validate() prediction block (run on torch-cpu under
+    runnable faiss/torch_scatter/MinkowskiEngine shims) vs OUR full pipeline
+    (lift -> scatter -> student -> kNN-96 -> 19 smoothing rounds -> argmax ->
+    I/U/T histograms) on the identical synthetic scene, stubbed teacher
+    outputs, and converted student weights.
+
+    Returns diff rows plus exact-match stats under special keys:
+    ``stage2/pred_agree`` carries (n_disagree, frac_disagree_among_confident)
+    where confident = ref logit margin > 1e-3.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from geopurify_tpu.config import GeoPurifyConfig, PoolingConfig, StudentConfig
+    from geopurify_tpu.data.batch import SceneBatch
+    from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.checkpoint import convert_student_checkpoint
+    from geopurify_tpu.utils.metrics import intersection_and_union
+
+    kw = dict(num_points=6000, num_views=4, box=16) if size == "full" else dict()
+    ref = oracle.stage2_oracle(**kw)
+    N, M = ref["num_points"], ref["num_voxels"]
+    n_cls, n_ignore = ref["n_cls"], ref["n_ignore"]
+
+    f2d = np.asarray(_our_lift_from(ref, "points"))          # [N, 512]
+
+    student_vars = convert_student_checkpoint(ref["student_state"])
+    hidden = ref["student_state"]["input_layer.0.kernel"].shape[-1]
+    embed = ref["student_state"]["output_layer.kernel"].shape[-1]
+
+    text_full = np.concatenate(
+        [ref["text"], np.zeros((1, ref["text"].shape[1]), np.float32)], axis=0
+    )
+
+    def make_pipe(smooth_space: str) -> GeoPurifyPipeline:
+        cfg = GeoPurifyConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, all_label=tuple(f"c{i}" for i in range(n_cls))
+            ),
+            student=StudentConfig(
+                input_dim=512 + 6, hidden_dim=hidden, embed_dim=embed,
+                num_res_blocks=4,
+            ),
+            pooling=PoolingConfig(
+                knn_k=96, sharpen=20.0, num_iterations=19, feature_dim=512,
+                smooth_space=smooth_space,
+            ),
+        )
+        return GeoPurifyPipeline(
+            cfg=cfg, teacher_params=None,
+            text_embeddings=jnp.asarray(text_full),
+            logit_scale=jnp.float32(ref["logit_scale"]),
+        )
+
+    batch = SceneBatch(
+        points=jnp.asarray(ref["points"]),
+        point_valid=jnp.ones((N,), bool),
+        geom_feats=jnp.asarray(ref["geom"]),
+        labels=jnp.asarray(ref["labels"].astype(np.int32)),
+        voxel_coords=jnp.asarray(ref["voxel_coords"]),
+        voxel_valid=jnp.ones((M,), bool),
+        point2voxel=jnp.asarray(ref["inds_reconstruct"]),
+        images=jnp.zeros((1, 8, 8, 3), jnp.uint8),
+        view_valid=jnp.ones((1,), bool),
+        view_point_ids=jnp.zeros((1, 8), jnp.int32),
+        view_point_valid=jnp.zeros((1, 8), bool),
+        view_rows=jnp.zeros((1, 8), jnp.int32),
+        view_cols=jnp.zeros((1, 8), jnp.int32),
+    )
+
+    rows: Dict[str, Tuple[float, float]] = {}
+
+    # --- pre-amplification intermediates at TIGHT tolerances ---
+    pipe_f = make_pipe("feature")
+    voxel_in, emb, _ = pipe_f._voxel_embed(student_vars, jnp.asarray(f2d), batch)
+    rows["stage2/voxel_in"] = _diff(np.asarray(voxel_in), ref["voxel_in"])
+    emb_n = np.asarray(emb)
+    emb_n = emb_n / np.maximum(np.linalg.norm(emb_n, axis=1, keepdims=True), 1e-12)
+    rows["stage2/embed"] = _diff(emb_n, ref["embed"])
+
+    from geopurify_tpu.ops.pooling import build_affinity_graph
+
+    nbr, w = build_affinity_graph(
+        emb, batch.voxel_coords, batch.voxel_valid, k=96, sharpen=20.0
+    )
+    nbr, w = np.asarray(nbr), np.asarray(w)
+    o_sort = np.argsort(nbr, axis=1)
+    r_sort = np.argsort(ref["knn_idx"], axis=1)
+    ids_equal = np.array_equal(
+        np.take_along_axis(nbr, o_sort, 1),
+        np.take_along_axis(ref["knn_idx"], r_sort, 1),
+    )
+    # neighbor-set row carries (num_rows_differing, 0/1 flag)
+    rows["stage2/knn_sets"] = (0.0 if ids_equal else float(M), 0.0 if ids_equal else 1.0)
+    rows["stage2/affinity_w"] = _diff(
+        np.take_along_axis(w, o_sort, 1),
+        np.take_along_axis(ref["affinity_w"], r_sort, 1),
+    )
+
+    # --- feature-space path: smoothed per-point features + cosine logits ---
+    refined, _, logits_f, pred_f = pipe_f._pool_classify(
+        student_vars, jnp.asarray(f2d), batch,
+        pipe_f.text_embeddings, pipe_f.logit_scale, want_features=True,
+    )
+    rows["stage2/features"] = _diff(np.asarray(refined), ref["final_features"])
+    rows["stage2/logits"] = _diff(np.asarray(logits_f), ref["logits"])
+
+    # --- logit-space path (production default): argmax predictions ---
+    pipe_l = make_pipe("logit")
+    _, _, logits_l, pred_l = pipe_l._pool_classify(
+        student_vars, jnp.asarray(f2d), batch,
+        pipe_l.text_embeddings, pipe_l.logit_scale, want_features=False,
+    )
+    pred_l = np.asarray(pred_l)
+    pred_f = np.asarray(pred_f)
+
+    # margin-aware argmax agreement, judged against the fp64 truth: rows
+    # whose fp64 logit margin clears the measured fp32 noise must agree
+    logits64 = ref["logits64"]
+    part = np.partition(logits64, -2, axis=1)
+    margin = part[:, -1] - part[:, -2]
+    delta = max(
+        float(np.max(np.abs(np.asarray(logits_f, np.float64) - logits64))),
+        float(np.max(np.abs(ref["logits"].astype(np.float64) - logits64))),
+    )
+    confident = margin > 4.0 * delta
+    nc = max(int(confident.sum()), 1)
+    dis = 0
+    for p in (pred_l, pred_f, ref["pred"]):
+        dis = max(dis, int(((p != ref["pred64"]) & confident).sum()))
+    n_tie = int((~confident).sum())
+    rows["stage2/pred_agree"] = (float(n_tie), float(dis) / nc)
+
+    i_o, u_o, t_o = intersection_and_union(
+        jnp.asarray(pred_l), batch.labels, batch.point_valid,
+        num_classes=n_cls,
+        ignore_labels=tuple(range(n_cls, n_cls + n_ignore)),
+    )
+    ri, ru, rt = ref["iut"]
+    rows["stage2/hist_I"] = _diff(np.asarray(i_o), ri)
+    rows["stage2/hist_U"] = _diff(np.asarray(u_o), ru)
+    rows["stage2/hist_T"] = _diff(np.asarray(t_o), rt)
+    return rows
+
+
 ALL_STAGES = {
     "pad": parity_pad,
     "resize": parity_resize,
@@ -505,6 +703,7 @@ ALL_STAGES = {
     "seem": parity_seem,
     "seem_v1": parity_seem_v1,
     "lift": parity_lift,
+    "stage2": parity_stage2,
 }
 
 

@@ -1085,3 +1085,290 @@ def imagelist_pad_oracle(hw: Tuple[int, int] = (37, 53), seed: int = 5) -> Dict:
         "padded_nhwc": _nchw_to_nhwc(il.tensor),
         "image_sizes": il.image_sizes,
     }
+
+
+def stage2_oracle(
+    num_points: int = 3000,
+    num_views: int = 3,
+    box: int = 12,
+    mask_hw: Tuple[int, int] = (24, 32),
+    stride4_hw: Tuple[int, int] = (6, 8),
+    num_queries: int = 7,
+    feat_dim: int = 512,      # the reference lift hard-codes feature_dim=512
+    hidden_dim: int = 64,     # AffinityPredictor ctor params (518->hidden->embed);
+    embed_dim: int = 32,      # 512/128 at release scale — semantics identical
+    n_cls: int = 5,
+    n_ignore: int = 2,        # extra ignore classes appended after n_cls
+    seed: int = 11,
+) -> Dict:
+    """END-TO-END Stage-2 oracle (VERDICT r3 item #1): run the reference's
+    composed ``evaluate_scene`` (models/affinity_module.py:1490-1608 — lift ->
+    scatter_mean 512||6 -> ME student -> faiss kNN-96 -> sharpen-20 softmax ->
+    1+18 sparse-mm rounds -> de-voxelize [:512]) plus the prediction/metric
+    block of ``validate()`` (run/validation.py:414-439: normalize, cosine
+    logits, argmax, KDTree unseen fill, intersectionAndUnionGPU) on torch-cpu
+    under RUNNABLE shims (faiss = exact numpy L2, torch_scatter = exact
+    segment mean, MinkowskiEngine = literal hash-map sparse conv — see
+    shims.install_me_runnable), with a stubbed X-Decoder teacher whose
+    outputs are recorded for the jax side to consume byte-identically.
+
+    Returns everything the flax side needs to rebuild the identical scene:
+    teacher outputs, visibility/pixels, voxelization (lex-sorted unique voxel
+    coords + point->voxel inverse), geometric features, labels, the randomized
+    student state_dict, and the reference outputs (final point features,
+    logits, predictions, I/U/T histograms).
+    """
+    torch = _torch()
+    from geopurify_tpu.parity.shims import (
+        add_geopurify_to_path,
+        install_geopurify,
+        install_me_runnable,
+    )
+
+    install_geopurify()
+    install_me_runnable()
+    add_geopurify_to_path()
+    import models.affinity_module as am
+
+    rng = np.random.default_rng(seed)
+    N, V = num_points, num_views
+    H, W = mask_hw
+
+    # ---- scene: continuous points, voxel_size=1 quantization ----
+    points = rng.uniform(0, box, (N, 3)).astype(np.float32)
+    vox = np.floor(points).astype(np.int32)
+    voxel_coords, inds_reconstruct = np.unique(vox, axis=0, return_inverse=True)
+    M = voxel_coords.shape[0]
+    assert M > 97, f"need >K+1 voxels for kNN-96, got {M}"
+    # rgb in [0,1] + unit normals — the 6 geometric channels (':1524-1536')
+    rgb = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    nrm = rng.normal(size=(N, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    geom = np.concatenate([rgb, nrm], axis=1)
+    labels = rng.integers(0, n_cls + n_ignore, N).astype(np.int64)
+
+    # ---- per-view visibility + pixel coords ----
+    vis = rng.uniform(size=(V, N)) < 0.55
+    vis[:, 0] = True
+    xl = rng.integers(0, H, (V, N))
+    yl = rng.integers(0, W, (V, N))
+
+    # ---- stubbed teacher (recorded) ----
+    teacher = []
+    for v in range(V):
+        teacher.append({
+            "pred_masks": rng.normal(0, 2, (num_queries,) + tuple(stride4_hw)).astype(np.float32),
+            "pred_logits": rng.normal(0, 1, (num_queries, n_cls + 1)).astype(np.float32),
+            "mask_embed": rng.normal(0, 1, (num_queries, feat_dim)).astype(np.float32),
+        })
+    text = rng.normal(0, 1, (n_cls, feat_dim)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)   # pre-normalized rows
+    logit_scale = 2.5
+
+    class _Cfg:
+        pass
+
+    cfg = _Cfg()
+    cfg.all_label = [f"c{i}" for i in range(n_cls)]
+    cfg.mask_shape = [H, W]
+
+    calls = {"v": 0}
+
+    def forward_seg_all(batched_inputs):
+        t = teacher[calls["v"]]
+        calls["v"] += 1
+        out = {
+            "pred_masks": torch.from_numpy(t["pred_masks"])[None],
+            "pred_logits": torch.from_numpy(t["pred_logits"])[None],
+            "mask_embed": torch.from_numpy(t["mask_embed"])[None],
+            "text_embed": torch.from_numpy(text),
+            "logit_scale": torch.tensor(logit_scale),
+        }
+        return None, out
+
+    import types as _types
+
+    trainer = am.SonataXAffinityTrainer.__new__(am.SonataXAffinityTrainer)
+    torch.nn.Module.__init__(trainer)   # init module dicts; skip teacher builds
+    trainer.cfg = cfg
+    trainer.device = "cpu"
+    trainer.use_lseg = False
+    trainer.use_ape = False
+    trainer.xdecoder_teacher = _types.SimpleNamespace(
+        model=_types.SimpleNamespace(forward_seg_all=forward_seg_all)
+    )
+    # the REAL reference student class over the runnable ME shim
+    student = am.AffinityPredictor(
+        input_dim=feat_dim + 6, embed_dim=embed_dim, hidden_dim=hidden_dim
+    )
+    randomize_module_(student, seed + 1)
+    # randomize running stats too so converted batch_stats are exercised
+    g = torch.Generator().manual_seed(seed + 2)
+    for mod in student.modules():
+        if isinstance(mod, torch.nn.BatchNorm1d):
+            mod.running_mean.data = torch.randn(mod.running_mean.shape, generator=g) * 0.1
+            mod.running_var.data = 1.0 + 0.2 * torch.rand(mod.running_var.shape, generator=g)
+    trainer.affinity_student = student
+
+    # ---- 21-tuple batch (dataset/data_loader_ablation.py:373-394 layout) ----
+    ori_rows, x_rows, y_rows, mask2d_rows = [], [], [], []
+    for v in range(V):
+        ids = np.where(vis[v])[0]
+        ori = np.zeros((len(ids), 4), np.float32)
+        ori[:, 0] = v
+        ori[:, 1:] = points[ids]
+        ori_rows.append(ori)
+        x_rows.append(xl[v, ids])
+        y_rows.append(yl[v, ids])
+        m = np.zeros((N, 2), np.int64)
+        m[:, 0] = v
+        m[:, 1] = vis[v]
+        mask2d_rows.append(m)
+    ori_coords_3ds = torch.from_numpy(np.concatenate(ori_rows))
+    sum_pv = ori_coords_3ds.shape[0]
+    scene_coords = torch.from_numpy(
+        np.concatenate([np.zeros((N, 1), np.float32), points], axis=1)
+    )
+
+    batch = (
+        scene_coords,                                     # scene_coords [N,4]
+        torch.from_numpy(voxel_coords.astype(np.int64)),  # scene_coords_3d
+        torch.from_numpy(inds_reconstruct.astype(np.int64)),
+        torch.from_numpy(labels),                         # scene_label
+        ori_coords_3ds,
+        None, None, None, None, None,
+        torch.zeros(V, H, W),
+        torch.zeros(V, H, W, 3),
+        torch.from_numpy(np.concatenate(x_rows)),
+        torch.from_numpy(np.concatenate(y_rows)),
+        torch.from_numpy(np.concatenate(mask2d_rows)),
+        torch.zeros(sum_pv, dtype=torch.long),
+        torch.zeros(V * N, dtype=torch.long),
+        torch.zeros(sum_pv, 4),
+        None,
+        torch.from_numpy(geom),                           # scene_gauss_features
+    )
+
+    # Run the composed chain TWICE: (a) straight fp32 — the reference's own
+    # numerics; (b) an fp64 pass of the identical tail (same recorded lift
+    # output, student+smoothing in double) as ground truth. The sharpen-x20
+    # affinity softmax amplifies honest fp32 rounding (~1e-6 rel on the
+    # student embeds -> ~3e-6 abs on weights -> ~19 rounds x |F| ≈ 4e-4 abs
+    # on features — measured), so the meaningful pin is an ERROR-CLASS bound:
+    # our divergence from fp64 must match the reference's own fp32 rounding,
+    # not an absolute 1e-5-style tolerance no fp32 implementation can hit.
+    real_lift = trainer.lift_xdecoder_features
+    recorded = {}
+
+    def recording_lift(bd):
+        out = real_lift(bd)
+        recorded["lift"] = out
+        return out
+
+    trainer.lift_xdecoder_features = recording_lift
+    with torch.no_grad():
+        student.eval()
+        res = trainer.evaluate_scene(batch)
+
+    def prediction_block(res_d, dtype):
+        """validate() prediction block (run/validation.py:414-439, literal) +
+        intersectionAndUnionGPU (util/util.py:161-177) minus the trailing
+        .cuda() casts (no CUDA here); histogram semantics identical."""
+        import torch.nn.functional as TF
+        from sklearn.neighbors import KDTree
+
+        scene_features_2d = TF.normalize(res_d["scene_features"].to(dtype), dim=-1)
+        text_features = TF.normalize(res_d["text_features"].to(dtype), dim=-1)
+        logits_pred_2d = res_d["logit_scale"] * (scene_features_2d @ text_features.t())
+        scene_pred_2d = torch.max(logits_pred_2d, 1)[1]
+        unseen_mask = torch.sum(scene_features_2d.abs(), dim=1) == 0
+        if unseen_mask.any():
+            seen_mask = ~unseen_mask
+            seen_coords = scene_coords[seen_mask][:, 1:4]
+            unseen_coords = scene_coords[unseen_mask][:, 1:4]
+            if seen_coords.shape[0] > 0:
+                kdtree = KDTree(seen_coords)
+                _, indices = kdtree.query(unseen_coords, k=1)
+                matched = torch.where(seen_mask)[0][indices.flatten()]
+                scene_pred_2d[torch.where(unseen_mask)[0]] = scene_pred_2d[matched]
+
+        output = scene_pred_2d.view(-1).clone()
+        target = torch.from_numpy(labels).view(-1)
+        for ignore_index in list(range(n_cls, n_cls + n_ignore)):
+            output[target == ignore_index] = ignore_index
+        intersection = output[output == target]
+        area_i = torch.histc(intersection.float(), bins=n_cls, min=0, max=n_cls - 1)
+        area_o = torch.histc(output.float(), bins=n_cls, min=0, max=n_cls - 1)
+        area_t = torch.histc(target.float(), bins=n_cls, min=0, max=n_cls - 1)
+        area_u = area_o + area_t - area_i
+        return logits_pred_2d, scene_pred_2d, (area_i, area_u, area_t)
+
+    logits32, pred32, iut32 = prediction_block(res, torch.float32)
+
+    # fp64 ground-truth tail on the SAME fp32 lift output
+    F_lift, text_t, ls_t = recorded["lift"]
+    trainer.lift_xdecoder_features = lambda bd: (F_lift.double(), text_t, ls_t)
+    student.double()
+    with torch.no_grad():
+        res64 = trainer.evaluate_scene(batch)
+    logits64, pred64, iut64 = prediction_block(res64, torch.float64)
+    student.float()
+    trainer.lift_xdecoder_features = real_lift
+
+    # Reference INTERMEDIATES, recomputed with the exact shim ops
+    # evaluate_scene used internally (deterministic -> bit-identical): the
+    # pre-amplification stages are where tight cross-implementation
+    # tolerances are meaningful (the sharpen-x20 softmax amplifies fp32
+    # noise beyond fixed tolerances downstream).
+    import torch_scatter
+    import faiss as _faiss
+    import MinkowskiEngine as _ME
+    import torch.nn.functional as TF
+
+    inds_t = torch.from_numpy(inds_reconstruct.astype(np.int64))
+    v_sem = torch_scatter.scatter_mean(F_lift, inds_t, dim=0)
+    v_geom = torch_scatter.scatter_mean(
+        torch.from_numpy(geom).float(), inds_t, dim=0
+    )
+    v_in = torch.cat([v_sem, v_geom], dim=1)
+    with torch.no_grad():
+        s_in = _ME.SparseTensor(
+            features=v_in,
+            coordinates=_ME.utils.batched_coordinates(
+                [torch.from_numpy(voxel_coords.astype(np.int64))]
+            ),
+        )
+        embed_ref = TF.normalize(student(s_in).F, p=2, dim=1)
+    idx = _faiss.IndexFlatL2(3)
+    cf = voxel_coords.astype(np.float32)
+    idx.add(cf)
+    _, ni = idx.search(cf, 97)
+    ni = ni[:, 1:]
+    aff = torch.einsum(
+        "md,mkd->mk", embed_ref, embed_ref[torch.from_numpy(ni)]
+    )
+    w_ref = torch.softmax(aff * 20.0, dim=1)
+
+    return {
+        "voxel_in": v_in.numpy(),
+        "embed": embed_ref.numpy(),
+        "knn_idx": ni.astype(np.int32),
+        "affinity_w": w_ref.numpy(),
+        "points": points, "voxel_coords": voxel_coords,
+        "inds_reconstruct": inds_reconstruct.astype(np.int32),
+        "geom": geom, "labels": labels,
+        "vis": vis, "xl": xl, "yl": yl,
+        "teacher": teacher, "text": text, "logit_scale": logit_scale,
+        "mask_hw": mask_hw, "num_points": N, "num_voxels": M,
+        "n_cls": n_cls, "n_ignore": n_ignore,
+        "student_state": {k: v.numpy() for k, v in student.state_dict().items()},
+        "lift_features": F_lift.numpy(),
+        "final_features": res["scene_features"].numpy(),
+        "logits": logits32.numpy(),
+        "pred": pred32.numpy(),
+        "iut": tuple(a.numpy() for a in iut32),
+        "final_features64": res64["scene_features"].numpy(),
+        "logits64": logits64.numpy(),
+        "pred64": pred64.numpy(),
+        "iut64": tuple(a.numpy() for a in iut64),
+    }

@@ -506,6 +506,158 @@ def install_geopurify() -> None:
     install_geopurify._done = True
 
 
+def install_me_runnable() -> None:
+    """Upgrade the MinkowskiEngine shim from import-only to RUNNABLE for the
+    stride-1 3^3/1^3 kernel set the reference student uses
+    (reference models/affinity_module.py:33-85) — the end-to-end Stage-2
+    oracle (VERDICT r3 item #1) runs the reference ``evaluate_scene`` on
+    torch-cpu through this.
+
+    Implemented ME semantics (self-consistent with
+    utils/checkpoint.convert_student_checkpoint; real ME is not installable
+    here, so the hypercube kernel-offset enumeration order — FIRST axis
+    fastest — and the ``out[u] = sum_j in[u + o_j] @ W[j]`` sign convention
+    are documented assumptions shared by shim and converter; a real-
+    checkpoint mIoU run is the final arbiter):
+
+    - ``SparseTensor(features, coordinates[, device])``: unique batched int
+      coordinates keep their input row order (ME's coordinate-map insertion
+      order for an initial tensor); ``.F``/``.C``; ``+`` requires the same
+      coordinate map (ME raises otherwise) and adds features.
+    - ``MinkowskiConvolution(in, out, kernel_size, dimension)``: stride 1 on
+      the same coordinate map; ``.kernel`` is [K, in, out] for volume>1 and
+      [in, out] for 1^3, bias ABSENT by default (ME's bias=False default —
+      the reference never passes bias=True).
+    - ``MinkowskiBatchNorm(ch)``: torch BatchNorm1d under ``.bn`` (matching
+      the reference checkpoints' ``*.bn.weight`` key layout).
+    - ``MinkowskiReLU`` and ``MinkowskiEngine.MinkowskiFunctional.relu`` on
+      sparse tensors.
+    - ``ME.utils.batched_coordinates([t])``: prepend a batch-index column,
+      floor to int.
+    """
+    if getattr(install_me_runnable, "_done", False):
+        return
+    install_geopurify()
+    import torch
+    import torch.nn as nn
+
+    me = sys.modules["MinkowskiEngine"]
+    mef = sys.modules["MinkowskiEngine.MinkowskiFunctional"]
+
+    class SparseTensor:
+        def __init__(self, features, coordinates, device=None, coordinate_map=None):
+            self.F = features
+            self.C = coordinates.int() if coordinates.dtype != torch.int32 else coordinates
+            # coordinate map identity: shared by all stride-1 outputs
+            self._map = coordinate_map if coordinate_map is not None else self
+
+        @property
+        def device(self):
+            return self.F.device
+
+        def _with_features(self, feats):
+            return SparseTensor(feats, self.C, coordinate_map=self._map)
+
+        def __add__(self, other):
+            assert isinstance(other, SparseTensor) and other._map is self._map, (
+                "ME sparse addition requires an identical coordinate map"
+            )
+            return self._with_features(self.F + other.F)
+
+        __radd__ = __add__
+
+        def __iadd__(self, other):
+            return self.__add__(other)
+
+    def _me_offsets(kernel_size: int, dimension: int):
+        """Hypercube offsets, FIRST axis fastest (see docstring)."""
+        import itertools
+
+        r = range(-(kernel_size // 2), kernel_size // 2 + 1)
+        # first axis fastest == product over reversed axes, then flip tuples
+        return [tuple(reversed(o)) for o in itertools.product(*([list(r)] * dimension))]
+
+    class MinkowskiConvolution(nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size=3,
+                     stride=1, dilation=1, bias=False, dimension=3):
+            super().__init__()
+            assert stride == 1 and dilation == 1, "shim: stride-1 only"
+            self.offsets = _me_offsets(kernel_size, dimension)
+            K = len(self.offsets)
+            if K == 1:
+                self.kernel = nn.Parameter(torch.randn(in_channels, out_channels) * 0.05)
+            else:
+                self.kernel = nn.Parameter(torch.randn(K, in_channels, out_channels) * 0.05)
+            if bias:
+                self.bias = nn.Parameter(torch.zeros(out_channels))
+            else:
+                self.register_parameter("bias", None)
+
+        def forward(self, x: "SparseTensor") -> "SparseTensor":
+            coords = x.C[:, 1:].tolist()
+            lut = {tuple(c): i for i, c in enumerate(coords)}
+            F_in = x.F
+            out = F_in.new_zeros((F_in.shape[0], self.kernel.shape[-1]))
+            if self.kernel.ndim == 2:
+                out = F_in @ self.kernel
+            else:
+                for j, off in enumerate(self.offsets):
+                    rows_out, rows_in = [], []
+                    for i, c in enumerate(coords):
+                        nb = lut.get((c[0] + off[0], c[1] + off[1], c[2] + off[2]))
+                        if nb is not None:
+                            rows_out.append(i)
+                            rows_in.append(nb)
+                    if rows_out:
+                        out.index_add_(
+                            0, torch.tensor(rows_out),
+                            F_in[torch.tensor(rows_in)] @ self.kernel[j],
+                        )
+            if self.bias is not None:
+                out = out + self.bias
+            return x._with_features(out)
+
+    class MinkowskiBatchNorm(nn.Module):
+        def __init__(self, num_features, eps=1e-5, momentum=0.1):
+            super().__init__()
+            self.bn = nn.BatchNorm1d(num_features, eps=eps, momentum=momentum)
+
+        def forward(self, x: "SparseTensor") -> "SparseTensor":
+            return x._with_features(self.bn(x.F))
+
+    class MinkowskiReLU(nn.Module):
+        def __init__(self, inplace=False):
+            super().__init__()
+
+        def forward(self, x: "SparseTensor") -> "SparseTensor":
+            return x._with_features(torch.relu(x.F))
+
+    me.SparseTensor = SparseTensor
+    me.MinkowskiConvolution = MinkowskiConvolution
+    me.MinkowskiBatchNorm = MinkowskiBatchNorm
+    me.MinkowskiReLU = MinkowskiReLU
+
+    utils = _mod("MinkowskiEngine.utils")
+    me.utils = utils
+
+    def batched_coordinates(coords_list, dtype=None, device=None):
+        rows = []
+        for b, c in enumerate(coords_list):
+            c = torch.as_tensor(c)
+            c = torch.floor(c.float()).int() if c.is_floating_point() else c.int()
+            col = torch.full((c.shape[0], 1), b, dtype=torch.int32)
+            rows.append(torch.cat([col, c], dim=1))
+        return torch.cat(rows, dim=0)
+
+    utils.batched_coordinates = batched_coordinates
+
+    def _relu(x):
+        return x._with_features(torch.relu(x.F)) if isinstance(x, SparseTensor) else torch.relu(x)
+
+    mef.relu = _relu
+    install_me_runnable._done = True
+
+
 def reference_root() -> str:
     return "/root/reference/third_party/X-Decoder"
 

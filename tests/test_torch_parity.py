@@ -169,3 +169,40 @@ def test_parity_seem_v1():
     channel-last reshape scramble in the memory-mask resize and the
     per-layer channel-matched q_spa<->memory self-attention."""
     _check(compare.parity_seem_v1())
+
+
+def test_parity_stage2_end_to_end():
+    """COMPOSED Stage-2 chain vs the reference (VERDICT r3 item #1): the
+    reference's evaluate_scene (lift -> scatter_mean 512||6 -> ME student ->
+    faiss kNN-96 -> sharpen-20 softmax -> 19 sparse-mm rounds -> de-voxelize)
+    + validate()'s prediction/metric block, run on torch-cpu under RUNNABLE
+    shims (faiss = exact numpy L2, torch_scatter = exact segment mean,
+    MinkowskiEngine = literal hash-map sparse conv), vs our full pipeline on
+    identical teacher outputs and converted student weights.
+
+    Tolerance structure (measured decomposition in parity/compare.py): every
+    PRE-amplification stage pins tight — voxel features rel < 1e-6, student
+    embeds rel < 1e-5, kNN-96 neighbor SETS exact (integer-grid ties break
+    by smallest id on both sides), affinity weights < 1e-5 — while the final
+    features carry the sharpen-x20 softmax's amplification of honest
+    cross-implementation fp32 rounding (weights ~3e-6 abs -> 19 rounds ->
+    ~4e-4 abs, rel ~1e-2 against the smoothing-contracted scale), so they
+    pin at rel < 5e-2 plus abs < 2e-3. Semantics pin exactly: argmax
+    predictions identical (both smoothing spaces + the reference fp32 run
+    vs the fp64 ground-truth tail) wherever the fp64 logit margin clears 4x
+    the measured fp32 noise, and I/U/T histograms equal up to the
+    sub-noise-margin rows."""
+    rows = compare.parity_stage2()
+    for name, tol in (("stage2/voxel_in", 1e-6), ("stage2/embed", 1e-5),
+                      ("stage2/affinity_w", 1e-5)):
+        mx, rel = rows[name]
+        assert rel < tol, f"{name}: rel={rel:.3e} max|d|={mx:.3e}"
+    assert rows["stage2/knn_sets"] == (0.0, 0.0), \
+        f"kNN neighbor sets differ on {rows['stage2/knn_sets'][0]} rows"
+    mx, rel = rows["stage2/features"]
+    assert rel < 5e-2 and mx < 2e-3, f"stage2/features: rel={rel:.3e} abs={mx:.3e}"
+    n_tie, frac_conf = rows["stage2/pred_agree"]
+    assert frac_conf == 0.0, f"confident-margin prediction disagreements: {frac_conf}"
+    for name in ("stage2/hist_I", "stage2/hist_U", "stage2/hist_T"):
+        mx, _ = rows[name]
+        assert mx <= n_tie, f"{name}: max|d|={mx} vs {n_tie} sub-margin rows"
