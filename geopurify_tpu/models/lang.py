@@ -114,7 +114,11 @@ class ClipBPETokenizer:
         with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
             merges = f.read().split("\n")
         merges = merges[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        # keep only real pair lines: the released 16e6 vocab exactly fills
+        # the slice (filtering is a no-op there), but truncated/toy vocab
+        # files leave trailing empty lines that would become bogus ()-merges
+        # and shift every id after them
+        merges = [m for m in (tuple(m.split()) for m in merges) if len(m) == 2]
         self.byte_encoder = _bytes_to_unicode()
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
