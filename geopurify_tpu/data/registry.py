@@ -103,13 +103,28 @@ def _register_builtin() -> None:
 
 _register_builtin()
 
+# the reference's 17 registration families (metadata + external-data
+# factories) — see data/registry_catalog.py
+from geopurify_tpu.data.registry_catalog import register_catalog  # noqa: E402
+
+register_catalog()
+
 
 def build_evaluator(name_or_type: str, **kwargs):
     """Evaluator dispatch by dataset name or evaluator type
     (≙ the reference's build_evaluator switch in its trainer pipeline)."""
     etype = name_or_type
     if name_or_type in _REGISTRY:
-        etype = metadata(name_or_type).evaluator_type
+        meta = metadata(name_or_type)
+        etype = meta.evaluator_type
+        # dataset-derived defaults (the reference pulls these from
+        # MetadataCatalog inside each evaluator's __init__)
+        nc = len(meta.class_names) or meta.extra.get("num_classes", 0)
+        if etype in ("sem_seg", "instance"):
+            kwargs.setdefault("num_classes", nc)
+        if etype == "sem_seg":
+            kwargs.setdefault("ignore_label", meta.ignore_label)
+            kwargs.setdefault("class_names", meta.class_names or None)
     from geopurify_tpu.utils import eval2d_suite as ev
 
     if etype == "sem_seg":
