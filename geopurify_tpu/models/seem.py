@@ -712,6 +712,302 @@ class SEEMHeadV1(nn.Module):
         return out
 
 
+class SEEMHeadDemo(nn.Module):
+    """SEEM demo-variant decoder — task-switchable prompt COMPOSITION
+    (interface/seem_demo.py:27-396 + prototype/
+    attention_data_struct_seemdemo.py + the demo yaml ATTENTION_ARCH,
+    configs/seem/focall_unicl_lang_demo.yaml:168-193).
+
+    The demo arch is structurally DIFFERENT from v0/v1: there is exactly ONE
+    cross-attending query group (``queries_object``) and up to FOUR token
+    groups composed freely in one forward — stroke/click spatial tokens,
+    text grounding tokens, AUDIO tokens (same pathway as grounding), and
+    VISUAL tokens precomputed from a reference image (``task='refimg'``
+    returns the visual bundle the demo app feeds back, seem_demo.py:268-276).
+    No duplicated grounding/spatial query groups and no spatial memories
+    participate (task='demo' skips ``queries_spatial``, seem_demo.py:277).
+
+    SELF_ATTENTION interactions (demo yaml): object queries attend
+    themselves + every present token group; grounding and audio tokens
+    attend themselves + the object queries; spatial and visual tokens attend
+    only themselves. Padded token slots are blocked as keys (the reference
+    additionally NaN-poisons fully-masked padded token ROWS — invisible in
+    any output, see the v0 head's convention note).
+
+    Outputs (organize_output with only queries_object registered):
+    ``pred_logits``/``pred_masks``/``pred_maskembs``/``pred_captions`` from
+    the object queries, ``pred_pspatials``/``pred_nspatials`` (spatial
+    prompt means) and ``pred_pvisuals``/``pred_nvisuals`` (visual prompt
+    means) — the demo app selects the winning object mask by
+    ``pred_maskembs @ pred_pspatials`` (resp. ``pred_pvisuals``).
+    """
+
+    hidden_dim: int = 512
+    dim_proj: int = 512
+    num_queries: int = 101
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    mask_dim: int = 512
+    max_spatial_tokens: int = 512          # MAX_SPATIAL_LEN per level
+    max_grounding_tokens: int = 8
+    max_audio_tokens: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        multi_scale: List[jax.Array],       # 3 NHWC maps, lowest-res first
+        mask_features: jax.Array,           # [B, H4, W4, mask_dim]
+        text_embeddings: jax.Array,         # [n_cls, dim_proj] L2-normalized
+        logit_scale: jax.Array,
+        spatial_points: Optional[jax.Array] = None,   # [B, S, 2] norm (y/H, x/W)
+        spatial_valid: Optional[jax.Array] = None,    # [B, S] bool
+        spatial_posneg: Optional[jax.Array] = None,   # [B, S] +1 / -1
+        grounding_tokens: Optional[jax.Array] = None, # [B, G, C]
+        grounding_valid: Optional[jax.Array] = None,  # [B, G] bool
+        audio_tokens: Optional[jax.Array] = None,     # [B, A, C]
+        audio_valid: Optional[jax.Array] = None,      # [B, A] bool
+        visual_tokens_by_level: Optional[List[jax.Array]] = None,  # 3x [B, S, C]
+        visual_valid: Optional[jax.Array] = None,     # [B, S] bool
+        visual_query_pos: Optional[jax.Array] = None, # [B, mask_dim]
+        visual_query_neg: Optional[jax.Array] = None, # [B, mask_dim]
+        task: str = "demo",
+    ):
+        B = mask_features.shape[0]
+        Q = self.num_queries
+        C = self.hidden_dim
+        S = self.max_spatial_tokens
+        G = self.max_grounding_tokens
+        A = self.max_audio_tokens
+        num_levels = len(multi_scale)
+        has_spatial = spatial_points is not None
+        has_grounding = grounding_tokens is not None
+        has_audio = audio_tokens is not None
+        has_visual = visual_tokens_by_level is not None
+        if task == "refimg":
+            assert has_spatial, "refimg needs spatial prompts"
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (num_levels, C)
+        )
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0), (Q, C))
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, C))
+        class_proj = self.param(
+            "class_embed", nn.initializers.truncated_normal(0.02),
+            (C, self.dim_proj),
+        )
+        # pn_indicator is UNCONDITIONAL in the demo decoder (seem_demo.py:118)
+        pn_indicator = self.param(
+            "pn_indicator", nn.initializers.normal(0.02), (2, C)
+        )
+        mask_mlp = MLPHead(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="decoder_norm")
+
+        srcs, poss, sizes = [], [], []
+        for i, x in enumerate(multi_scale):
+            b, h, w, c = x.shape
+            sizes.append((h, w))
+            pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
+            poss.append(jnp.broadcast_to(pe[None], (b, h, w, C)).reshape(b, h * w, C))
+            srcs.append(
+                x.reshape(b, h * w, c) + level_embed[i][None, None].astype(self.dtype)
+            )
+
+        def samp_ac_true(fmap, pts, h, w):
+            """point_sample(align_corners=True): pixel = p * (size - 1)."""
+            return bilinear_sample(fmap, pts[:, 1] * (w - 1), pts[:, 0] * (h - 1))
+
+        mf = mask_features.astype(jnp.float32)
+        Hm, Wm = mf.shape[1:3]
+        text_t = text_embeddings.astype(jnp.float32)
+
+        spatial_tokens_by_level = []
+        sq_pos = sq_neg = None
+        if has_spatial:
+            pts = spatial_points.astype(jnp.float32)
+            # mean pos / neg spatial queries from mask_features
+            # (seem_demo.py:225-238; empty sets nan_to_num to 0)
+            mf_at = jax.vmap(lambda fb, p: samp_ac_true(fb, p, Hm, Wm))(mf, pts)
+            for sign in (1, -1):
+                wgt = (spatial_valid & (spatial_posneg * sign > 0)).astype(jnp.float32)
+                mean = jnp.einsum("bs,bsd->bd", wgt, mf_at) / jnp.maximum(
+                    jnp.sum(wgt, axis=1, keepdims=True), 1.0
+                )
+                if sign == 1:
+                    sq_pos = mean
+                else:
+                    sq_neg = mean
+            for i in range(num_levels):
+                h, w = sizes[i]
+                proj = self.param(
+                    f"mask_spatial_embed{i}",
+                    nn.initializers.truncated_normal(0.02), (C, C),
+                )
+                feat = srcs[i].astype(jnp.float32).reshape(B, h, w, C) @ proj
+                tok = jax.vmap(lambda fb, p: samp_ac_true(fb, p, h, w))(feat, pts)
+                tag = jnp.where(
+                    (spatial_posneg > 0)[..., None],
+                    pn_indicator[0][None, None], pn_indicator[1][None, None],
+                )
+                tok = jnp.where(spatial_valid[..., None], tok + tag, 0.0)
+                spatial_tokens_by_level.append(tok.astype(self.dtype))
+
+        if task == "refimg":
+            # the reference-image pass: return the VISUAL prompt bundle
+            # renamed from the spatial machinery (seem_demo.py:268-276)
+            return {
+                "visual_query_pos": sq_pos,
+                "visual_query_neg": sq_neg,
+                "src_visual_queries": spatial_tokens_by_level,
+                "src_visual_maskings": spatial_valid,
+            }
+
+        # ---- sequence bookkeeping: [q_obj | tok_grd? | tok_spa? | tok_vis?
+        # | tok_aud?] (self_attn_dict insertion order, demo yaml VARIABLE) --
+        n_tok_grd = G if has_grounding else 0
+        n_tok_spa = S if has_spatial else 0
+        n_tok_vis = S if has_visual else 0
+        n_tok_aud = A if has_audio else 0
+        NY = Q + n_tok_grd + n_tok_spa + n_tok_vis + n_tok_aud
+        y_grd = Q
+        y_spa = y_grd + n_tok_grd
+        y_vis = y_spa + n_tok_spa
+        y_aud = y_vis + n_tok_vis
+
+        X = jnp.broadcast_to(query_feat[None], (B, Q, C)).astype(self.dtype)
+        X_pos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
+
+        # self-attention interaction mask (True = BLOCKED), demo yaml
+        # SELF_ATTENTION: object <-> object + every token group; grounding
+        # and audio tokens also see the object queries; spatial and visual
+        # tokens see only themselves
+        base = np.ones((NY, NY), bool)
+        base[:Q, :Q] = False
+        if has_grounding:
+            base[:Q, y_grd:y_grd + G] = False
+            base[y_grd:y_grd + G, :Q] = False
+            base[y_grd:y_grd + G, y_grd:y_grd + G] = False
+        if has_spatial:
+            base[:Q, y_spa:y_spa + S] = False
+            base[y_spa:y_spa + S, y_spa:y_spa + S] = False
+        if has_visual:
+            base[:Q, y_vis:y_vis + S] = False
+            base[y_vis:y_vis + S, y_vis:y_vis + S] = False
+        if has_audio:
+            base[:Q, y_aud:y_aud + A] = False
+            base[y_aud:y_aud + A, :Q] = False
+            base[y_aud:y_aud + A, y_aud:y_aud + A] = False
+        base = jnp.asarray(base)[None, None]
+
+        key_valid = [jnp.ones((B, Q), bool)]
+        if has_grounding:
+            key_valid.append(grounding_valid)
+        if has_spatial:
+            key_valid.append(spatial_valid)
+        if has_visual:
+            key_valid.append(visual_valid)
+        if has_audio:
+            key_valid.append(audio_valid)
+        key_valid = jnp.concatenate(key_valid, axis=1)
+        self_mask = base | (~key_valid)[:, None, None, :]
+
+        def prediction_heads(Xo, target_size):
+            dec = decoder_norm(Xo).astype(jnp.float32)          # [B, Q, C]
+            cls_emb = dec @ class_proj
+            v = cls_emb / (jnp.linalg.norm(cls_emb, axis=-1, keepdims=True) + 1e-7)
+            outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
+            m_emb = mask_mlp(dec.astype(self.dtype)).astype(jnp.float32)
+            masks = jnp.einsum("blc,bhwc->blhw", m_emb, mf)
+
+            am = resize_bilinear_torch(
+                masks.transpose(0, 2, 3, 1), target_size
+            ).transpose(0, 3, 1, 2)
+            am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5
+            all_blocked = jnp.all(am, axis=-1, keepdims=True)
+            am = am & ~all_blocked
+            return outputs_class, masks, m_emb, cls_emb, am[:, None]
+
+        oc, masks, m_emb, cls_emb, attn_mask = prediction_heads(X, sizes[0])
+        tok_grd = grounding_tokens.astype(self.dtype) if has_grounding else None
+        tok_grd_pos = jax.lax.stop_gradient(tok_grd) if has_grounding else None
+        tok_aud = audio_tokens.astype(self.dtype) if has_audio else None
+        tok_aud_pos = jax.lax.stop_gradient(tok_aud) if has_audio else None
+        for i in range(self.dec_layers):
+            level = i % num_levels
+            X = CrossAttentionLayer(
+                C, self.nheads, False, self.dtype, name=f"cross_attn{i}",
+            )(X, srcs[level], memory_mask=attn_mask,
+              pos=poss[level], query_pos=X_pos)
+
+            y_parts, yp_parts = [X], [X_pos]
+            if has_grounding:
+                y_parts.append(tok_grd)
+                yp_parts.append(tok_grd_pos)
+            if has_spatial:
+                tok_spa = spatial_tokens_by_level[level]
+                y_parts.append(tok_spa)
+                yp_parts.append(jax.lax.stop_gradient(tok_spa))
+            if has_visual:
+                tok_vis = visual_tokens_by_level[level].astype(self.dtype)
+                y_parts.append(tok_vis)
+                yp_parts.append(jax.lax.stop_gradient(tok_vis))
+            if has_audio:
+                y_parts.append(tok_aud)
+                yp_parts.append(tok_aud_pos)
+            Y = jnp.concatenate(y_parts, axis=1)
+            Y_pos = jnp.concatenate(yp_parts, axis=1)
+
+            Y = SelfAttentionLayer(
+                C, self.nheads, False, self.dtype, name=f"self_attn{i}"
+            )(Y, query_pos=Y_pos, tgt_mask=self_mask)
+            Y = FFNLayer(
+                C, self.dim_feedforward, False, dtype=self.dtype, name=f"ffn{i}",
+            )(Y)
+
+            # write back: object queries; grounding/audio tokens PERSIST
+            # (update_variables over the self-attn set), spatial/visual
+            # tokens are refreshed per level by the next set()
+            X = Y[:, :Q]
+            if has_grounding:
+                tok_grd = Y[:, y_grd:y_grd + G]
+            if has_audio:
+                tok_aud = Y[:, y_aud:y_aud + A]
+
+            oc, masks, m_emb, cls_emb, attn_mask = prediction_heads(
+                X, sizes[(i + 1) % num_levels]
+            )
+
+        out = {
+            "pred_logits": oc,
+            "pred_masks": masks,
+            "pred_maskembs": m_emb,
+        }
+        if has_grounding or has_audio:
+            out["pred_captions"] = cls_emb
+        if has_spatial:
+            out["pred_pspatials"] = sq_pos[:, None]
+            out["pred_nspatials"] = sq_neg[:, None]
+        if has_visual:
+            out["pred_pvisuals"] = visual_query_pos[:, None]
+            out["pred_nvisuals"] = visual_query_neg[:, None]
+        return out
+
+
+def demo_select_mask(out: Dict[str, jax.Array], prompt: str = "spatial"):
+    """The demo app's winning-mask selection: object query whose mask
+    embedding best matches the positive prompt mean
+    (pred_maskembs @ pred_pspatials / pred_pvisuals — the demo data struct's
+    update_spatial_results pattern, attention_data_struct_seemdemo.py:239-251,
+    applied to object queries as demo/seem's task flow does)."""
+    s_emb = out["pred_pspatials" if prompt == "spatial" else "pred_pvisuals"]
+    sel = jnp.einsum("bqd,bkd->bqk", out["pred_maskembs"], s_emb)[:, :, 0]
+    best = jnp.argmax(sel, axis=1)
+    mask = jnp.take_along_axis(
+        out["pred_masks"], best[:, None, None, None], axis=1
+    )
+    return best, mask
+
 
 # ---------------------------------------------------------------------------
 # v1 interactive refinement (host loop)

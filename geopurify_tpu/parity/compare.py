@@ -307,6 +307,94 @@ def parity_seem(size: str = "small") -> Dict[str, Tuple[float, float]]:
     return rows
 
 
+def parity_seem_demo(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    """SEEM demo variant (VERDICT r3 item #8): refimg visual-prompt pass +
+    the composed demo forward (stroke + grounding + audio + visual) vs the
+    reference seem_demo.py under the demo ATTENTION_ARCH."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.seem import SEEMHeadDemo
+    from geopurify_tpu.parity import oracle
+    from geopurify_tpu.utils.convert_xdecoder import convert_seem
+
+    ref = oracle.seem_demo_oracle()
+    params = convert_seem(ref["sd"], "seem", ref["dec_layers"])
+    S = 32
+    model = SEEMHeadDemo(
+        hidden_dim=32, dim_proj=32, num_queries=7, nheads=4,
+        dim_feedforward=64, dec_layers=ref["dec_layers"], mask_dim=32,
+        max_spatial_tokens=S,
+        max_grounding_tokens=ref["grounding_tokens"].shape[1],
+        max_audio_tokens=ref["audio_tokens"].shape[1],
+        dtype=jnp.float32,
+    )
+
+    def prompt_arrays(pos, neg):
+        H, W = pos.shape
+        pts = np.zeros((1, S, 2), np.float32)
+        valid = np.zeros((1, S), bool)
+        tags = np.ones((1, S), np.int32)
+        n = 0
+        for mask, tag in ((pos, 1), (neg, -1)):
+            ys, xs = np.nonzero(mask)
+            k = len(ys)
+            pts[0, n : n + k, 0] = ys / H
+            pts[0, n : n + k, 1] = xs / W
+            tags[0, n : n + k] = tag
+            valid[0, n : n + k] = True
+            n += k
+        return jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(tags), n
+
+    rows = {}
+
+    # --- refimg pass: our visual bundle vs the reference's ---
+    r_pts, r_valid, r_tags, r_n = prompt_arrays(ref["refimg_pos"], ref["refimg_neg"])
+    bundle = model.apply(
+        {"params": params},
+        [jnp.asarray(v) for v in ref["multi_scale_ref_nhwc"]],
+        jnp.asarray(ref["mask_features_ref_nhwc"]),
+        jnp.asarray(ref["text"]), jnp.float32(ref["logit_scale"]),
+        spatial_points=r_pts, spatial_valid=r_valid, spatial_posneg=r_tags,
+        task="refimg",
+    )
+    rb = ref["visual_bundle"]
+    ours_p = np.asarray(bundle["visual_query_pos"])
+    ours_n = np.asarray(bundle["visual_query_neg"])
+    rows["seem_demo/refimg_pos"] = _diff(ours_p, rb["visual_query_pos"].reshape(ours_p.shape))
+    rows["seem_demo/refimg_neg"] = _diff(ours_n, rb["visual_query_neg"].reshape(ours_n.shape))
+    for i, t in enumerate(rb["src_visual_queries"]):
+        ours_t = np.asarray(bundle["src_visual_queries"][i])[:, : t.shape[1]]
+        rows[f"seem_demo/refimg_tokens{i}"] = _diff(ours_t, t)
+
+    # --- demo pass: composed prompts ---
+    pts, valid, tags, _ = prompt_arrays(ref["pos_mask"], ref["neg_mask"])
+    vis_valid = np.zeros((1, S), bool)
+    vis_valid[0, :r_n] = True
+    out = model.apply(
+        {"params": params},
+        [jnp.asarray(v) for v in ref["multi_scale_nhwc"]],
+        jnp.asarray(ref["mask_features_nhwc"]),
+        jnp.asarray(ref["text"]), jnp.float32(ref["logit_scale"]),
+        spatial_points=pts, spatial_valid=valid, spatial_posneg=tags,
+        grounding_tokens=jnp.asarray(ref["grounding_tokens"]),
+        grounding_valid=jnp.ones((1, ref["grounding_tokens"].shape[1]), bool),
+        audio_tokens=jnp.asarray(ref["audio_tokens"]),
+        audio_valid=jnp.ones((1, ref["audio_tokens"].shape[1]), bool),
+        visual_tokens_by_level=list(bundle["src_visual_queries"]),
+        visual_valid=jnp.asarray(vis_valid),
+        visual_query_pos=bundle["visual_query_pos"],
+        visual_query_neg=bundle["visual_query_neg"],
+        task="demo",
+    )
+    for k, v in ref["acts"].items():
+        ours = np.asarray(out[k])
+        if k in ("pred_pspatials", "pred_nspatials", "pred_pvisuals",
+                 "pred_nvisuals"):
+            v = v.reshape(ours.shape)
+        rows[f"seem_demo/{k}"] = _diff(ours, v)
+    return rows
+
+
 def parity_seem_v1(size: str = "small") -> Dict[str, Tuple[float, float]]:
     rows = _parity_seem_v1_case(use_memory=True, tag="")
     # no-memory branch (different group offsets) — a regression there would
@@ -702,6 +790,7 @@ ALL_STAGES = {
     "head_vlp": parity_head_vlp,
     "seem": parity_seem,
     "seem_v1": parity_seem_v1,
+    "seem_demo": parity_seem_demo,
     "lift": parity_lift,
     "stage2": parity_stage2,
 }

@@ -1372,3 +1372,172 @@ def stage2_oracle(
         "pred64": pred64.numpy(),
         "iut64": tuple(a.numpy() for a in iut64),
     }
+
+
+SEEM_DEMO_ATTN_ARCH = {
+    # configs/seem/focall_unicl_lang_demo.yaml:168-193, verbatim semantics
+    "VARIABLE": {
+        "queries": ["object"],
+        "tokens": ["grounding", "spatial", "visual", "audio"],
+    },
+    "SELF_ATTENTION": {
+        "queries": {
+            "object": ["queries_object", "tokens_grounding", "tokens_spatial",
+                       "tokens_visual", "tokens_audio"],
+        },
+        "tokens": {
+            "grounding": ["queries_object", "tokens_grounding"],
+            "spatial": ["tokens_spatial"],
+            "visual": ["tokens_visual"],
+            "audio": ["queries_object", "tokens_audio"],
+        },
+    },
+    "CROSS_ATTENTION": {
+        "queries": {"object": True},
+        "tokens": {"grounding": False, "spatial": False, "visual": False,
+                   "audio": False},
+    },
+    "MASKING": ["tokens_spatial", "tokens_grounding", "tokens_visual",
+                "tokens_audio"],
+    "DUPLICATION": {
+        "queries": {"grounding": "queries_object", "spatial": "queries_object"}
+    },
+    "SPATIAL_MEMORIES": 32,
+}
+
+
+def seem_demo_oracle(
+    base_hw: Tuple[int, int] = (16, 24),
+    hidden_dim: int = 32,
+    mask_dim: int = 32,
+    dim_proj: int = 32,
+    num_queries: int = 7,
+    nheads: int = 4,
+    dim_feedforward: int = 64,
+    dec_layers: int = 3,
+    n_text: int = 5,
+    n_grounding: int = 3,
+    n_audio: int = 4,
+    seed: int = 21,
+) -> Dict:
+    """Reference SEEM DEMO decoder (interface/seem_demo.py:27-396 +
+    attention_data_struct_seemdemo.py + the demo yaml ATTENTION_ARCH) run
+    TWICE: a ``refimg`` pass on a reference image extracting the visual
+    prompt bundle (seem_demo.py:268-276), then the ``demo`` pass composing
+    stroke (spatial) + text grounding + AUDIO + visual prompts in one
+    forward. Prompt masks carry fewer nonzeros than max_spatial_len so
+    rand_sample is a no-op and both passes are deterministic."""
+    torch = _torch()
+    from xdecoder.modeling.interface.seem_demo import SEEMDecoder
+
+    rng = np.random.default_rng(seed)
+    text = rng.normal(0, 1, (n_text, dim_proj)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    logit_scale_log = 0.7
+
+    torch.manual_seed(seed)
+    m = SEEMDecoder(
+        lang_encoder=_lang_adapter(text, logit_scale_log),
+        in_channels=hidden_dim,
+        mask_classification=True,
+        hidden_dim=hidden_dim,
+        dim_proj=dim_proj,
+        num_queries=num_queries,
+        contxt_len=77,
+        nheads=nheads,
+        dim_feedforward=dim_feedforward,
+        dec_layers=dec_layers,
+        pre_norm=False,
+        mask_dim=mask_dim,
+        task_switch={"bbox": False, "mask": True, "spatial": True,
+                     "grounding": True, "visual": True, "audio": True},
+        enforce_input_project=False,
+        max_spatial_len=[32, 32, 32, 32],
+        attn_arch={k: v for k, v in SEEM_DEMO_ATTN_ARCH.items()},
+    )
+    randomize_module_(m, seed)
+    m.eval()
+
+    H, W = base_hw
+
+    def feats(r):
+        ms = [
+            r.normal(0, 1, (1, hidden_dim, H // 4, W // 4)).astype(np.float32),
+            r.normal(0, 1, (1, hidden_dim, H // 2, W // 2)).astype(np.float32),
+            r.normal(0, 1, (1, hidden_dim, H, W)).astype(np.float32),
+        ]
+        mf = r.normal(0, 1, (1, mask_dim, H, W)).astype(np.float32)
+        return ms, mf
+
+    ms_ref, mf_ref = feats(rng)      # the reference image (visual prompt src)
+    ms, mf = feats(rng)              # the target image
+
+    # refimg prompts (on the reference image)
+    rpos = np.zeros((1, H, W), bool)
+    rpos[0, 2:5, 3:7] = True                              # 12 points < 32
+    rneg = np.zeros((1, H, W), bool)
+    rneg[0, 9:11, 12:14] = True                           # 4 points
+    with torch.no_grad():
+        visual = m(
+            [torch.from_numpy(v) for v in ms_ref], torch.from_numpy(mf_ref),
+            task="refimg",
+            extra={
+                "spatial_query_pos_mask": [torch.from_numpy(rpos)],
+                "spatial_query_neg_mask": [torch.from_numpy(rneg)],
+            },
+        )
+
+    # demo prompts (on the target image)
+    pos_mask = np.zeros((1, H, W), bool)
+    pos_mask[0, 3:6, 4:8] = True                          # 12 points
+    neg_mask = np.zeros((1, H, W), bool)
+    neg_mask[0, 10:12, 2:5] = True                        # 6 points
+    grd = rng.normal(0, 1, (n_grounding, 1, hidden_dim)).astype(np.float32)
+    aud = rng.normal(0, 1, (n_audio, 1, hidden_dim)).astype(np.float32)
+
+    extra = {
+        "spatial_query_pos_mask": [torch.from_numpy(pos_mask)],
+        "spatial_query_neg_mask": [torch.from_numpy(neg_mask)],
+        "grounding_tokens": torch.from_numpy(grd),
+        "grounding_nonzero_mask": torch.zeros(1, n_grounding, dtype=torch.bool),
+        "audio_tokens": torch.from_numpy(aud),
+        "audio_nonzero_mask": torch.zeros(1, n_audio, dtype=torch.bool),
+        "visual_query_pos": visual["visual_query_pos"],
+        "visual_query_neg": visual["visual_query_neg"],
+        "src_visual_queries": visual["src_visual_queries"],
+        "src_visual_maskings": visual["src_visual_maskings"],
+    }
+    with torch.no_grad():
+        outs = m(
+            [torch.from_numpy(v) for v in ms], torch.from_numpy(mf),
+            task="demo", extra=extra,
+        )
+    acts = {
+        k: outs[k].numpy() for k in
+        ("pred_logits", "pred_masks", "pred_maskembs", "pred_captions",
+         "pred_pspatials", "pred_nspatials", "pred_pvisuals", "pred_nvisuals")
+        if k in outs
+    }
+    return {
+        "multi_scale_ref_nhwc": [np.ascontiguousarray(v.transpose(0, 2, 3, 1)) for v in ms_ref],
+        "mask_features_ref_nhwc": np.ascontiguousarray(mf_ref.transpose(0, 2, 3, 1)),
+        "multi_scale_nhwc": [np.ascontiguousarray(v.transpose(0, 2, 3, 1)) for v in ms],
+        "mask_features_nhwc": np.ascontiguousarray(mf.transpose(0, 2, 3, 1)),
+        "text": text,
+        "logit_scale": float(m.lang_encoder.logit_scale.detach().exp()),
+        "refimg_pos": rpos[0], "refimg_neg": rneg[0],
+        "pos_mask": pos_mask[0], "neg_mask": neg_mask[0],
+        "grounding_tokens": np.ascontiguousarray(grd.transpose(1, 0, 2)),
+        "audio_tokens": np.ascontiguousarray(aud.transpose(1, 0, 2)),
+        "visual_bundle": {
+            "visual_query_pos": visual["visual_query_pos"].numpy(),
+            "visual_query_neg": visual["visual_query_neg"].numpy(),
+            "src_visual_queries": [
+                np.ascontiguousarray(t.numpy().transpose(1, 0, 2))
+                for t in visual["src_visual_queries"]
+            ],
+        },
+        "acts": acts,
+        "sd": {f"seem.{k}": v.numpy() for k, v in m.state_dict().items()},
+        "dec_layers": dec_layers,
+    }

@@ -48,6 +48,15 @@ def main(argv=None):
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument("--budget", type=int, default=64)
     parser.add_argument("--preset", default="scannet")
+    parser.add_argument("--task", default="v1", choices=("v1", "demo"),
+                        help="v1 = click-refinement loop (SEEMHeadV1); demo = "
+                             "one-shot composed-prompt head (SEEMHeadDemo, "
+                             "≙ seem_model_demo.evaluate_demo)")
+    parser.add_argument("--refimg", default=None,
+                        help="[demo] reference image for a VISUAL prompt")
+    parser.add_argument("--ref-clicks", default="",
+                        help='[demo] "y,x;y,x" clicks on --refimg marking the '
+                             "visual exemplar")
     parser.add_argument("--out", default=None)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
@@ -115,6 +124,10 @@ def main(argv=None):
     n_cls = max(len(cfg.data.all_label), 2)
     text = jax.random.normal(key, (n_cls, xc.hidden_dim))
     text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+
+    if args.task == "demo":
+        return _run_demo(args, cfg, backbone, bvars, pixdec, pvars,
+                         multi_scale, mask_features, text, img, H, W, key)
 
     S = args.budget
     host_rng = np.random.default_rng(1)
@@ -194,6 +207,105 @@ def main(argv=None):
     )
     dst = args.out or (
         os.path.splitext(args.image or "synthetic")[0] + "_interactive.png"
+    )
+    Image.fromarray(overlay).save(dst)
+    log.info("wrote %s", dst)
+    return dst
+
+
+def _run_demo(args, cfg, backbone, bvars, pixdec, pvars, multi_scale,
+              mask_features, text, img, H, W, key):
+    """Headless demo-variant path (≙ seem_model_demo.evaluate_demo +
+    demo/seem's task flow): one SEEMHeadDemo forward composing the click
+    (stroke) prompt with an optional reference-image VISUAL prompt, winning
+    object mask by pred_maskembs @ pred_pspatials (demo_select_mask)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from geopurify_tpu.models.seem import SEEMHeadDemo, demo_select_mask
+
+    xc = cfg.xdecoder
+    S = args.budget
+    head = SEEMHeadDemo(
+        hidden_dim=xc.hidden_dim, dim_proj=xc.hidden_dim,
+        num_queries=xc.num_queries, nheads=xc.nheads,
+        dim_feedforward=xc.dim_feedforward, dec_layers=xc.dec_layers,
+        mask_dim=xc.mask_dim, max_spatial_tokens=S, dtype=jnp.float32,
+    )
+    Hm, Wm = mask_features.shape[1:3]
+
+    def clicks_to_prompt(clicks, neg_clicks, hm, wm):
+        pts = np.zeros((1, S, 2), np.float32)
+        valid = np.zeros((1, S), bool)
+        tags = np.ones((1, S), np.int32)
+        n = 0
+        for tag, spec in ((1, clicks), (-1, neg_clicks)):
+            for (y, x_) in parse_clicks(spec):
+                if n >= S:
+                    break
+                pts[0, n, 0] = min(y // 4, hm - 1) / hm
+                pts[0, n, 1] = min(x_ // 4, wm - 1) / wm
+                tags[0, n] = tag
+                valid[0, n] = True
+                n += 1
+        return jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(tags)
+
+    pts, valid, tags = clicks_to_prompt(args.clicks, args.neg_clicks, Hm, Wm)
+    hvars = head.init(
+        key, list(multi_scale), mask_features, text, jnp.float32(20.0),
+        spatial_points=pts, spatial_valid=valid, spatial_posneg=tags,
+    )
+
+    kwargs = dict(spatial_points=pts, spatial_valid=valid, spatial_posneg=tags)
+    if args.refimg:
+        rimg = np.asarray(Image.open(args.refimg).convert("RGB")).astype(np.float32)
+        div = xc.size_divisibility
+        rh, rw = rimg.shape[:2]
+        rx = jnp.asarray(rimg)[None] / 127.5 - 1.0
+        rx = jnp.pad(rx, ((0, 0), (0, -(-rh // div) * div - rh),
+                          (0, -(-rw // div) * div - rw), (0, 0)))
+        rfeats = backbone.apply(bvars, rx)
+        rmask_features, _, rmulti = pixdec.apply(pvars, rfeats)
+        rHm, rWm = rmask_features.shape[1:3]
+        rpts, rvalid, rtags = clicks_to_prompt(args.ref_clicks, "", rHm, rWm)
+        bundle = head.apply(
+            hvars, list(rmulti), rmask_features, text, jnp.float32(20.0),
+            spatial_points=rpts, spatial_valid=rvalid, spatial_posneg=rtags,
+            task="refimg",
+        )
+        kwargs.update(
+            visual_tokens_by_level=list(bundle["src_visual_queries"]),
+            visual_valid=rvalid,
+            visual_query_pos=bundle["visual_query_pos"],
+            visual_query_neg=bundle["visual_query_neg"],
+        )
+
+    out = head.apply(
+        hvars, list(multi_scale), mask_features, text, jnp.float32(20.0),
+        task="demo", **kwargs,
+    )
+    best, mask = demo_select_mask(
+        out, prompt="visual" if (args.refimg and not args.clicks) else "spatial"
+    )
+    log.info("demo: winning object query %d", int(best[0]))
+    mask_logits = np.asarray(mask[0, 0])
+    m = 1 / (1 + np.exp(-mask_logits)) > 0.5
+    mask_full = m[
+        np.minimum((np.arange(H) // 4), Hm - 1)[:, None],
+        np.minimum((np.arange(W) // 4), Wm - 1)[None, :],
+    ]
+    from geopurify_tpu.utils.visualizer2d import Visualizer2D
+
+    overlay = (
+        Visualizer2D(img.astype(np.uint8))
+        .draw_binary_mask(mask_full, np.array([245, 135, 66]), text="demo")
+        .get_image()
+    )
+    dst = args.out or (
+        os.path.splitext(args.image or "synthetic")[0] + "_demo.png"
     )
     Image.fromarray(overlay).save(dst)
     log.info("wrote %s", dst)

@@ -206,3 +206,10 @@ def test_parity_stage2_end_to_end():
     for name in ("stage2/hist_I", "stage2/hist_U", "stage2/hist_T"):
         mx, _ = rows[name]
         assert mx <= n_tie, f"{name}: max|d|={mx} vs {n_tie} sub-margin rows"
+
+
+def test_parity_seem_demo():
+    """SEEM demo variant (VERDICT r3 item #8): one cross-attending object
+    query group composing stroke + text grounding + audio + reference-image
+    visual prompts; refimg bundle and all demo outputs pinned."""
+    _check(compare.parity_seem_demo())
