@@ -79,6 +79,14 @@ class XDecoderHead(nn.Module):
         caption_tokens: Optional[jax.Array] = None,  # [B, T, C] lang token
         # hiddens — VLP pretraining task (xdecoder.py:227-233): captions join
         # the queries through the structured mask's causal block
+        return_aux: bool = False,
+        # parity instrumentation (VERDICT r3 item #5): collect the per-round
+        # PRE-threshold stride-4 mask logits + the binarized attn masks
+        attn_mask_override: Optional[List[jax.Array]] = None,
+        # parity instrumentation: force round i's cross-attn mask to the
+        # given [B, Q(+T), HW_level] bool (True = block) — running both
+        # implementations on the SAME binarized masks removes the
+        # 0.5-threshold amplifier from the comparison
     ) -> Dict[str, jax.Array]:
         B = mask_features.shape[0]
         Q = self.num_queries
@@ -182,8 +190,12 @@ class XDecoderHead(nn.Module):
         outputs_class, outputs_mask, class_embed, capt, attn_mask = (
             prediction_heads(output, sizes[0])
         )
+        aux_masks = [outputs_mask]
+        aux_attn = [attn_mask]
         for i in range(self.dec_layers):
             level = i % num_levels
+            if attn_mask_override is not None:
+                attn_mask = attn_mask_override[i][:, None]
             output = CrossAttentionLayer(
                 C, self.nheads, self.pre_norm, self.dtype,
                 name=f"cross_attn{i}",
@@ -198,6 +210,8 @@ class XDecoderHead(nn.Module):
             outputs_class, outputs_mask, class_embed, capt, attn_mask = (
                 prediction_heads(output, sizes[(i + 1) % num_levels])
             )
+            aux_masks.append(outputs_mask)
+            aux_attn.append(attn_mask)
 
         # slice 201 -> 200 object queries (xdecoder_model.py:408-453)
         out = {
@@ -212,6 +226,9 @@ class XDecoderHead(nn.Module):
         if T:
             out["pred_captionings"] = capt                        # [B,T,dim_proj]
             out["pred_captions"] = class_embed                    # incl cls row
+        if return_aux:
+            out["aux_masks"] = aux_masks        # dec_layers+1 x [B,Q,H4,W4]
+            out["aux_attn"] = aux_attn          # binarized, [B,1,Q+T,HW_lvl]
         return out
 
 

@@ -423,10 +423,16 @@ def xdecoder_head_oracle(
     dec_layers: int = 3,
     n_text: int = 5,
     seed: int = 2,
+    capture_aux: bool = False,
 ) -> Dict:
     """Reference XDecoder query decoder (interface/xdecoder.py:25-533), seg
     task: masked cross-attn over 3 rotating scales, structured self-attn mask,
-    bicubic-antialias attn-mask resize thresholded at 0.5."""
+    bicubic-antialias attn-mask resize thresholded at 0.5.
+
+    ``capture_aux`` additionally exports the per-round PRE-threshold stride-4
+    mask logits (aux_outputs) and the binarized per-round cross-attn masks
+    (forward-pre-hooks on the cross-attention layers) — the full-size
+    threshold-amplifier study (VERDICT r3 item #5)."""
     torch = _torch()
     from xdecoder.modeling.interface.xdecoder import XDecoder
 
@@ -470,12 +476,29 @@ def xdecoder_head_oracle(
         for i in (2, 1, 0)
     ]
     mf_np = rng.normal(0, 1, (1, mask_dim, H, W)).astype(np.float32)
+    captured_attn = []
+    hooks = []
+    if capture_aux:
+        def make_hook(idx):
+            def hook(mod, hargs, hkwargs):
+                mm = hkwargs.get("memory_mask")
+                if mm is None and len(hargs) > 2:
+                    mm = hargs[2]
+                captured_attn.append((idx, mm.detach().clone()))
+            return hook
+
+        for idx, layer in enumerate(m.transformer_cross_attention_layers):
+            hooks.append(layer.register_forward_pre_hook(
+                make_hook(idx), with_kwargs=True
+            ))
     with torch.no_grad():
         out = m(
             [torch.from_numpy(t) for t in ms_np],
             torch.from_numpy(mf_np),
             task="seg",
         )
+    for h in hooks:
+        h.remove()
     sd = {
         f"sem_seg_head.predictor.{k}": v.numpy()
         for k, v in m.state_dict().items()
@@ -493,6 +516,17 @@ def xdecoder_head_oracle(
         "mask_embed": out["mask_embed"][:, : Q - 1].numpy(),
         "sd": sd,
         "dec_layers": dec_layers,
+        # per-round PRE-threshold stride-4 mask logits (all Q queries) and
+        # the binarized cross-attn masks the reference actually used
+        "aux_masks": (
+            [a["pred_masks"].numpy() for a in out["aux_outputs"]]
+            + [out["pred_masks"].numpy()] if capture_aux else None
+        ),
+        "attn_masks": (
+            [mm.numpy() for _, mm in sorted(captured_attn, key=lambda t: t[0])]
+            if capture_aux else None
+        ),
+        "nheads": nheads,
     }
 
 

@@ -7,6 +7,8 @@ without the unfetchable released checkpoints. Small configs keep them CPU-fast;
 `geopurify-parity --torch-oracle full` runs the production-size variant.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -213,3 +215,28 @@ def test_parity_seem_demo():
     query group composing stroke + text grounding + audio + reference-image
     visual prompts; refimg bundle and all demo outputs pinned."""
     _check(compare.parity_seem_demo())
+
+
+@pytest.mark.skipif(
+    os.environ.get("GEOPURIFY_FULLSIZE") != "1",
+    reason="full-size head study (~8 min CPU); set GEOPURIFY_FULLSIZE=1",
+)
+def test_parity_head_fullsize():
+    """Full-size (121x162 stride-4, 201 queries, 512-d, 9 rounds) head parity
+    bounded despite the 0.5-threshold amplifier (VERDICT r3 item #5): round-0
+    pre-threshold masks pin tight; attn-mask flips are rare (<1e-3) and
+    threshold-marginal (p99 |sigmoid-0.5| < 0.1); with both implementations
+    FORCED onto the reference's binarized masks the final outputs pin at
+    rel < 2e-4 even at full size. Measured 2026-08-20: round0 rel 7.8e-7,
+    flip_frac 4.0e-4, flip margin p99 0.048, forced finals rel <= 8.9e-5."""
+    rows = compare.parity_head_fullsize()
+    mx, rel = rows["head_full/round0_masks"]
+    assert rel < 1e-5, f"round0: rel={rel:.3e}"
+    _, frac = rows["head_full/flip_frac"]
+    assert frac < 1e-3, f"attn-mask flip fraction {frac:.2e}"
+    _, p99 = rows["head_full/flip_margin"]
+    assert p99 < 0.1, f"flip margin p99 {p99:.3f} not threshold-marginal"
+    for k in ("forced_pred_logits", "forced_pred_masks",
+              "forced_mask_embed", "forced_cls_logits"):
+        mx, rel = rows[f"head_full/{k}"]
+        assert rel < 2e-4, f"{k}: rel={rel:.3e}"
