@@ -149,6 +149,18 @@ def main():
                              "the reference's every-20th-frame rule). The "
                              "baseline estimate scales with V (150 ms/view "
                              "A100 X-Decoder forward on both sides).")
+    parser.add_argument("--resident", action="store_true",
+                        help="evaluate ONE device-resident scene repeatedly "
+                             "(isolates device throughput from H2D/host)")
+    parser.add_argument("--prefetch-h2d", action="store_true",
+                        help="materialize every scene on device BEFORE the "
+                             "timed loop (distinct scenes, uploads forced "
+                             "via a reduce+fetch). Through the axon tunnel "
+                             "uploads serialize with compute RPCs and cost "
+                             "~1 s/scene at V=64 (~85 MB at an effective "
+                             "~65 MB/s) — a dev-tunnel artifact; a real v5e "
+                             "host streams this over PCIe in ~1 ms. This "
+                             "mode reports the chip-throughput figure.")
     parser.add_argument("--view-parallel", type=int, default=0,
                         help="shard the view loop over an N-device mesh "
                              "(parallel/view_parallel.py); requires N devices")
@@ -343,7 +355,31 @@ def main():
             log(f"stages: views={t0b-t0:.2f}s lift_total={t1-t0b:.2f}s "
                 f"(fuse/fill={t1-t0b-(t0b-t0):.2f}s est) "
                 f"pool+classify={t2-t1:.2f}s band_overflow={int(ov)}")
-            del refined, logits, pred, feats
+            del refined, logits, pred
+        # per-stage achieved-FLOPs / bandwidth vs v5e peaks (VERDICT r3 #7):
+        # flops/bytes from XLA's compiled cost analysis at these exact args,
+        # walls from the (second) loop above. The lift glue between the two
+        # covered jits (eager concats + fusion/fill jits) has no single
+        # executable to analyze — its wall appears as lift_glue with n/a.
+        from geopurify_tpu.utils.profiling import compiled_costs, mfu_table
+
+        view_costs = compiled_costs(
+            pipe._view_step, pipe.teacher_params, pipe.text_embeddings,
+            pipe.logit_scale, sc, _jnp.int32(0),
+        )
+        f2 = pipe.lift_scene(sc, n_valid=V).features
+        pool_costs = compiled_costs(
+            pipe._pool_classify, student_vars, f2, sc,
+            pipe.text_embeddings, pipe.logit_scale, want_features=False,
+        )
+        del f2
+        n_view_calls = -(-V // B)
+        log("MFU/bandwidth (XLA cost analysis; bytes = HLO-level estimate):\n"
+            + mfu_table([
+                ("views", t0b - t0, view_costs, n_view_calls),
+                ("lift_glue", (t1 - t0b) - (t0b - t0), None, 1),
+                ("pool+classify", t2 - t1, pool_costs, 1),
+            ]))
 
     # timed scenes (fresh data per scene, same shapes -> cached executables);
     # dispatch is async: scenes are enqueued back-to-back and only the last
@@ -376,10 +412,35 @@ def main():
             sc_dev = nxt
         dt = time.time() - t0
         ex.shutdown(wait=False)
+    elif args.resident:
+        # diagnostic: ONE device-resident scene evaluated repeatedly — no
+        # H2D, no host synthesis; isolates pure device+dispatch throughput
+        sc_dev = jax.device_put(build_scene(1, P, M, V, Pv, hw))
+        t0 = time.time()
+        outs = [evaluate(sc_dev) for _ in range(args.scenes)]
+        jax.block_until_ready([o["pred"] for o in outs])
+        dt = time.time() - t0
     else:
         scenes = [build_scene(i + 1, P, M, V, Pv, hw) for i in range(args.scenes)]
+        if args.prefetch_h2d:
+            scenes = [jax.device_put(sc) for sc in scenes]
+            # force the lazy tunnel uploads to COMPLETE before timing: a
+            # reduce touching the big leaves + one D2H fetch
+            force = [
+                jnp.sum(sc.images.astype(jnp.int32)) + jnp.sum(sc.view_point_ids)
+                for sc in scenes
+            ]
+            _ = [int(f) for f in force]
         t0 = time.time()
-        outs = [evaluate(sc) for sc in scenes]
+        # ONE H2D per scene: numpy leaves passed straight to the jitted
+        # calls re-transfer on EVERY call (the lift alone makes V/B + 2
+        # calls over the same batch — at V=64 that re-shipped the 60 MB
+        # image stack ~6x per scene); device_put once, then enqueue.
+        # Transfers stay inside the timed window.
+        outs = [
+            evaluate(sc if args.prefetch_h2d else jax.device_put(sc))
+            for sc in scenes
+        ]
         jax.block_until_ready([o["pred"] for o in outs])
         dt = time.time() - t0
     sps = args.scenes / dt

@@ -78,3 +78,60 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# Per-stage achieved-FLOPs / bandwidth accounting (VERDICT r3 item #7)
+# ---------------------------------------------------------------------------
+
+# v5e (TPU v5 lite) per-chip peaks; override for other parts.
+V5E_PEAK_TFLOPS_BF16 = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def compiled_costs(jitted, *args, **kwargs) -> Optional[Dict[str, float]]:
+    """(flops, bytes accessed) of a jitted callable at these args, from XLA's
+    client-side HLO cost analysis. Uses the jit cache (lower+compile of
+    already-compiled shapes is fast). Returns None when the backend exposes
+    no analysis."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca:
+            return None
+        return {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception:  # noqa: BLE001 — accounting must never break the bench
+        return None
+
+
+def mfu_table(
+    rows,                       # [(stage, wall_s, costs_or_None, n_calls)]
+    peak_tflops: float = V5E_PEAK_TFLOPS_BF16,
+    peak_gbps: float = V5E_PEAK_HBM_GBPS,
+) -> str:
+    """Render per-stage achieved TFLOP/s and GB/s vs chip peaks.
+
+    ``costs`` is one call's {flops, bytes}; multiplied by n_calls and divided
+    by the measured wall. The 'bytes accessed' figure is XLA's HLO-level
+    estimate (HBM traffic assuming no fusion-internal re-reads) — treat the
+    bandwidth column as a lower-bound estimate of achieved traffic."""
+    lines = [
+        f"{'stage':18s} {'wall_s':>8s} {'TFLOP/s':>9s} {'%peak':>6s} "
+        f"{'GB/s':>8s} {'%BW':>6s}"
+    ]
+    for stage, wall, costs, n in rows:
+        if costs is None or wall <= 0:
+            lines.append(f"{stage:18s} {wall:8.3f} {'n/a':>9s} {'':>6s} {'':>8s}")
+            continue
+        tflops = costs["flops"] * n / wall / 1e12
+        gbps = costs["bytes"] * n / wall / 1e9
+        lines.append(
+            f"{stage:18s} {wall:8.3f} {tflops:9.2f} {100*tflops/peak_tflops:5.1f}% "
+            f"{gbps:8.1f} {100*gbps/peak_gbps:5.1f}%"
+        )
+    return "\n".join(lines)
