@@ -403,9 +403,24 @@ def main():
             # dispatch above is async, so the host is free to wait on the
             # build thread and enqueue the ~100 MB transfer while the chip
             # works (scene build ~3.3 s < scene compute ~8 s at preset).
+            # device_put alone is LAZY through the axon tunnel (measured:
+            # put+block_until_ready of 80 MB returns in ~1 ms; the upload
+            # lands at first compute use, serializing INTO the next scene's
+            # critical path — the V=64 study found ~1 s/scene hiding there).
+            # Force it: a reduce touching every large leaf + one host fetch;
+            # the host blocks on the upload while the chip works through the
+            # already-enqueued scene-i ops server-side.
             nxt = None
             if i + 1 < args.scenes:
                 nxt = jax.device_put(fut.result())
+                touch = (
+                    jnp.sum(nxt.images.astype(jnp.int32))
+                    + jnp.sum(nxt.view_point_ids)
+                    + jnp.sum(nxt.point2voxel)
+                    + jnp.sum(nxt.points).astype(jnp.int32)
+                    + jnp.sum(nxt.geom_feats).astype(jnp.int32)
+                )
+                int(touch)
             jax.block_until_ready(out["pred"])
             log(f"scene {i}: cumulative {time.time() - t0:.2f}s")
             del out
@@ -435,12 +450,30 @@ def main():
         # ONE H2D per scene: numpy leaves passed straight to the jitted
         # calls re-transfer on EVERY call (the lift alone makes V/B + 2
         # calls over the same batch — at V=64 that re-shipped the 60 MB
-        # image stack ~6x per scene); device_put once, then enqueue.
-        # Transfers stay inside the timed window.
-        outs = [
-            evaluate(sc if args.prefetch_h2d else jax.device_put(sc))
-            for sc in scenes
-        ]
+        # image stack ~6x per scene). device_put is LAZY through the axon
+        # tunnel (nothing moves until a consumer op is dispatched), so the
+        # NEXT scene's upload is forced by a small dispatched-but-unfetched
+        # reduce while the chip works through the current scene's enqueued
+        # ops — uploads stay inside the timed window, overlapped like a
+        # production loader's device prefetch. (--prefetch-h2d instead
+        # excludes uploads from the window entirely: the chip-throughput
+        # figure.)
+        if args.prefetch_h2d:
+            outs = [evaluate(sc) for sc in scenes]
+        else:
+            outs = []
+            dev = jax.device_put(scenes[0])
+            for i in range(args.scenes):
+                outs.append(evaluate(dev))
+                if i + 1 < args.scenes:
+                    dev = jax.device_put(scenes[i + 1])
+                    _touch = (
+                        jnp.sum(dev.images.astype(jnp.int32))
+                        + jnp.sum(dev.view_point_ids)
+                        + jnp.sum(dev.point2voxel)
+                        + jnp.sum(dev.points).astype(jnp.int32)
+                        + jnp.sum(dev.geom_feats).astype(jnp.int32)
+                    )
         jax.block_until_ready([o["pred"] for o in outs])
         dt = time.time() - t0
     sps = args.scenes / dt

@@ -151,10 +151,10 @@ class BandedOperator(NamedTuple):
     (``starts``, chosen per scene — see build); out-of-window edges live in a
     row-sorted COO list applied per round with a sorted segment_sum.
 
-    (A fixed-degree gather+einsum residual was measured and REJECTED: padding
-    rows to the max out-of-band degree (~48) inflates the per-round gather 3x
-    over the true edge count and loses to the segment_sum, whose cost is
-    ~12 ns per scattered row — see ROADMAP round-3 log.)
+    (History: a fixed-degree gather+einsum residual padded to the max
+    out-of-band degree (~48) was REJECTED in r3 — 3x gather inflation. The
+    round-4 degree-RES_GROUP grouping below supersedes that verdict with
+    tight ~1.17x padding; see the grp_* fields.)
     """
 
     S: jax.Array          # [M, band] compute dtype
@@ -163,6 +163,67 @@ class BandedOperator(NamedTuple):
     res_col: jax.Array    # [R] i32
     res_w: jax.Array      # [R] f32
     n_dropped: jax.Array  # [] i32: edges beyond capacity (inexact if > 0)
+    # degree-RES_GROUP grouped view of the same residual (what the smoothing
+    # loop applies): groups of up to RES_GROUP consecutive SAME-ROW edges.
+    # One group-level segment_sum replaces the per-edge one — scatter count
+    # /8 at ~1.17x slot padding (measured 0.56 -> 0.18 s/19 rounds at the
+    # preset's 1.66M edges; the old degree-48 table was a dead end because
+    # its padding tripled the GATHER volume, 8-groups pad tight). Group
+    # capacity is 1.25x R/RES_GROUP (row fragmentation can need more groups
+    # than edges/RES_GROUP; overflow counts into n_dropped like edge
+    # overflow and the caller falls back to the exact gather path).
+    grp_row: jax.Array    # [Rg] i32 non-decreasing, padded with M
+    grp_col: jax.Array    # [Rg, RES_GROUP] i32
+    grp_w: jax.Array      # [Rg, RES_GROUP] f32 (0 on padding)
+
+
+RES_GROUP = 8
+
+
+def _group_residual(res_row, res_col, res_w, M: int):
+    """Pack the row-sorted COO residual into degree-RES_GROUP same-row
+    groups, on device. One n_grp-element scatter + slot-granular gathers;
+    dead slots (capacity padding, end-of-row partial groups) carry w=0.
+
+    Returns (grp_row, grp_col, grp_w, n_edges_dropped) — edges whose group
+    ranked past the 2*R/RES_GROUP capacity are NOT represented and must be
+    surfaced as overflow by the caller."""
+    R = res_row.shape[0]
+    G = RES_GROUP
+    # tiny capacities keep one-group-per-edge headroom (a fragmented
+    # residual can never overflow groups before edges there); large ones
+    # take 1.25x the mean-degree-G estimate — the apply is ONE UNGATED
+    # gather+einsum+segment_sum over the full group capacity (chunk/cond
+    # gating around it defeats XLA's gather->einsum fusion and materializes
+    # the [chunk, G, C] transient: measured 0.58 vs 0.18 s/19 rounds at
+    # preset scale — scripts/bench_res_group.py), so dead headroom costs
+    # slot-proportional bandwidth every round. Overflow surfaces as drops.
+    Rg = R if R <= 4096 else (R // G) + (R // (4 * G))
+    e = jnp.arange(R, dtype=jnp.int32)
+    live_e = res_row < M
+    new_row = jnp.concatenate(
+        [jnp.ones((1,), bool), res_row[1:] != res_row[:-1]]
+    )
+    # position within the row-run: e - (index of the run's first edge)
+    run_start = jax.lax.cummax(jnp.where(new_row, e, -1))
+    pos = e - run_start
+    new_grp = new_row | (pos % G == 0)
+    gid = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
+    # first edge of each group (unique scatter over group leaders)
+    slot = jnp.where(new_grp & (gid < Rg), gid, Rg)
+    first = jnp.full((Rg,), R - 1, jnp.int32).at[slot].set(
+        e, mode="drop", unique_indices=True
+    )
+    n_grp_live = jnp.sum((new_grp & live_e).astype(jnp.int32))
+    g_live = jnp.arange(Rg, dtype=jnp.int32) < jnp.minimum(n_grp_live, Rg)
+    grp_row = jnp.where(g_live, res_row[first], M)
+    idx = jnp.minimum(first[:, None] + jnp.arange(G, dtype=jnp.int32)[None], R - 1)
+    # a slot is live iff that edge actually belongs to this group
+    ok = g_live[:, None] & (gid[idx] == jnp.arange(Rg, dtype=jnp.int32)[:, None])
+    grp_col = jnp.where(ok, res_col[idx], 0)
+    grp_w = jnp.where(ok, res_w[idx], 0.0)
+    n_edges_dropped = jnp.sum((live_e & (gid >= Rg)).astype(jnp.int32))
+    return grp_row, grp_col, grp_w, n_edges_dropped
 
 
 def build_banded_operator(
@@ -305,8 +366,12 @@ def build_banded_operator(
         rk = jnp.minimum(res_row, M - 1) * K + flat[base:].astype(jnp.int32)
         res_col = jnp.where(e_live, nbr.reshape(-1)[rk], 0)
         res_w = jnp.where(e_live, weights.reshape(-1)[rk], 0.0)
-        n_dropped = jnp.maximum(n_out - R, 0)
-        return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped)
+        grp_row, grp_col, grp_w, grp_drop = _group_residual(
+            res_row, res_col, res_w, M
+        )
+        n_dropped = jnp.maximum(n_out - R, 0) + grp_drop
+        return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped,
+                              grp_row, grp_col, grp_w)
     edge_ids = jnp.arange(M * K, dtype=jnp.int32)
     if assume_unique_neighbors:
         # unique-index SET straight into the compute dtype — no f32
@@ -334,8 +399,10 @@ def build_banded_operator(
     res_row = jnp.where(e_live, E // K, M)               # non-decreasing
     res_col = jnp.where(e_live, nbr.reshape(-1)[E], 0)
     res_w = jnp.where(e_live, weights.reshape(-1)[E], 0.0)
-    n_dropped = jnp.maximum(n_out - R, 0)
-    return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped)
+    grp_row, grp_col, grp_w, grp_drop = _group_residual(res_row, res_col, res_w, M)
+    n_dropped = jnp.maximum(n_out - R, 0) + grp_drop
+    return BandedOperator(S, starts, res_row, res_col, res_w, n_dropped,
+                          grp_row, grp_col, grp_w)
 
 
 @partial(jax.jit, static_argnames=("num_iterations", "band", "row_tile",
@@ -358,13 +425,7 @@ def iterate_pooling_banded(
     # chunk sizing trades per-call segment_sum overhead against gating
     # granularity: 65536 (8 calls at cap 2^19) measured 0.55 s vs 0.30 at one
     # call on an all-live scene — per-call overhead dominates below ~2^18
-    res_chunk = min(R, res_chunk)
-    n_rc = -(-R // res_chunk) if R else 0
-    # residual cost is ~linear in the STATIC capacity (CLAUDE.md bench note);
-    # gating each chunk on the ACTUAL edge count makes it linear in the real
-    # out-of-band tail instead, while capacity stays generously sized.
-    # res_row is non-decreasing with M-padding, so edges count = rows < M.
-    n_res = jnp.sum((op.res_row < M).astype(jnp.int32)) if R else jnp.int32(0)
+    del res_chunk  # grouped residual applies in ONE ungated call (below)
     Mp = n_t * row_tile
     # Pallas windowed-matmul core (ops/pallas_band.py): DMAs each tile's F
     # window straight into VMEM instead of materializing the [n_t, band, C]
@@ -419,25 +480,20 @@ def iterate_pooling_banded(
         # rides fb's dtype (bf16 between rounds) and upcasts AFTER — f is
         # already bf16-valued so this is bit-identical at half the HBM traffic.
 
-        def resid_chunk(c, acc):
-            def live(acc):
-                rc = jax.lax.dynamic_slice_in_dim(
-                    op.res_col, c * res_chunk, res_chunk)
-                rw_ = jax.lax.dynamic_slice_in_dim(
-                    op.res_w, c * res_chunk, res_chunk)
-                rr_ = jax.lax.dynamic_slice_in_dim(
-                    op.res_row, c * res_chunk, res_chunk)
-                g = fb[rc].astype(jnp.float32) * rw_[:, None]
-                return acc + jax.ops.segment_sum(
-                    g, rr_, num_segments=M, indices_are_sorted=True
-                )
-
-            # chunks past the real edge count are all-padding: skip at runtime
-            return jax.lax.cond(c * res_chunk < n_res, live, lambda a: a, acc)
-
-        resid = jax.lax.fori_loop(
-            0, n_rc, resid_chunk, jnp.zeros((M, C_pad), jnp.float32)
-        ) if n_rc else jnp.zeros((M, C_pad), jnp.float32)
+        if R:
+            # degree-RES_GROUP grouped residual, ONE ungated call: gather
+            # [Rg, G, C] fuses into the in-group einsum (any chunk/cond
+            # wrapper blocks that fusion and materializes the transient —
+            # measured 0.58 vs 0.18 s/19 rounds at preset scale), then a
+            # GROUP-granular sorted segment_sum (scatter count / RES_GROUP
+            # — the per-edge scatter was the residual's dominant cost).
+            g = fb[op.grp_col].astype(jnp.float32)       # [Rg, G, C]
+            seg = jnp.einsum("gk,gkc->gc", op.grp_w, g)
+            resid = jax.ops.segment_sum(
+                seg, op.grp_row, num_segments=M, indices_are_sorted=True
+            )
+        else:
+            resid = jnp.zeros((M, C_pad), jnp.float32)
         return (banded + resid).astype(S.dtype)
 
     out = feats.astype(S.dtype)

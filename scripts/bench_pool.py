@@ -125,8 +125,10 @@ def main():
     print("banded build:", t_sync(banded, w, nbr, trials=args.trials))
 
     op = banded(w, nbr)
+    rc_arg = args.max_residual or 262144
     smooth = jax.jit(lambda o, f: iterate_pooling_banded(
         o, f, num_iterations=pc.num_iterations, band=pc.band,
+        res_chunk=rc_arg,
     ))
     print("19x banded smoothing:",
           t_sync(smooth, op, sfeats, trials=args.trials))
@@ -137,6 +139,8 @@ def main():
     op_nores = op._replace(
         res_row=jnp.full_like(op.res_row, M),
         res_w=jnp.zeros_like(op.res_w),
+        grp_row=jnp.full_like(op.grp_row, M),
+        grp_w=jnp.zeros_like(op.grp_w),
     )
     t_core = t_sync(smooth, op_nores, sfeats, trials=args.trials)
     print(f"  banded core only (residual gated off; n_res={n_res}):", t_core)
