@@ -245,7 +245,11 @@ def run_vlp(args, cfg, mesh, n_dp, key, model, text, logit_scale):
     state = Train2DState(params, tx.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_vlp_step(model, lang, tx, mesh, cfg.parallel.data_axis)
 
-    os.makedirs(args.save_path, exist_ok=True)
+    is_main = jax.process_index() == 0      # rank-0-only writes (≙ the
+    # reference's distributed_trainer folder barriers + rank-0 checkpoints,
+    # distributed_trainer.py:51-52, :95-108)
+    if is_main:
+        os.makedirs(args.save_path, exist_ok=True)
     metrics_path = os.path.join(args.save_path, "metrics.jsonl")
     ckpt_dir = os.path.join(args.save_path, "ckpt")
     t0 = time.time()
@@ -269,8 +273,11 @@ def run_vlp(args, cfg, mesh, n_dp, key, model, text, logit_scale):
                    **{k: float(v) for k, v in losses.items()},
                    "lr": float(sched(step))}
             log.info("%s", rec)
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            if is_main:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+    if not is_main:
+        return 0
     save_checkpoint(
         ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)},
         int(state.step),
@@ -314,6 +321,8 @@ def main(argv=None):
                         format="[%(asctime)s %(filename)s:%(lineno)d] %(message)s")
     if args.distributed:
         jax.distributed.initialize()
+        log.info("distributed: process %d/%d", jax.process_index(),
+                 jax.process_count())
     from geopurify_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -369,7 +378,11 @@ def main(argv=None):
 
     step_fn = make_train2d_step(model, tx, mesh, cfg.parallel.data_axis,
                                 args.num_points)
-    os.makedirs(args.save_path, exist_ok=True)
+    is_main = jax.process_index() == 0      # rank-0-only writes (≙ the
+    # reference's distributed_trainer folder barriers + rank-0 checkpoints,
+    # distributed_trainer.py:51-52, :95-108)
+    if is_main:
+        os.makedirs(args.save_path, exist_ok=True)
     metrics_path = os.path.join(args.save_path, "metrics.jsonl")
     rng_np = np.random.default_rng(cfg.train.manual_seed)
 
@@ -418,12 +431,15 @@ def main(argv=None):
                 / max(time.time() - t0, 1e-9),
             }
             log.info("%s", rec)
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-        if args.save_every and step % args.save_every == 0:
+            if is_main:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+        if args.save_every and step % args.save_every == 0 and is_main:
             save_checkpoint(
                 ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)}, step
             )
+    if not is_main:
+        return 0
     save_checkpoint(
         ckpt_dir, {**state._asdict(), "rng": jax.random.key_data(key)},
         int(state.step),
