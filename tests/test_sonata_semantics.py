@@ -105,3 +105,61 @@ def test_patch_attention_masks_invalid(rng):
     np.testing.assert_allclose(
         np.asarray(out1)[valid], np.asarray(out2)[valid], atol=2e-5
     )
+
+
+def _teacher_setup(rng):
+    from geopurify_tpu.models.sonata import SonataTeacher
+
+    _, coords, valid = _tiny_scene(rng, n=300, extent=20)
+    m = coords.shape[0]
+    P = 2 * m
+    # per-POINT geometric features (rgb||normal), the pipeline contract
+    feats = jnp.asarray(rng.normal(size=(P, 6)).astype(np.float32))
+    p2v = rng.integers(0, m, P).astype(np.int32)
+    pv = np.ones(P, bool)
+    teacher = SonataTeacher(
+        in_channels=6, enc_depths=(1, 1), enc_channels=(8, 16),
+        enc_num_head=(2, 4), enc_patch_size=(32, 32),
+    )
+    vars_ = teacher.init(
+        jax.random.key(0), feats, coords, valid,
+        jnp.asarray(p2v), jnp.asarray(pv),
+    )
+    return teacher, vars_, feats, coords, valid, p2v, pv, m
+
+
+def test_sonata_point_permutation_equivariance(rng):
+    """Shuffling the POINT order (point2voxel rows) must shuffle the
+    per-point teacher features correspondingly — the full-res output is a
+    pure gather through point.inverse (reference affinity_module.py:1052),
+    so any order dependence would be a serialization/pooling mask leak."""
+    teacher, vars_, feats, coords, valid, p2v, pv, m = _teacher_setup(rng)
+    out = np.asarray(teacher.apply(
+        vars_, feats, coords, valid, jnp.asarray(p2v), jnp.asarray(pv)
+    ))
+    perm = rng.permutation(len(p2v))
+    out_p = np.asarray(teacher.apply(
+        vars_, feats[jnp.asarray(perm)], coords, valid,
+        jnp.asarray(p2v[perm]), jnp.asarray(pv[perm]),
+    ))
+    np.testing.assert_allclose(out_p, out[perm], rtol=1e-5, atol=1e-6)
+
+
+def test_sonata_padding_invariance(rng):
+    """Growing the static voxel capacity (extra valid=False rows) must not
+    change any valid per-point feature — catches padding leaks through the
+    serialization permutation, grid pooling, and patch attention. Weights
+    are shared by initializing at the SMALL capacity and reusing the params
+    (flax params are shape-independent of M here)."""
+    rng2 = np.random.default_rng(rng.integers(1 << 30))
+    teacher, vars_, feats, coords, valid, p2v, pv, m = _teacher_setup(rng2)
+    out_small = np.asarray(teacher.apply(
+        vars_, feats, coords, valid, jnp.asarray(p2v), jnp.asarray(pv)
+    ))
+    pad = m + 64
+    coords_p = jnp.concatenate([coords, jnp.zeros((pad - m, 3), jnp.int32)])
+    valid_p = jnp.concatenate([valid, jnp.zeros(pad - m, bool)])
+    out_pad = np.asarray(teacher.apply(
+        vars_, feats, coords_p, valid_p, jnp.asarray(p2v), jnp.asarray(pv)
+    ))
+    np.testing.assert_allclose(out_pad, out_small, rtol=1e-5, atol=1e-6)
