@@ -33,7 +33,8 @@ def _pad_to(x: jax.Array, n: int, axis: int = 0, value=0):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "query_tile", "db_chunk", "exclude_identical_index"),
+    static_argnames=("k", "query_tile", "db_chunk", "exclude_identical_index",
+                     "selector"),
 )
 def knn_search(
     queries: jax.Array,          # [Q, D] f32
@@ -51,6 +52,16 @@ def knn_search(
     With ``exclude_identical_index`` and ``query_ids`` set, a database row whose
     index equals the query's id is skipped — the reference's search(K+1)-and-
     drop-self pattern without the extra column.
+
+    TIE SEMANTICS: distances are exact under every selector, but the default
+    ``selector='approx'`` (approx_min_k at recall 1.0) does NOT break
+    equal-distance ties by lowest index — on tie-heavy integer grids the
+    returned neighbor SET can differ from the lexicographic (d2, id) order at
+    the k-th-distance boundary (probe 2026-08-20: set-equal on only 23% of
+    rows at k=24 on a dense 12^3 grid; 'topk' and ``knn_self_grid`` are both
+    id-exact there). Callers needing faiss-identical tie order on integer
+    coords should use ``knn_self_grid`` (the pooling default) or
+    ``selector='topk'``.
     """
     Q, D = queries.shape
     N = db.shape[0]

@@ -271,3 +271,32 @@ def test_segment_sum_sorted_hint_matches(rng):
                               sorted_hint="auto")
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=1e-6, atol=1e-6)
+
+
+def test_knn_tie_breaking_id_exact(rng):
+    """On tie-heavy integer grids, knn_self_grid and knn_search(selector=
+    'topk') must return the LEXICOGRAPHIC (d2, id) neighbor order — the
+    faiss-stable-argsort tie semantics the composed Stage-2 oracle pins
+    against. (The default 'approx' selector is distance-exact but not
+    id-exact at ties — documented in knn_search.)"""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.knn import knn_search, knn_self_grid
+
+    vox = np.unique(rng.integers(0, 10, (1500, 3)), axis=0).astype(np.int32)
+    M = len(vox)
+    cf = vox.astype(np.float32)
+    k = 16
+    d2 = ((cf[:, None] - cf[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    oracle = np.argsort(d2, axis=1, kind="stable")[:, :k]
+
+    _, idx_g = knn_self_grid(jnp.asarray(vox), jnp.ones(M, bool), k=k)
+    np.testing.assert_array_equal(np.asarray(idx_g), oracle)
+
+    ids = jnp.arange(M, dtype=jnp.int32)
+    _, idx_f = knn_search(
+        jnp.asarray(cf), jnp.asarray(cf), jnp.ones(M, bool), k,
+        query_ids=ids, exclude_identical_index=True, selector="topk",
+    )
+    np.testing.assert_array_equal(np.asarray(idx_f), oracle)
