@@ -238,12 +238,18 @@ def main():
         if (not args.preset_scale and V >= 16
                 and not any(o.startswith("xdecoder.view_batch=")
                             for o in args.overrides)):
-            # view-dominated regime: micro-batch 16 amortizes per-dispatch
-            # tunnel latency best at Pv=16384 (V=64 A/B: B=8 0.222, B=16
-            # 0.333, B=32 0.300 scenes/s). Preset scale stays at 8 — B=16
-            # at Pv=65536 thrashes HBM (0.134 -> 0.081 measured).
+            # view-dominated regime: big view micro-batches amortize
+            # per-dispatch latency AND lift the small-m matmul efficiency of
+            # the backbone's later stages. r3 (dense lift, [V,Pv,C] buffer):
+            # B=16 won (B=32 thrashed HBM). r4, with the INDEXED lift's tiny
+            # per-view tables, B keeps winning past that: V=64 prefetched
+            # A/B B=16 0.493 / B=32 0.504 / B=64 0.512 scenes/s. Cap 64.
+            # Preset scale stays at 8 (Pv=65536 activations).
             cfg = dataclasses.replace(
-                cfg, xdecoder=dataclasses.replace(cfg.xdecoder, view_batch=16)
+                cfg,
+                xdecoder=dataclasses.replace(
+                    cfg.xdecoder, view_batch=min(V, 64)
+                ),
             )
 
     hw = tuple(cfg.xdecoder.mask_shape)
