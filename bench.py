@@ -243,12 +243,17 @@ def main():
             # the backbone's later stages. r3 (dense lift, [V,Pv,C] buffer):
             # B=16 won (B=32 thrashed HBM). r4, with the INDEXED lift's tiny
             # per-view tables, B keeps winning past that: V=64 prefetched
-            # A/B B=16 0.493 / B=32 0.504 / B=64 0.512 scenes/s. Cap 64.
-            # Preset scale stays at 8 (Pv=65536 activations).
+            # A/B B=16 0.493 / B=32 0.504 / B=64 0.512 scenes/s. Cap 64;
+            # the preset (Pv=65536) caps at 16 — r4 A/B: B=8/16/32 all
+            # ~5.45 s steady (views are not the preset bottleneck), B=16
+            # shaves the first scene ~1 s. (The r3 B=16-thrash at preset
+            # was the dense lift's [V,Pv,C] buffer, gone with the indexed
+            # lift.)
+            cap = 16 if args.preset_scale else 64
             cfg = dataclasses.replace(
                 cfg,
                 xdecoder=dataclasses.replace(
-                    cfg.xdecoder, view_batch=min(V, 64)
+                    cfg.xdecoder, view_batch=min(V, cap)
                 ),
             )
 
