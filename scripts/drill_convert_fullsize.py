@@ -100,6 +100,88 @@ def main() -> int:
     print(f"[lang fwd] {time.time()-t0:6.1f}s  emb {tuple(np.shape(emb))}, "
           f"rss={rss_gb():.2f} GB", flush=True)
 
+    # ---- the other two converters at release scale ----
+    # student: MinkowskiEngine AffinityPredictor 518->512->(4 res)->128
+    t0 = time.time()
+    from geopurify_tpu.models.student import AffinityPredictor
+    from geopurify_tpu.utils.checkpoint import convert_student_checkpoint
+
+    srng = np.random.default_rng(1)
+    ssd = {}
+
+    def conv3(p, cin, cout):
+        ssd[f"{p}.kernel"] = srng.standard_normal((27, cin, cout)).astype(np.float32)
+
+    def bn(p, c):
+        for k, v in (("weight", np.ones(c)), ("bias", np.zeros(c)),
+                     ("running_mean", np.zeros(c)), ("running_var", np.ones(c))):
+            ssd[f"{p}.bn.{k}"] = v.astype(np.float32)
+
+    conv3("input_layer.0", 518, 512)
+    bn("input_layer.1", 512)
+    for i in range(4):
+        conv3(f"res_blocks.{i}.conv1", 512, 512)
+        bn(f"res_blocks.{i}.norm1", 512)
+        conv3(f"res_blocks.{i}.conv2", 512, 512)
+        bn(f"res_blocks.{i}.norm2", 512)
+    ssd["output_layer.kernel"] = srng.standard_normal((512, 128)).astype(np.float32)
+    svars = convert_student_checkpoint(ssd)
+    student = AffinityPredictor()
+    si = jax.eval_shape(
+        student.init, key, jnp.zeros((8, 518)),
+        jnp.full((8, 27), 8, jnp.int32), jnp.ones(8, bool),
+    )
+    import chex
+
+    chex.assert_trees_all_equal_shapes(svars["params"], si["params"])
+    sout = student.apply(
+        svars, jnp.asarray(srng.standard_normal((256, 518)).astype(np.float32)),
+        jnp.full((256, 27), 256, jnp.int32), jnp.ones(256, bool), train=False,
+    )
+    assert bool(jnp.isfinite(sout).all())
+    print(f"[student]  {time.time()-t0:6.1f}s  {len(ssd)} keys -> fwd OK, "
+          f"rss={rss_gb():.2f} GB", flush=True)
+
+    # sonata: PTv3 release-ish config through the layout-sniffing converter
+    t0 = time.time()
+    from geopurify_tpu.config import SonataConfig
+    from geopurify_tpu.models.sonata import SonataTeacher
+    from geopurify_tpu.utils.convert_sonata import (
+        convert_sonata_checkpoint,
+        fake_sonata_state_dict,
+    )
+
+    sc = SonataConfig()
+    sosd = fake_sonata_state_dict(
+        tuple(sc.enc_depths), tuple(sc.enc_channels),
+        in_channels=sc.in_channels, stem_kernel=sc.stem_kernel,
+    )
+    sovars = convert_sonata_checkpoint(sosd, sc)
+    teacher = SonataTeacher(
+        in_channels=sc.in_channels, enc_depths=tuple(sc.enc_depths),
+        enc_channels=tuple(sc.enc_channels), enc_num_head=tuple(sc.enc_num_head),
+        enc_patch_size=tuple(sc.enc_patch_size),
+        upcast_levels=sc.upcast_levels, stem_kernel=sc.stem_kernel,
+        pool_reduce=sc.pool_reduce,
+        aux_norm_affine_only=(sc.norm == "bn_folded"),
+    )
+    vox = np.unique(srng.integers(0, 40, (2000, 3)), axis=0).astype(np.int32)
+    vox = vox[np.lexsort((vox[:, 2], vox[:, 1], vox[:, 0]))]
+    m = len(vox)
+    P = 2 * m
+    oargs = (
+        jnp.asarray(srng.standard_normal((P, 6)).astype(np.float32)),
+        jnp.asarray(vox), jnp.ones(m, bool),
+        jnp.asarray(srng.integers(0, m, P).astype(np.int32)), jnp.ones(P, bool),
+    )
+    ti = jax.eval_shape(teacher.init, key, *oargs)
+    chex.assert_trees_all_equal_shapes(sovars["params"], ti["params"])
+    tout = teacher.apply(sovars, *oargs)
+    assert bool(jnp.isfinite(tout).all())
+    n_so = sum(int(np.prod(np.shape(v))) for v in sosd.values())
+    print(f"[sonata]   {time.time()-t0:6.1f}s  {len(sosd)} keys, "
+          f"{n_so/1e6:.1f}M params -> fwd OK, rss={rss_gb():.2f} GB", flush=True)
+
     print(f"[total]    {time.time()-t_start:6.1f}s  rss={rss_gb():.2f} GB")
     return 0
 
