@@ -190,6 +190,9 @@ def _group_residual(res_row, res_col, res_w, M: int):
     surfaced as overflow by the caller."""
     R = res_row.shape[0]
     G = RES_GROUP
+    if R == 0:
+        z = jnp.zeros((0,), jnp.int32)
+        return z, jnp.zeros((0, G), jnp.int32), jnp.zeros((0, G)), jnp.int32(0)
     # tiny capacities keep one-group-per-edge headroom (a fragmented
     # residual can never overflow groups before edges there); large ones
     # take 1.25x the mean-degree-G estimate — the apply is ONE UNGATED
