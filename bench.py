@@ -167,6 +167,10 @@ def main():
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides, e.g. xdecoder.view_batch=4")
     args = parser.parse_args()
+    if args.preset_scale and (args.resident or args.prefetch_h2d):
+        parser.error("--resident/--prefetch-h2d apply to the fixed-spec loop "
+                     "only; the preset path streams scenes (its own H2D "
+                     "overlap is built in)")
 
     if args.smoke:
         import os
@@ -235,27 +239,27 @@ def main():
         P, M, V, Pv = 131072, 65536, 8, 16384
     if args.views:
         V = args.views
-        if (not args.preset_scale and V >= 16
-                and not any(o.startswith("xdecoder.view_batch=")
-                            for o in args.overrides)):
-            # view-dominated regime: big view micro-batches amortize
-            # per-dispatch latency AND lift the small-m matmul efficiency of
-            # the backbone's later stages. r3 (dense lift, [V,Pv,C] buffer):
-            # B=16 won (B=32 thrashed HBM). r4, with the INDEXED lift's tiny
-            # per-view tables, B keeps winning past that: V=64 prefetched
-            # A/B B=16 0.493 / B=32 0.504 / B=64 0.512 scenes/s. Cap 64;
-            # the preset (Pv=65536) caps at 16 — r4 A/B: B=8/16/32 all
-            # ~5.45 s steady (views are not the preset bottleneck), B=16
-            # shaves the first scene ~1 s. (The r3 B=16-thrash at preset
-            # was the dense lift's [V,Pv,C] buffer, gone with the indexed
-            # lift.)
-            cap = 16 if args.preset_scale else 64
-            cfg = dataclasses.replace(
-                cfg,
-                xdecoder=dataclasses.replace(
-                    cfg.xdecoder, view_batch=min(V, cap)
-                ),
-            )
+    if (not args.smoke and V >= 16
+            and not any(o.startswith("xdecoder.view_batch=")
+                        for o in args.overrides)):
+        # view-dominated regime: big view micro-batches amortize
+        # per-dispatch latency AND lift the small-m matmul efficiency of
+        # the backbone's later stages. r3 (dense lift, [V,Pv,C] buffer):
+        # B=16 won (B=32 thrashed HBM). r4, with the INDEXED lift's tiny
+        # per-view tables, B keeps winning past that: V=64 prefetched
+        # A/B B=16 0.493 / B=32 0.504 / B=64 0.512 scenes/s. Cap 64;
+        # the preset (Pv=65536) caps at 16 — r4 A/B: B=8/16/32 all
+        # ~5.45 s steady (views are not the preset bottleneck), B=16
+        # shaves the first scene ~1 s. (The r3 B=16-thrash at preset
+        # was the dense lift's [V,Pv,C] buffer, gone with the indexed
+        # lift.)
+        cap = 16 if args.preset_scale else 64
+        cfg = dataclasses.replace(
+            cfg,
+            xdecoder=dataclasses.replace(
+                cfg.xdecoder, view_batch=min(V, cap)
+            ),
+        )
 
     hw = tuple(cfg.xdecoder.mask_shape)
     n_cls = len(cfg.data.all_label)

@@ -169,9 +169,9 @@ class BandedOperator(NamedTuple):
     # /8 at ~1.17x slot padding (measured 0.56 -> 0.18 s/19 rounds at the
     # preset's 1.66M edges; the old degree-48 table was a dead end because
     # its padding tripled the GATHER volume, 8-groups pad tight). Group
-    # capacity is 1.25x R/RES_GROUP (row fragmentation can need more groups
-    # than edges/RES_GROUP; overflow counts into n_dropped like edge
-    # overflow and the caller falls back to the exact gather path).
+    # capacity is M + ceil(R/RES_GROUP) — provably overflow-free (at most
+    # one partial group per residual row + full groups bounded by edges/G),
+    # so n_dropped keeps meaning exactly 'edges beyond max_residual'.
     grp_row: jax.Array    # [Rg] i32 non-decreasing, padded with M
     grp_col: jax.Array    # [Rg, RES_GROUP] i32
     grp_w: jax.Array      # [Rg, RES_GROUP] f32 (0 on padding)
@@ -193,15 +193,22 @@ def _group_residual(res_row, res_col, res_w, M: int):
     if R == 0:
         z = jnp.zeros((0,), jnp.int32)
         return z, jnp.zeros((0, G), jnp.int32), jnp.zeros((0, G)), jnp.int32(0)
-    # tiny capacities keep one-group-per-edge headroom (a fragmented
-    # residual can never overflow groups before edges there); large ones
-    # take 1.25x the mean-degree-G estimate — the apply is ONE UNGATED
-    # gather+einsum+segment_sum over the full group capacity (chunk/cond
-    # gating around it defeats XLA's gather->einsum fusion and materializes
-    # the [chunk, G, C] transient: measured 0.58 vs 0.18 s/19 rounds at
-    # preset scale — scripts/bench_res_group.py), so dead headroom costs
-    # slot-proportional bandwidth every round. Overflow surfaces as drops.
-    Rg = R if R <= 4096 else (R // G) + (R // (4 * G))
+    # Group capacity M + ceil(R/G) can NEVER overflow: per-row alignment
+    # creates at most (one partial group per residual row) + (full groups
+    # bounded by edges/G), and residual rows number at most M. The apply is
+    # ONE UNGATED gather+einsum+segment_sum over the full group capacity
+    # (chunk/cond gating around it defeats XLA's gather->einsum fusion and
+    # materializes the [chunk, G, C] transient: measured 0.58 vs 0.18 s/19
+    # rounds at preset scale — scripts/bench_res_group.py), so the headroom
+    # costs slot-proportional bandwidth every round — ~+60% slots at preset
+    # (robustness over the fragmented-residual gather-fallback cliff a
+    # mean-degree-based capacity has; r4 review finding).
+    Rg = min(R, M + -(-R // G))
+    # the apply runs [:R//G] ungated (covers every scene with mean same-row
+    # run length >= G-ish) + the headroom tail under a lax.cond taken only
+    # when groups actually overflow R//G — common-case cost stays at
+    # R//G slots while the bound stays provable
+
     e = jnp.arange(R, dtype=jnp.int32)
     live_e = res_row < M
     new_row = jnp.concatenate(
@@ -220,9 +227,17 @@ def _group_residual(res_row, res_col, res_w, M: int):
     n_grp_live = jnp.sum((new_grp & live_e).astype(jnp.int32))
     g_live = jnp.arange(Rg, dtype=jnp.int32) < jnp.minimum(n_grp_live, Rg)
     grp_row = jnp.where(g_live, res_row[first], M)
-    idx = jnp.minimum(first[:, None] + jnp.arange(G, dtype=jnp.int32)[None], R - 1)
-    # a slot is live iff that edge actually belongs to this group
-    ok = g_live[:, None] & (gid[idx] == jnp.arange(Rg, dtype=jnp.int32)[:, None])
+    idx_raw = first[:, None] + jnp.arange(G, dtype=jnp.int32)[None]
+    idx = jnp.minimum(idx_raw, R - 1)
+    # a slot is live iff it is in range AND that edge actually belongs to
+    # this group (the in-range check matters at EXACT capacity: the clamp
+    # would otherwise replicate edge R-1 into the trailing slots of a live
+    # partial final group — caught by the r4 review with a repro)
+    ok = (
+        g_live[:, None]
+        & (idx_raw < R)
+        & (gid[idx] == jnp.arange(Rg, dtype=jnp.int32)[:, None])
+    )
     grp_col = jnp.where(ok, res_col[idx], 0)
     grp_w = jnp.where(ok, res_w[idx], 0.0)
     n_edges_dropped = jnp.sum((live_e & (gid >= Rg)).astype(jnp.int32))
@@ -429,6 +444,7 @@ def iterate_pooling_banded(
     # granularity: 65536 (8 calls at cap 2^19) measured 0.55 s vs 0.30 at one
     # call on an all-live scene — per-call overhead dominates below ~2^18
     del res_chunk  # grouped residual applies in ONE ungated call (below)
+    Rg_cap = op.grp_row.shape[0]
     Mp = n_t * row_tile
     # Pallas windowed-matmul core (ops/pallas_band.py): DMAs each tile's F
     # window straight into VMEM instead of materializing the [n_t, band, C]
@@ -483,18 +499,35 @@ def iterate_pooling_banded(
         # rides fb's dtype (bf16 between rounds) and upcasts AFTER — f is
         # already bf16-valued so this is bit-identical at half the HBM traffic.
 
-        if R:
-            # degree-RES_GROUP grouped residual, ONE ungated call: gather
-            # [Rg, G, C] fuses into the in-group einsum (any chunk/cond
-            # wrapper blocks that fusion and materializes the transient —
-            # measured 0.58 vs 0.18 s/19 rounds at preset scale), then a
-            # GROUP-granular sorted segment_sum (scatter count / RES_GROUP
-            # — the per-edge scatter was the residual's dominant cost).
-            g = fb[op.grp_col].astype(jnp.float32)       # [Rg, G, C]
-            seg = jnp.einsum("gk,gkc->gc", op.grp_w, g)
+        if Rg_cap:
+            # degree-RES_GROUP grouped residual: the FIRST R//G groups run
+            # in ONE ungated call — gather [*, G, C] fuses into the in-group
+            # einsum (any chunk/cond wrapper blocks that fusion and
+            # materializes the transient: measured 0.58 vs 0.18 s/19 rounds
+            # at preset scale) — then a GROUP-granular sorted segment_sum
+            # (scatter count / RES_GROUP; the per-edge scatter was the
+            # residual's dominant cost). The provable-capacity HEADROOM
+            # tail (fragmented residuals; see _group_residual) runs under a
+            # lax.cond taken only when groups actually overflow the head.
+            head = min(Rg_cap, max(R // RES_GROUP, 1))
+            g = fb[op.grp_col[:head]].astype(jnp.float32)
+            seg = jnp.einsum("gk,gkc->gc", op.grp_w[:head], g)
             resid = jax.ops.segment_sum(
-                seg, op.grp_row, num_segments=M, indices_are_sorted=True
+                seg, op.grp_row[:head], num_segments=M,
+                indices_are_sorted=True,
             )
+            if Rg_cap > head:
+                def tail(acc):
+                    gt = fb[op.grp_col[head:]].astype(jnp.float32)
+                    st = jnp.einsum("gk,gkc->gc", op.grp_w[head:], gt)
+                    return acc + jax.ops.segment_sum(
+                        st, op.grp_row[head:], num_segments=M,
+                        indices_are_sorted=True,
+                    )
+
+                resid = jax.lax.cond(
+                    op.grp_row[head] < M, tail, lambda a: a, resid
+                )
         else:
             resid = jnp.zeros((M, C_pad), jnp.float32)
         return (banded + resid).astype(S.dtype)

@@ -106,17 +106,22 @@ def run_torch_oracle(size: str, stages=None, report_path=None) -> int:
     special_tol = {
         "stage2/features": 5e-2, "stage2/logits": 5e-2,
         "stage2/pred_agree": 1e-12, "stage2/knn_sets": 1e-12,
-        "stage2/hist_I": float("inf"), "stage2/hist_U": float("inf"),
-        "stage2/hist_T": float("inf"),
     }
+    # histogram rows are exact-count diffs bounded by the sub-noise-margin
+    # row count (pred_agree's first element) — a real regression moves them
+    # far beyond it (r4 review: an inf tolerance made these rows vacuous)
+    n_tie = rows.get("stage2/pred_agree", (0.0, 0.0))[0]
+    for h in ("stage2/hist_I", "stage2/hist_U", "stage2/hist_T"):
+        special_tol[h] = None      # judged on max|d| vs n_tie below
     lines = [f"{'stage':40s} {'max|d|':>12s} {'rel':>12s}  verdict"]
     worst = 0.0
     for name, (mx, rel) in rows.items():
         t = special_tol.get(name, tol)
         if name not in special_tol:
             worst = max(worst, rel)
+        ok = (mx <= n_tie) if t is None else (rel <= t)
         lines.append(
-            f"{name:40s} {mx:12.3e} {rel:12.3e}  {'OK' if rel <= t else 'FAIL'}"
+            f"{name:40s} {mx:12.3e} {rel:12.3e}  {'OK' if ok else 'FAIL'}"
         )
     lines.append(f"worst rel: {worst:.3e}  (target < {tol:g} f32)")
     text = "\n".join(lines)

@@ -382,7 +382,10 @@ class Visualizer2D:
             )
             if "bbox" in anno:
                 x, y, w, h = anno["bbox"][:4]
-                if anno.get("bbox_mode", "xywh") == "xyxy":
+                # detectron2 BoxMode: XYXY_ABS == 0, XYWH_ABS == 1; also
+                # accept the string forms
+                mode = anno.get("bbox_mode", "xywh")
+                if mode in ("xyxy", 0):
                     box = [x, y, w, h]
                 else:
                     box = [x, y, x + w, y + h]

@@ -136,11 +136,15 @@ def main():
     # — the runtime chunk gate skips every residual chunk, so the difference
     # vs the full op is the 19x residual cost (gather + sorted segment_sum)
     n_res = int(jax.device_get((op.res_row < M).sum()))
+    # EMPTY group arrays (static shape 0) so the ungated grouped apply
+    # compiles away entirely — zeroed weights would still pay the full
+    # slot-proportional gather+einsum (r4 review finding)
     op_nores = op._replace(
         res_row=jnp.full_like(op.res_row, M),
         res_w=jnp.zeros_like(op.res_w),
-        grp_row=jnp.full_like(op.grp_row, M),
-        grp_w=jnp.zeros_like(op.grp_w),
+        grp_row=jnp.zeros((0,), jnp.int32),
+        grp_col=jnp.zeros((0, 8), jnp.int32),
+        grp_w=jnp.zeros((0, 8), jnp.float32),
     )
     t_core = t_sync(smooth, op_nores, sfeats, trials=args.trials)
     print(f"  banded core only (residual gated off; n_res={n_res}):", t_core)

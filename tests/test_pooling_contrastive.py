@@ -293,3 +293,90 @@ def test_contrastive_sampler_small_scene(rng):
     # valid anchors point at valid scene points
     ai = np.asarray(pairs.anchor_idx)[av]
     assert np.asarray(valid)[ai].all()
+
+
+def test_grouped_residual_fragmented_and_exact_capacity(rng):
+    """r4 review regressions: (a) a fragmented residual (many degree-1 rows
+    -> more groups than edges/8) must stay EXACT via the provable-capacity
+    tail, with n_dropped == 0 (no silent gather fallback); (b) a residual at
+    EXACT edge capacity must not double-count the last edge (the clamp bug)."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.pooling import (
+        build_banded_operator,
+        iterate_pooling,
+        iterate_pooling_banded,
+    )
+
+    M, K = 512, 6
+    # neighbors FAR from the diagonal for most rows -> out-of-band, and at
+    # most one or two per row -> heavy group fragmentation
+    nbr = np.tile(np.arange(M, dtype=np.int32)[:, None], (1, K))
+    nbr[:, 0] = (np.arange(M) + M // 2) % M          # 1 far edge per row
+    w = rng.uniform(0.01, 1.0, (M, K)).astype(np.float32)
+    w /= w.sum(1, keepdims=True)
+    feats = rng.normal(size=(M, 16)).astype(np.float32)
+
+    ref = iterate_pooling(
+        jnp.asarray(w), jnp.asarray(nbr), jnp.asarray(feats),
+        num_iterations=3, row_tile=64, compute_dtype=jnp.float32,
+    )
+    # band 64 keeps the diagonal taps in-band; the far edges (1/row = 512
+    # edges, 512 groups > 512//8 head groups) all ride the residual tail
+    op = build_banded_operator(
+        jnp.asarray(w), jnp.asarray(nbr), band=64, row_tile=64,
+        max_residual=1024, assume_unique_neighbors=False,
+        adaptive_starts=False,    # deterministic windows: diagonal in-band
+    )
+    assert int(op.n_dropped) == 0, "provable group capacity must not drop"
+    n_grp = int((np.asarray(op.grp_row) < M).sum())
+    assert n_grp > 1024 // 8, "test must actually exercise the headroom tail"
+    out = iterate_pooling_banded(
+        op, jnp.asarray(feats), num_iterations=3, band=64, row_tile=64,
+    )
+    # bf16 operator tolerance (matches test_banded_spmm_matches_gather)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.1, atol=0.05)
+    # EXACTNESS pin at the structure level: reconstructing the grouped
+    # residual in numpy must equal the true out-of-band edge application
+    grow, gcol, gw = map(np.asarray, (op.grp_row, op.grp_col, op.grp_w))
+    acc = np.zeros((M, feats.shape[1]), np.float32)
+    for g in range(len(grow)):
+        if grow[g] < M:
+            acc[grow[g]] += (gw[g][:, None] * feats[gcol[g]]).sum(0)
+    expected = np.zeros_like(acc)
+    np.add.at(expected, np.arange(M), w[:, :1] * feats[nbr[:, 0]])
+    np.testing.assert_allclose(acc, expected, rtol=1e-5, atol=1e-6)
+
+    # (b) exact capacity with a partial final group: rows 0..9 carry the far
+    # edges; max_residual == n_out exactly
+    nbr2 = np.tile(np.arange(M, dtype=np.int32)[:, None], (1, K))
+    for j in range(3):
+        nbr2[:10, j] = (np.arange(10) + M // 2 + j * 7) % M
+    w2 = rng.uniform(0.01, 1.0, (M, K)).astype(np.float32)
+    w2 /= w2.sum(1, keepdims=True)
+    ref2 = iterate_pooling(
+        jnp.asarray(w2), jnp.asarray(nbr2), jnp.asarray(feats),
+        num_iterations=2, row_tile=64, compute_dtype=jnp.float32,
+    )
+    op2 = build_banded_operator(
+        jnp.asarray(w2), jnp.asarray(nbr2), band=64, row_tile=64,
+        max_residual=30, assume_unique_neighbors=False,   # exactly 10*3 edges
+        adaptive_starts=False,
+    )
+    assert int(op2.n_dropped) == 0
+    out2 = iterate_pooling_banded(
+        op2, jnp.asarray(feats), num_iterations=2, band=64, row_tile=64,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=0.1, atol=0.05)
+    # the clamp-bug pin, exact: each of the 30 edges applied exactly once
+    grow, gcol, gw = map(np.asarray, (op2.grp_row, op2.grp_col, op2.grp_w))
+    acc = np.zeros((M, feats.shape[1]), np.float32)
+    for g in range(len(grow)):
+        if grow[g] < M:
+            acc[grow[g]] += (gw[g][:, None] * feats[gcol[g]]).sum(0)
+    expected = np.zeros_like(acc)
+    for j in range(3):
+        expected[:10] += w2[:10, j:j+1] * feats[nbr2[:10, j]]
+    np.testing.assert_allclose(acc, expected, rtol=1e-5, atol=1e-6)
