@@ -104,7 +104,9 @@ def run_torch_oracle(size: str, stages=None, report_path=None) -> int:
     # test_parity_stage2_end_to_end); pred_agree/knn_sets are exact-count
     # rows whose second element must be 0
     special_tol = {
-        "stage2/features": 5e-2, "stage2/logits": 5e-2,
+        # mutation-calibrated (tests/test_torch_parity.py docstring):
+        # honest fp noise rel ~1e-2, known mutants >= 3.3e-2
+        "stage2/features": 2e-2, "stage2/logits": 2e-2,
         "stage2/pred_agree": 1e-12, "stage2/knn_sets": 1e-12,
     }
     # histogram rows are exact-count diffs bounded by the sub-noise-margin
