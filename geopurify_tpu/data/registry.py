@@ -120,7 +120,10 @@ def build_evaluator(name_or_type: str, **kwargs):
         # dataset-derived defaults (the reference pulls these from
         # MetadataCatalog inside each evaluator's __init__)
         nc = len(meta.class_names) or meta.extra.get("num_classes", 0)
-        if etype in ("sem_seg", "instance"):
+        # only default num_classes from real metadata — injecting 0 for a
+        # metadata-less dataset silently builds a degenerate evaluator;
+        # let the evaluator's required-arg error surface instead
+        if etype in ("sem_seg", "instance") and nc > 0:
             kwargs.setdefault("num_classes", nc)
         if etype == "sem_seg":
             kwargs.setdefault("ignore_label", meta.ignore_label)

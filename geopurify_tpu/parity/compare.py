@@ -735,7 +735,23 @@ def _our_lift_from(ref, coords_key: str = "points"):
     )
 
 
-def parity_stage2(size: str = "small") -> Dict[str, Tuple[float, float]]:
+# the Stage-2 oracle is deterministic (seeded) and ~the most expensive
+# single fixture in the suite — cache it per size so mutation-sensitivity
+# checks re-run only OUR pipeline against the cached reference scene
+_STAGE2_ORACLE_CACHE: Dict[str, Dict] = {}
+
+
+def _stage2_oracle(size: str) -> Dict:
+    if size not in _STAGE2_ORACLE_CACHE:
+        from geopurify_tpu.parity import oracle
+
+        kw = dict(num_points=6000, num_views=4, box=16) if size == "full" else dict()
+        _STAGE2_ORACLE_CACHE[size] = oracle.stage2_oracle(**kw)
+    return _STAGE2_ORACLE_CACHE[size]
+
+
+def parity_stage2(size: str = "small", mutate=None,
+                  features_only: bool = False) -> Dict[str, Tuple[float, float]]:
     """COMPOSED Stage-2 parity (VERDICT r3 item #1): the reference's
     evaluate_scene + validate() prediction block (run on torch-cpu under
     runnable faiss/torch_scatter/MinkowskiEngine shims) vs OUR full pipeline
@@ -746,6 +762,13 @@ def parity_stage2(size: str = "small") -> Dict[str, Tuple[float, float]]:
     Returns diff rows plus exact-match stats under special keys:
     ``stage2/pred_agree`` carries (n_disagree, frac_disagree_among_confident)
     where confident = ref logit margin > 1e-3.
+
+    ``mutate`` (a dict of PoolingConfig overrides, e.g.
+    ``{"num_iterations": 17}``) runs OUR pipeline with a deliberately wrong
+    contract against the CACHED oracle scene — the mutation-sensitivity
+    check that calibrated the feature tolerances
+    (scripts/mutation_check_stage2.py). ``features_only`` skips everything
+    but the feature-path diff (what a mutant check needs).
     """
     import dataclasses
 
@@ -754,12 +777,10 @@ def parity_stage2(size: str = "small") -> Dict[str, Tuple[float, float]]:
     from geopurify_tpu.config import GeoPurifyConfig, PoolingConfig, StudentConfig
     from geopurify_tpu.data.batch import SceneBatch
     from geopurify_tpu.models.pipeline import GeoPurifyPipeline
-    from geopurify_tpu.parity import oracle
     from geopurify_tpu.utils.checkpoint import convert_student_checkpoint
     from geopurify_tpu.utils.metrics import intersection_and_union
 
-    kw = dict(num_points=6000, num_views=4, box=16) if size == "full" else dict()
-    ref = oracle.stage2_oracle(**kw)
+    ref = _stage2_oracle(size)
     N, M = ref["num_points"], ref["num_voxels"]
     n_cls, n_ignore = ref["n_cls"], ref["n_ignore"]
 
@@ -784,10 +805,11 @@ def parity_stage2(size: str = "small") -> Dict[str, Tuple[float, float]]:
                 input_dim=512 + 6, hidden_dim=hidden, embed_dim=embed,
                 num_res_blocks=4,
             ),
-            pooling=PoolingConfig(
-                knn_k=96, sharpen=20.0, num_iterations=19, feature_dim=512,
-                smooth_space=smooth_space,
-            ),
+            pooling=PoolingConfig(**{
+                **dict(knn_k=96, sharpen=20.0, num_iterations=19,
+                       feature_dim=512, smooth_space=smooth_space),
+                **(mutate or {}),
+            }),
         )
         return GeoPurifyPipeline(
             cfg=cfg, teacher_params=None,
@@ -813,8 +835,17 @@ def parity_stage2(size: str = "small") -> Dict[str, Tuple[float, float]]:
 
     rows: Dict[str, Tuple[float, float]] = {}
 
-    # --- pre-amplification intermediates at TIGHT tolerances ---
     pipe_f = make_pipe("feature")
+    if features_only:
+        refined, _, logits_f, _ = pipe_f._pool_classify(
+            student_vars, jnp.asarray(f2d), batch,
+            pipe_f.text_embeddings, pipe_f.logit_scale, want_features=True,
+        )
+        rows["stage2/features"] = _diff(np.asarray(refined), ref["final_features"])
+        rows["stage2/logits"] = _diff(np.asarray(logits_f), ref["logits"])
+        return rows
+
+    # --- pre-amplification intermediates at TIGHT tolerances ---
     voxel_in, emb, _ = pipe_f._voxel_embed(student_vars, jnp.asarray(f2d), batch)
     rows["stage2/voxel_in"] = _diff(np.asarray(voxel_in), ref["voxel_in"])
     emb_n = np.asarray(emb)
@@ -913,3 +944,60 @@ def run_all(size: str = "small", stages=None) -> Dict[str, Tuple[float, float]]:
             continue
         rows.update(fn(size))
     return rows
+
+
+def parity_visual_sampler(size: str = "small") -> Dict[str, Tuple[float, float]]:
+    """Visual-sampler family parity (VERDICT r4 next #4): every case from
+    oracle.visual_sampler_oracle — ShapeSampler train (mixed + each shape
+    forced), ShapeSampler eval (growing prompt stacks), SimpleClickSampler
+    (all five modes) — replayed through data/visual_sampler.py in
+    Draws.torch_compat mode after identical re-seeding. Masks must be
+    BIT-EQUAL (the rng streams coincide call-for-call); rows carry
+    (#mismatching cases-elements, 0/1 flag)."""
+    import random as _random
+
+    import torch
+
+    from geopurify_tpu.data import visual_sampler as vs
+    from geopurify_tpu.parity import oracle
+
+    ref = oracle.visual_sampler_oracle()
+    masks, boxes = ref["masks"], ref["boxes"]
+    kw = ref["sampler_kwargs"]
+    rows: Dict[str, Tuple[float, float]] = {}
+
+    for name, case in ref["cases"].items():
+        _random.seed(case["seed"])
+        np.random.seed(case["seed"])
+        torch.manual_seed(case["seed"])
+        draws = vs.Draws.torch_compat()
+        if case["kind"] == "shape_train":
+            cfg = vs.StrokeSamplerConfig(
+                candidate_probs=case["probs"], **kw)
+            out = vs.ShapeSampler(cfg, is_train=True)(masks, boxes, draws)
+        elif case["kind"] == "shape_eval":
+            cfg = vs.StrokeSamplerConfig(**kw)
+            out = vs.ShapeSampler(cfg, is_train=False,
+                                  mode=case["mode"])(masks, boxes, draws)
+        else:                                   # click
+            cfg = vs.StrokeSamplerConfig(**kw)
+            out = vs.SimpleClickSampler(cfg, is_train=False,
+                                        mode=case["mode"])(
+                masks, boxes, draws=draws)
+        ok = (
+            np.array_equal(out["rand_shape"].astype(bool),
+                           case["rand_shape"].astype(bool))
+            and np.array_equal(out["gt_masks"].astype(bool),
+                               case["gt_masks"].astype(bool))
+            and list(out["types"]) == list(case["types"])
+        )
+        n_bad = 0.0 if ok else float(
+            np.sum(out["rand_shape"].astype(bool)
+                   != case["rand_shape"].astype(bool))
+            if out["rand_shape"].shape == case["rand_shape"].shape else -1.0
+        )
+        rows[f"vsampler/{name}"] = (n_bad, 0.0 if ok else 1.0)
+    return rows
+
+
+ALL_STAGES["visual_sampler"] = parity_visual_sampler

@@ -117,11 +117,13 @@ def run_torch_oracle(size: str, stages=None, report_path=None) -> int:
         special_tol[h] = None      # judged on max|d| vs n_tie below
     lines = [f"{'stage':40s} {'max|d|':>12s} {'rel':>12s}  verdict"]
     worst = 0.0
+    any_fail = False
     for name, (mx, rel) in rows.items():
         t = special_tol.get(name, tol)
         if name not in special_tol:
             worst = max(worst, rel)
         ok = (mx <= n_tie) if t is None else (rel <= t)
+        any_fail = any_fail or not ok
         lines.append(
             f"{name:40s} {mx:12.3e} {rel:12.3e}  {'OK' if ok else 'FAIL'}"
         )
@@ -152,7 +154,10 @@ def run_torch_oracle(size: str, stages=None, report_path=None) -> int:
                 "paths track to 1e-6 before binarization feedback.\n"
             )
         log.info("report written to %s", report_path)
-    return 0 if worst < tol else 1
+    # any_fail covers the special_tol rows (composed Stage-2) which `worst`
+    # deliberately excludes — previously those rows could print FAIL while
+    # the command exited 0 (ADVICE r4), defeating the calibrated gates
+    return 0 if (worst < tol and not any_fail) else 1
 
 
 def main(argv=None):
