@@ -1575,3 +1575,156 @@ def seem_demo_oracle(
         "sd": {f"seem.{k}": v.numpy() for k, v in m.state_dict().items()},
         "dec_layers": dec_layers,
     }
+
+
+def visual_sampler_oracle(h: int = 48, w: int = 64, n_inst: int = 3,
+                          seed: int = 7) -> Dict:
+    """Run the reference visual_sampler family (sampler.py / point.py /
+    circle.py / scribble.py / polygon.py / simpleclick_sampler.py /
+    mask_generators.py) on torch-cpu over synthetic elliptical instance
+    masks, one seeded case per (sampler, mode). Each case records the seed
+    and the sampler kwargs so the jax-side rebuild
+    (data/visual_sampler.py) can re-seed and replay the identical rng
+    stream in Draws.torch_compat mode — outputs then pin BIT-EXACTLY.
+
+    The ellipses get a notch cut from one quadrant so the SimpleClick
+    distance-transform argmax has a unique deepest pixel (symmetric blobs
+    tie at the center, and the torch-vs-scipy conv noise could then flip
+    the row-major tie-break)."""
+    torch = _torch()
+    from geopurify_tpu.parity.shims import add_xdecoder_inner_to_path
+
+    add_xdecoder_inner_to_path()
+    import importlib.util
+    import random
+    import sys
+
+    # load visual_sampler as a STANDALONE package: importing it as
+    # xdecoder.datasets.visual_sampler would execute datasets/__init__.py's
+    # full registration cascade (refcoco/COCO/ADE registries) which needs
+    # detectron2 machinery far beyond the shims' scope
+    pkgdir = ("/root/reference/third_party/X-Decoder/xdecoder/datasets/"
+              "visual_sampler")
+    if "ref_visual_sampler" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "ref_visual_sampler", pkgdir + "/__init__.py",
+            submodule_search_locations=[pkgdir])
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_visual_sampler"] = mod
+        spec.loader.exec_module(mod)
+    vsmod = sys.modules["ref_visual_sampler"]
+    ShapeSampler = vsmod.ShapeSampler
+    SimpleClickSampler = vsmod.SimpleClickSampler
+
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((n_inst, h, w), bool)
+    boxes = np.zeros((n_inst, 4), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_inst):
+        y0 = int(rng.integers(2, h - 22))
+        x0 = int(rng.integers(2, w - 26))
+        hh = int(rng.integers(14, 20))
+        ww = int(rng.integers(16, 24))
+        cy, cx = y0 + hh / 2, x0 + ww / 2
+        ell = (((yy - cy) / (hh / 2)) ** 2 + ((xx - cx) / (ww / 2)) ** 2) <= 1.0
+        # symmetry-breaking notch (see docstring)
+        ell &= ~((yy < cy - hh // 4) & (xx < cx - 1) & (xx > cx - ww // 4))
+        masks[i] = ell
+        ys, xs = np.nonzero(ell)
+        boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+
+    names = ["Point", "Polygon", "Scribble", "Circle"]
+    base = dict(
+        max_candidate=2, point_num_points=20, polygon_max_points=9,
+        circle_num_strokes=5, scribble_num_strokes=5, dilation=3,
+        eval_max_iter=10,
+    )
+
+    def torch_cfg(probs):
+        return {"STROKE_SAMPLER": {
+            "MAX_CANDIDATE": base["max_candidate"],
+            "CANDIDATE_PROBS": list(probs),
+            "CANDIDATE_NAMES": names,
+            "POINT": {"NUM_POINTS": base["point_num_points"]},
+            "POLYGON": {"MAX_POINTS": base["polygon_max_points"]},
+            "CIRCLE": {
+                "NUM_STROKES": base["circle_num_strokes"],
+                "STROKE_PRESET": [
+                    "object_like", "object_like_middle", "object_like_small"],
+                "STROKE_PROB": [0.33, 0.33, 0.33],
+            },
+            "SCRIBBLE": {
+                "NUM_STROKES": base["scribble_num_strokes"],
+                "STROKE_PRESET": ["rand_curve", "rand_curve_small"],
+                "STROKE_PROB": [0.5, 0.5],
+            },
+            "DILATION": base["dilation"],
+            "EVAL": {"MODE": "best", "NEGATIVE": False,
+                     "MAX_ITER": base["eval_max_iter"]},
+        }}
+
+    class _T:
+        def __init__(self, t):
+            self.tensor = t
+
+    class _Inst:
+        def __init__(self, m, b):
+            self.gt_masks = _T(m)
+            self.gt_boxes = _T(b)
+
+    def inst():
+        # fresh clones per case: forward_box writes gt_masks IN-PLACE
+        # (simpleclick_sampler.py:216-218) and .numpy() shares memory
+        return _Inst(torch.from_numpy(masks).clone(),
+                     torch.from_numpy(boxes).clone())
+
+    cases: Dict[str, Dict] = {}
+
+    def record(name, case_seed, out, **meta):
+        cases[name] = dict(
+            seed=case_seed,
+            rand_shape=np.array(out["rand_shape"]),
+            gt_masks=np.array(out["gt_masks"]),
+            types=list(out["types"]), **meta,
+        )
+
+    def reseed(s):
+        random.seed(s)
+        np.random.seed(s)
+        torch.manual_seed(s)
+
+    # --- ShapeSampler, train: mixed + per-shape forced ---
+    s = 1000
+    reseed(s)
+    out = ShapeSampler(torch_cfg([0.25, 0.25, 0.25, 0.25]), is_train=True)(inst())
+    record("shape_train_mixed", s, out, kind="shape_train",
+           probs=(0.25, 0.25, 0.25, 0.25))
+    for j, nm in enumerate(names):
+        probs = [0.0] * 4
+        probs[j] = 1.0
+        s = 1010 + j
+        reseed(s)
+        out = ShapeSampler(torch_cfg(probs), is_train=True)(inst())
+        record(f"shape_train_{nm.lower()}", s, out, kind="shape_train",
+               probs=tuple(probs))
+
+    # --- ShapeSampler, eval (growing prompt sequences) ---
+    for j, nm in enumerate(names):
+        s = 1020 + j
+        reseed(s)
+        out = ShapeSampler(torch_cfg([0.25] * 4), is_train=False, mode=nm)(inst())
+        record(f"shape_eval_{nm.lower()}", s, out, kind="shape_eval", mode=nm)
+
+    # --- SimpleClickSampler, all modes, first-iteration click ---
+    for j, nm in enumerate(["Point", "Circle", "Scribble", "Polygon", "Box"]):
+        s = 1030 + j
+        reseed(s)
+        out = SimpleClickSampler(torch_cfg([0.25] * 4), is_train=False,
+                                 mode=nm)(inst())
+        record(f"click_{nm.lower()}", s, out, kind="click", mode=nm)
+
+    return {
+        "masks": masks, "boxes": boxes,
+        "sampler_kwargs": dict(base), "cases": cases,
+        "h": h, "w": w,
+    }

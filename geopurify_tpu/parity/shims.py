@@ -51,6 +51,14 @@ def install() -> None:
     msda.ms_deform_attn_forward = _no_cuda_ext
     msda.ms_deform_attn_backward = _no_cuda_ext
 
+    # ------- CPU-only torch.cuda -------
+    # the visual_sampler/simpleclick modules allocate on
+    # torch.cuda.current_device() and call .cuda() unconditionally
+    # (simpleclick_sampler.py:37,56-57,122); on the torch-cpu oracle both
+    # become no-ops so the reference runs unmodified
+    torch.cuda.current_device = lambda: "cpu"
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
     # ---------------- timm ----------------
     timm = _mod("timm")
     timm_models = _mod("timm.models")
@@ -336,7 +344,34 @@ def install() -> None:
     kornia.contrib = kornia_contrib
 
     def distance_transform(image, kernel_size=3, h=0.35):
-        raise NotImplementedError("kornia shim is import-only")
+        """RUNNABLE rebuild of kornia.contrib.distance_transform's published
+        conv-approximation (kornia itself is not installable here): each
+        zero pixel gets an approximate distance to the nearest non-zero
+        pixel via iterative exp(-d/h) convolution of the growing boundary.
+        Mirrors data/visual_sampler.distance_transform_conv so the
+        SimpleClick parity pin covers the composed click->dilate semantics
+        (simpleclick_sampler.py:66)."""
+        import math as _math
+
+        b, c, H, W = image.shape
+        x = image.reshape(b * c, 1, H, W).float()
+        half = kernel_size // 2
+        ar = torch.arange(kernel_size, dtype=torch.float32) - half
+        ki, kj = torch.meshgrid(ar, ar, indexing="ij")
+        kernel = torch.exp(-torch.sqrt(ki ** 2 + kj ** 2) / h)[None, None]
+        out = torch.zeros_like(x)
+        boundary = x.clone()
+        for i in range(_math.ceil(max(H, W) / half)):
+            pad = F.pad(boundary, (half, half, half, half), mode="replicate")
+            cdt = F.conv2d(pad, kernel)
+            cdt = -h * torch.log(cdt)
+            cdt = torch.nan_to_num(cdt, posinf=0.0)
+            m = cdt > 0
+            if not bool(m.any()):
+                break
+            out = out + (i * half + cdt) * m
+            boundary = torch.where(m, torch.ones_like(boundary), boundary)
+        return out.reshape(b, c, H, W)
 
     kornia_contrib.distance_transform = distance_transform
 
@@ -670,6 +705,16 @@ def add_reference_to_path() -> None:
     root = reference_root()
     if root not in sys.path:
         sys.path.insert(0, root)
+
+
+def add_xdecoder_inner_to_path() -> None:
+    """The datasets/ tree imports repo-absolute modules (`from modeling.utils
+    import configurable` — visual_sampler/sampler.py:12), which resolve only
+    with the inner X-Decoder/xdecoder directory itself on sys.path."""
+    add_reference_to_path()
+    inner = reference_root() + "/xdecoder"
+    if inner not in sys.path:
+        sys.path.insert(0, inner)
 
 
 def add_geopurify_to_path() -> None:
