@@ -160,6 +160,133 @@ def make_vlp_step(model: XDecoderSegModel, lang, tx, mesh: Mesh, data_axis: str,
     return jax.jit(mapped)
 
 
+def synthetic_interactive_scene(rng: np.random.Generator, hw, n_cls: int,
+                                max_targets: int = 4):
+    """One synthetic panoptic dataset dict (rectangular segments in a
+    label-divisor raster) for the interactive mapper — the COCO-panoptic
+    layout coco_panoptic_interactive_dataset_mapper.py consumes."""
+    from geopurify_tpu.data.mappers import id2rgb
+
+    H, W = hw
+    pan_id = np.zeros((H, W), np.int32)
+    segments = []
+    n_t = int(rng.integers(1, max_targets + 1))
+    for t in range(n_t):
+        y0, x0 = int(rng.integers(0, H // 2)), int(rng.integers(0, W // 2))
+        y1 = y0 + int(rng.integers(H // 4, H // 2))
+        x1 = x0 + int(rng.integers(W // 4, W // 2))
+        sid = t + 1
+        pan_id[y0:y1, x0:x1] = sid
+        segments.append({"id": sid, "category_id": int(rng.integers(n_cls)),
+                         "iscrowd": 0})
+    # only keep segments that survived occlusion by later rectangles
+    segments = [s for s in segments if (pan_id == s["id"]).sum() >= 16]
+    image = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+    return {"image_np": image, "pan_seg_np": id2rgb(pan_id),
+            "segments_info": segments, "height": H, "width": W}
+
+
+def synthetic_interactive_batch(rng: np.random.Generator, mapper, batch: int,
+                                hw, n_cls: int, num_masks: int, budget: int):
+    """Mapper-driven interactive fixtures: synthetic panoptic scenes ->
+    InteractiveMapper (jitter + visual-sampler prompts) -> static-shape
+    arrays for the SEEM head: prompt POINTS (normalized, +1 tags, mask ids)
+    and stride-4 gt masks per prompt slot."""
+    from geopurify_tpu.models.seem import points_from_masks
+
+    H, W = hw
+    h4, w4 = H // 4, W // 4
+    images = np.zeros((batch, H, W, 3), np.float32)
+    pts = np.zeros((batch, budget, 2), np.float32)
+    valid = np.zeros((batch, budget), bool)
+    mask_ids = np.zeros((batch, budget), np.int32)
+    gt4 = np.zeros((batch, num_masks, h4, w4), np.float32)
+    slot_valid = np.zeros((batch, num_masks), bool)
+    per_slot = max(budget // num_masks, 1)
+    for b in range(batch):
+        dd = synthetic_interactive_scene(rng, hw, n_cls)
+        out = mapper(dd, rng)
+        images[b] = out["image"].astype(np.float32)
+        sq = out["spatial_query"]
+        shapes, gts, types = sq["rand_shape"], sq["gt_masks"], sq["types"]
+        cursor = 0
+        for s in range(min(len(shapes), num_masks)):
+            if types[s] == "none" or not shapes[s].any():
+                continue
+            p, v, _ = points_from_masks(
+                shapes[s], np.zeros_like(shapes[s]), per_slot, rng)
+            n = int(v.sum())
+            if n == 0:
+                continue
+            pts[b, cursor: cursor + n] = p[:n]
+            valid[b, cursor: cursor + n] = True
+            mask_ids[b, cursor: cursor + n] = s
+            cursor += n
+            gm = gts[s].astype(np.float32)
+            gt4[b, s] = gm.reshape(h4, 4, w4, 4).max(axis=(1, 3))
+            slot_valid[b, s] = True
+    return (jnp.asarray(images), jnp.asarray(pts), jnp.asarray(valid),
+            jnp.asarray(mask_ids), jnp.asarray(gt4), jnp.asarray(slot_valid))
+
+
+def make_interactive_step(backbone, pixdec, head, tx, mesh: Mesh,
+                          data_axis: str):
+    """Interactive (SEEM) training step: visual-sampler prompt points drive
+    the spatial-query groups; the loss is sigmoid-CE + dice between each
+    prompt slot's predicted mask (the head's update_spatial_results output)
+    and that instance's gt mask (≙ the reference's spatial losses,
+    TRAIN.md COST_SPATIAL.{MASK,DICE}_WEIGHT 2.0/2.0)."""
+
+    def device_step(state: Train2DState, images, pts, valid, mask_ids, gt4,
+                    slot_valid, text, logit_scale, qidx):
+        images, pts, valid = images[0], pts[0], valid[0]
+        mask_ids, gt4, slot_valid = mask_ids[0], gt4[0], slot_valid[0]
+        num_masks = gt4.shape[1]
+
+        def loss_fn(params):
+            feats = backbone.apply({"params": params["backbone"]},
+                                   images / 127.5 - 1.0)
+            mask_features, _, multi_scale = pixdec.apply(
+                {"params": params["pixdec"]}, feats)
+            out = head.apply(
+                {"params": params["head"]}, list(multi_scale), mask_features,
+                text, logit_scale, pts, valid, jnp.ones_like(mask_ids),
+                mask_ids, qidx, num_masks=num_masks,
+            )
+            pred = out["prev_mask"]                    # [B, num_masks, h4, w4]
+            p = pred.reshape(pred.shape[0], num_masks, -1)
+            g = gt4.reshape(gt4.shape[0], num_masks, -1)
+            ce = optax.sigmoid_binary_cross_entropy(p, g).mean(-1)
+            prob = jax.nn.sigmoid(p)
+            num = 2.0 * (prob * g).sum(-1)
+            den = prob.sum(-1) + g.sum(-1)
+            dice = 1.0 - (num + 1.0) / (den + 1.0)
+            w = slot_valid.astype(jnp.float32)
+            denom = jnp.maximum(w.sum(), 1.0)
+            l_ce = (ce * w).sum() / denom
+            l_dice = (dice * w).sum() / denom
+            total = 2.0 * l_ce + 2.0 * l_dice
+            return total, {"loss": total, "loss_spatial_ce": l_ce,
+                           "loss_spatial_dice": l_dice}
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return Train2DState(params, opt_state, state.step + 1), losses
+
+    mapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P(data_axis),
+                  P(data_axis), P(data_axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_train2d_step(model: XDecoderSegModel, tx, mesh: Mesh, data_axis: str,
                       num_points: int):
     def device_step(state: Train2DState, images, gt_cls, gt_masks, gt_valid,
@@ -205,6 +332,290 @@ def make_train2d_step(model: XDecoderSegModel, tx, mesh: Mesh, data_axis: str,
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_joint_seg_step(model: XDecoderSegModel, lang, tx, mesh: Mesh,
+                        data_axis: str, num_points: int):
+    """Joint-mode seg step (≙ XDecoderPipeline task routing): identical to
+    make_train2d_step except the class text embeddings come from the SHARED
+    language tower applied to tokenized class prompts — the seg task trains
+    the lang encoder too, as the reference's grounding path does. Params not
+    touched by this task (the captioning glue) get zero grads."""
+
+    def device_step(state: Train2DState, images, gt_cls, gt_masks, gt_valid,
+                    class_ids, logit_scale, rng):
+        images, gt_cls = images[0], gt_cls[0]
+        gt_masks, gt_valid = gt_masks[0], gt_valid[0]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def loss_fn(params):
+            pooled = lang.apply({"params": params["lang"]}, class_ids)
+            text = jnp.concatenate(
+                [pooled, jnp.zeros((1, pooled.shape[1]), pooled.dtype)], 0)
+            out = model.apply({"params": params["model"]}, images, text,
+                              logit_scale)
+            no_obj = params["no_object"]
+            no_obj = no_obj / jnp.maximum(jnp.linalg.norm(no_obj), 1e-8)
+            emb = out["mask_embed"]
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8
+            )
+            extra = logit_scale * emb @ no_obj
+            logits = jnp.concatenate(
+                [out["pred_logits"], extra[..., None]], axis=-1
+            )
+            losses = set_criterion(
+                logits, out["pred_masks"], gt_cls, gt_masks, gt_valid,
+                rng, num_points=num_points,
+            )
+            return losses["loss"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return Train2DState(params, opt_state, state.step + 1), losses
+
+    mapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P(data_axis),
+                  P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def run_joint(args, cfg, mesh, n_dp, key, model, logit_scale):
+    """Joint task-switched 2D pretraining (VERDICT r4 next #6,
+    ≙ pipeline/XDecoderPipeline.py:1-196 + the infinibatch multi-dataset
+    loader): per-step task routing between seg (mask classification, class
+    text from the shared lang tower) and vlp (captioning + retrieval)
+    batches over ONE parameter tree and ONE optimizer."""
+    from geopurify_tpu.models.lang import HashTokenizer, LanguageEncoder
+
+    tc = cfg.text
+    if not (tc.width == tc.dim_proj == cfg.xdecoder.hidden_dim):
+        raise SystemExit(
+            "joint task requires text.width == text.dim_proj == "
+            "xdecoder.hidden_dim (the reference runs all three at 512)"
+        )
+    H, W = cfg.xdecoder.mask_shape
+    n_cls = max(len(cfg.data.all_label), 2)
+    cap_len = max(args.caption_len, 8)
+    lang = LanguageEncoder(
+        vocab_size=tc.vocab_size, width=tc.width, layers=tc.layers,
+        heads=tc.heads, context_length=cap_len, dim_proj=tc.dim_proj,
+    )
+    # class prompt tokens through the shared tower (template 0; the eval
+    # path averages all ~80 — run/train.py)
+    tk = HashTokenizer(vocab_size=tc.vocab_size, context_length=cap_len)
+    from geopurify_tpu.models.lang import PROMPT_TEMPLATES
+
+    names = list(cfg.data.all_label) or [f"c{i}" for i in range(n_cls)]
+    class_ids, _ = tk([PROMPT_TEMPLATES[0].format(n) for n in names[:n_cls]])
+    class_ids = jnp.asarray(class_ids)
+
+    rng_np = np.random.default_rng(cfg.train.manual_seed)
+    cap0, _ = synthetic_captions(rng_np, args.batch_size, cap_len,
+                                 tc.vocab_size)
+    lvars = lang.init(key, cap0)
+    tok0, _ = lang.apply(lvars, cap0, method=lang.encode_tokens)
+    dummy = jnp.zeros((args.batch_size, H, W, 3))
+    text0 = jax.random.normal(key, (n_cls + 1, cfg.xdecoder.hidden_dim))
+    text0 = text0 / jnp.linalg.norm(text0, axis=-1, keepdims=True)
+    # init WITH caption tokens: the superset of both tasks' params
+    mvars = model.init(key, dummy, text0, logit_scale, caption_tokens=tok0)
+    params = {
+        "model": mvars["params"], "lang": lvars["params"],
+        "no_object": jax.random.normal(key, (cfg.xdecoder.hidden_dim,)) * 0.02,
+    }
+
+    decay = (int(args.steps * 0.88), int(args.steps * 0.96))
+    sched = make_schedule(args.lr, warmup_steps=10, decay_steps=decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip) if args.grad_clip else optax.identity(),
+        optax.adamw(sched, weight_decay=args.weight_decay),
+    )
+    if args.grad_accum > 1:
+        tx = optax.MultiSteps(tx, args.grad_accum)
+    state = Train2DState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    seg_step = make_joint_seg_step(model, lang, tx, mesh,
+                                   cfg.parallel.data_axis, args.num_points)
+    vlp_step = make_vlp_step(model, lang, tx, mesh, cfg.parallel.data_axis)
+
+    w_seg, w_vlp = (float(x) for x in args.task_weights.split(":"))
+    p_seg = w_seg / max(w_seg + w_vlp, 1e-9)
+
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(args.save_path, exist_ok=True)
+    metrics_path = os.path.join(args.save_path, "metrics.jsonl")
+    t0 = time.time()
+    counts = {"seg": 0, "vlp": 0}
+    for it in range(args.steps):
+        # per-step task routing (≙ the infinibatch loader's weighted dataset
+        # interleave); first two steps cover both tasks deterministically so
+        # short smokes exercise both compile paths
+        if it == 0:
+            task = "seg"
+        elif it == 1:
+            task = "vlp"
+        else:
+            task = "seg" if rng_np.uniform() < p_seg else "vlp"
+        counts[task] += 1
+        if task == "seg":
+            batches = [synthetic_batch(rng_np, args.batch_size, (H, W), n_cls)
+                       for _ in range(n_dp)]
+            stack = lambda j: jnp.stack([b[j] for b in batches])  # noqa: E731
+            key, sub = jax.random.split(key)
+            state, losses = seg_step(
+                state, stack(0), stack(1), stack(2), stack(3), class_ids,
+                logit_scale, sub,
+            )
+        else:
+            imgs, caps, masks = [], [], []
+            for _ in range(n_dp):
+                imgs.append(jnp.asarray(rng_np.uniform(
+                    0, 255, (args.batch_size, H, W, 3)).astype(np.float32)))
+                ci, cm = synthetic_captions(rng_np, args.batch_size, cap_len,
+                                            tc.vocab_size)
+                caps.append(ci)
+                masks.append(cm)
+            state, losses = vlp_step(
+                state, jnp.stack(imgs), jnp.stack(caps), jnp.stack(masks),
+                text0, logit_scale,
+            )
+        step = int(state.step)
+        if step % args.print_every == 0 or it == args.steps - 1:
+            rec = {"step": step, "task": task,
+                   **{k: float(v) for k, v in losses.items()},
+                   "lr": float(sched(step))}
+            log.info("%s", rec)
+            if is_main:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+    if not is_main:
+        return 0
+    save_checkpoint(
+        os.path.join(args.save_path, "ckpt"),
+        {**state._asdict(), "rng": jax.random.key_data(key)}, int(state.step),
+    )
+    log.info("joint done: %d steps (%s) in %.1fs", int(state.step), counts,
+             time.time() - t0)
+
+
+def run_interactive(args, cfg, mesh, n_dp, key, text, logit_scale):
+    """Interactive SEEM pretraining (VERDICT r4 next #4): synthetic panoptic
+    scenes -> InteractiveMapper (≙ coco_panoptic_interactive_dataset_mapper:
+    jitter + visual-sampler spatial prompts) -> SEEMHeadV1 spatial-query
+    training with mask+dice losses on the prompted instances."""
+    from geopurify_tpu.data.mappers import InteractiveMapper
+    from geopurify_tpu.data.visual_sampler import StrokeSamplerConfig
+    from geopurify_tpu.models.focalnet import FocalNet
+    from geopurify_tpu.models.pixel_decoder import TransformerEncoderPixelDecoder
+    from geopurify_tpu.models.seem import SEEMHeadV1
+
+    xc = cfg.xdecoder
+    H, W = xc.mask_shape
+    if H != W:
+        raise SystemExit("interactive task needs square mask_shape (the "
+                         "mapper's FixedSizeCrop is square, INPUT.IMAGE_SIZE)")
+    num_masks = args.max_candidate
+    budget = args.prompt_budget
+    dtype = jnp.float32 if xc.dtype == "float32" else jnp.bfloat16
+
+    backbone = FocalNet(
+        embed_dim=xc.backbone.embed_dim, depths=tuple(xc.backbone.depths),
+        focal_levels=tuple(xc.backbone.focal_levels),
+        focal_windows=tuple(xc.backbone.focal_windows), dtype=dtype,
+    )
+    pixdec = TransformerEncoderPixelDecoder(
+        conv_dim=xc.conv_dim, mask_dim=xc.mask_dim,
+        num_enc_layers=xc.enc_layers, num_heads=xc.nheads,
+        dim_feedforward=xc.dim_feedforward, dtype=dtype,
+    )
+    head = SEEMHeadV1(
+        hidden_dim=xc.hidden_dim, dim_proj=xc.hidden_dim,
+        num_queries=xc.num_queries, nheads=xc.nheads,
+        dim_feedforward=xc.dim_feedforward, dec_layers=xc.dec_layers,
+        mask_dim=xc.mask_dim, max_spatial_tokens=budget, dtype=dtype,
+    )
+    mapper = InteractiveMapper(
+        image_size=H, min_scale=args.jitter_min, max_scale=args.jitter_max,
+        sampler_cfg=StrokeSamplerConfig(max_candidate=num_masks),
+        grounding=False,
+    )
+
+    rng_np = np.random.default_rng(cfg.train.manual_seed)
+    b0 = synthetic_interactive_batch(
+        rng_np, mapper, args.batch_size, (H, W),
+        max(len(cfg.data.all_label), 2), num_masks, budget)
+    x0 = b0[0] / 127.5 - 1.0
+    bvars = backbone.init(key, x0)
+    feats0 = backbone.apply(bvars, x0)
+    pvars = pixdec.init(key, feats0)
+    mf0, _, ms0 = pixdec.apply(pvars, feats0)
+    qidx0 = jnp.zeros((head.sample_size * num_masks,), jnp.int32)
+    hvars = head.init(
+        key, list(ms0), mf0, text[:-1], logit_scale, b0[1], b0[2],
+        jnp.ones_like(b0[3]), b0[3], qidx0, num_masks=num_masks,
+    )
+    params = {"backbone": bvars["params"], "pixdec": pvars["params"],
+              "head": hvars["params"]}
+
+    decay = (int(args.steps * 0.88), int(args.steps * 0.96))
+    sched = make_schedule(args.lr, warmup_steps=10, decay_steps=decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip) if args.grad_clip else optax.identity(),
+        optax.adamw(sched, weight_decay=args.weight_decay),
+    )
+    if args.grad_accum > 1:
+        tx = optax.MultiSteps(tx, args.grad_accum)
+    state = Train2DState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_interactive_step(backbone, pixdec, head, tx, mesh,
+                                    cfg.parallel.data_axis)
+
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(args.save_path, exist_ok=True)
+    metrics_path = os.path.join(args.save_path, "metrics.jsonl")
+    t0 = time.time()
+    n_cls = max(len(cfg.data.all_label), 2)
+    for it in range(args.steps):
+        shards = [synthetic_interactive_batch(
+            rng_np, mapper, args.batch_size, (H, W), n_cls, num_masks, budget)
+            for _ in range(n_dp)]
+        stack = lambda j: jnp.stack([s[j] for s in shards])  # noqa: E731
+        # the reference draws the spatial-query sample from torch RNG per
+        # forward (seem_v1.py rand_sample); here the host rng supplies it
+        qidx = jnp.asarray(
+            rng_np.integers(0, xc.num_queries, head.sample_size * num_masks),
+            jnp.int32)
+        state, losses = step_fn(
+            state, stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
+            text[:-1], logit_scale, qidx,
+        )
+        step = int(state.step)
+        if step % args.print_every == 0 or it == args.steps - 1:
+            rec = {"step": step,
+                   **{k: float(v) for k, v in losses.items()},
+                   "lr": float(sched(step))}
+            log.info("%s", rec)
+            if is_main:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+    if not is_main:
+        return 0
+    save_checkpoint(
+        os.path.join(args.save_path, "ckpt"),
+        {**state._asdict(), "rng": jax.random.key_data(key)}, int(state.step),
+    )
+    log.info("interactive done: %d steps in %.1fs", int(state.step),
+             time.time() - t0)
 
 
 def run_vlp(args, cfg, mesh, n_dp, key, model, text, logit_scale):
@@ -289,10 +700,25 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="scannet")
     parser.add_argument("--config", default=None)
-    parser.add_argument("--task", default="seg", choices=["seg", "vlp"],
+    parser.add_argument("--task", default="seg",
+                        choices=["seg", "vlp", "joint", "interactive"],
                         help="seg: mask-classification pretraining; vlp: "
                              "caption slots + captioning CE + image-text "
-                             "contrastive (≙ forward_vlp)")
+                             "contrastive (≙ forward_vlp); joint: per-step "
+                             "task routing seg<->vlp over one param tree "
+                             "(≙ XDecoderPipeline); interactive: SEEM "
+                             "spatial-prompt training via the visual "
+                             "sampler (≙ coco_panoptic_interactive mapper)")
+    parser.add_argument("--task-weights", default="1:1",
+                        help="joint task sampling weights seg:vlp")
+    parser.add_argument("--max-candidate", type=int, default=2,
+                        help="interactive: prompt instances per image "
+                             "(STROKE_SAMPLER.MAX_CANDIDATE)")
+    parser.add_argument("--prompt-budget", type=int, default=64,
+                        help="interactive: spatial prompt points per image "
+                             "(MAX_SPATIAL_LEN)")
+    parser.add_argument("--jitter-min", type=float, default=0.9)
+    parser.add_argument("--jitter-max", type=float, default=1.1)
     parser.add_argument("--caption-len", type=int, default=32)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--data-root", default=None,
@@ -350,6 +776,10 @@ def main(argv=None):
     dummy = jnp.zeros((args.batch_size, H, W, 3))
     if args.task == "vlp":
         return run_vlp(args, cfg, mesh, n_dp, key, model, text, logit_scale)
+    if args.task == "joint":
+        return run_joint(args, cfg, mesh, n_dp, key, model, logit_scale)
+    if args.task == "interactive":
+        return run_interactive(args, cfg, mesh, n_dp, key, text, logit_scale)
     mvars = model.init(key, dummy, text, logit_scale)
     params = {
         "model": mvars["params"],
