@@ -1001,3 +1001,83 @@ def parity_visual_sampler(size: str = "small") -> Dict[str, Tuple[float, float]]
 
 
 ALL_STAGES["visual_sampler"] = parity_visual_sampler
+
+
+def parity_sonata(size: str = "small", mutate_naive=None) -> Dict[str, Tuple[float, float]]:
+    """Independent Sonata cross-check (VERDICT r4 next #7): the flax
+    SonataTeacher vs parity/sonata_oracle.py's de-novo naive-loop numpy
+    forward (scalar Skilling Hilbert, hash-map sparse convs, per-patch
+    attention loops, sorted-unique grid pooling) on IDENTICAL randomized
+    parameters. Pins the attention/pooling/serialization math across
+    implementations; converter layout assumptions stay real-weights-only
+    (utils/convert_sonata.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.sonata import SonataTeacher
+    from geopurify_tpu.parity import sonata_oracle as so
+
+    rng = np.random.default_rng(3)
+    N, box = 400, 14
+    pts = rng.integers(0, box, (N, 3)).astype(np.int32)
+    valid = np.ones(N, bool)
+    valid[-24:] = False
+
+    # host voxelization (shared INPUT to both sides, not part of the check):
+    # unique coords in ascending x-major lexicographic order, budget M0 = N
+    M0 = N
+    uniq = sorted({tuple(int(v) for v in p) for p, ok in zip(pts, valid) if ok})
+    vid = {c: i for i, c in enumerate(uniq)}
+    voxel_coords = np.zeros((M0, 3), np.int32)
+    voxel_valid = np.zeros(M0, bool)
+    for c, i in vid.items():
+        voxel_coords[i] = c
+        voxel_valid[i] = True
+    point2voxel = np.array(
+        [vid[tuple(int(v) for v in p)] if ok else M0
+         for p, ok in zip(pts, valid)], np.int32)
+    feats = rng.normal(0, 1, (N, 6)).astype(np.float32)
+
+    cases = {
+        # stage0 depth 4 cycles all four serialization orders; stem conv;
+        # max pooling; full-concat upcast
+        "maxpool_stem": dict(enc_depths=(4, 1, 1), enc_channels=(8, 12, 16),
+                             enc_num_head=(2, 2, 2), enc_patch_size=(16, 16, 16),
+                             stem_kernel=3, pool_reduce="max", upcast_levels=2,
+                             aux_norm_affine_only=False),
+        # dense embed; mean pooling; PROPAGATE upcast tail; folded-BN affine
+        "meanpool_affine": dict(enc_depths=(2, 1, 1), enc_channels=(8, 12, 16),
+                                enc_num_head=(2, 2, 2), enc_patch_size=(16, 16, 16),
+                                stem_kernel=1, pool_reduce="mean",
+                                upcast_levels=1, aux_norm_affine_only=True),
+    }
+    rows: Dict[str, Tuple[float, float]] = {}
+    for name, kw in cases.items():
+        teacher = SonataTeacher(in_channels=6, dtype=jnp.float32, **kw)
+        variables = teacher.init(
+            jax.random.key(0), jnp.asarray(feats), jnp.asarray(voxel_coords),
+            jnp.asarray(voxel_valid), jnp.asarray(point2voxel),
+            jnp.asarray(valid),
+        )
+        # randomize every leaf: default init leaves norms at identity, which
+        # would hide scale/bias layout divergences
+        prng = np.random.default_rng(11)
+        params_np = jax.tree_util.tree_map(
+            lambda a: prng.normal(0, 0.4, a.shape).astype(np.float32),
+            jax.device_get(variables["params"]),
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, params_np)
+        ours = np.asarray(teacher.apply(
+            {"params": params}, jnp.asarray(feats), jnp.asarray(voxel_coords),
+            jnp.asarray(voxel_valid), jnp.asarray(point2voxel),
+            jnp.asarray(valid),
+        ))
+        ref = so.sonata_forward_naive(
+            params_np, feats, voxel_coords, voxel_valid, point2voxel, valid,
+            **{**kw, **(mutate_naive or {})},
+        )
+        rows[f"sonata/{name}"] = _diff(ours[valid], ref[valid])
+    return rows
+
+
+ALL_STAGES["sonata"] = parity_sonata

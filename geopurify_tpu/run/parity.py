@@ -167,7 +167,7 @@ def main(argv=None):
                         help="stagewise parity vs the mounted reference torch "
                              "code with seeded random weights (no ckpt needed)")
     parser.add_argument("--stages", default=None,
-                        help="comma list: pad,resize,lang,focalnet,pixel_decoder,head,lift")
+                        help="comma list: pad,resize,lang,focalnet,pixel_decoder,head,lift,stage2,visual_sampler,sonata,... (parity/compare.ALL_STAGES)")
     parser.add_argument("--report", default=None, help="write markdown report here")
     parser.add_argument("--image", default=None, help=".npy HxWx3 float 0..255")
     parser.add_argument("--classes", default="wall,floor,chair,table,door")
