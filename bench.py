@@ -130,9 +130,140 @@ def build_scene(seed: int, P: int, M: int, V: int, Pv: int, hw):
     )
 
 
+def run_stage1(args, cfg, P, M, smoke: bool):
+    """Stage-1 TRAINING throughput (VERDICT r4 next #3): steps/s at the
+    65k-voxel scene spec with the sampler / fwd+bwd decomposition, vs the
+    r3-recorded 1.58 s/step. --smoke additionally reports an 8-device DP
+    scaling point on the CPU mesh at a reduced spec."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from geopurify_tpu.models.pipeline import GeoPurifyPipeline
+    from geopurify_tpu.ops.contrastive import sample_contrastive_pairs_hybrid
+    from geopurify_tpu.parallel.mesh import make_mesh
+    from geopurify_tpu.run.optim import make_optimizer
+    from geopurify_tpu.run.train import TrainState, make_train_step, stack_scenes
+
+    key = jax.random.key(0)
+    n_cls = len(cfg.data.all_label)
+    text = jax.random.normal(key, (n_cls + 1, cfg.xdecoder.hidden_dim))
+    pipe = GeoPurifyPipeline(cfg=cfg, teacher_params=None,
+                             text_embeddings=text,
+                             logit_scale=jnp.float32(20.0))
+    n_dp = 8 if smoke else 1
+    mesh = make_mesh(dp=n_dp)
+    scene = build_scene(0, P, M, 1, 64, (8, 8))   # images unused in stage-1
+    D = 64 if smoke else 512
+    f2d = jax.random.normal(key, (P, cfg.pooling.feature_dim))
+    f_teacher = jax.random.normal(jax.random.key(2), (P, D))
+
+    s = cfg.student
+    dummy_feats = jnp.zeros((8, s.input_dim))
+    dummy_nbr = jnp.full((8, 27), 8, jnp.int32)
+    student_vars = pipe.student.init(
+        key, dummy_feats, dummy_nbr, jnp.ones(8, bool), train=False)
+    tx, _ = make_optimizer(cfg.train, student_vars["params"], 100)
+    state = TrainState(
+        params=student_vars["params"],
+        batch_stats=student_vars["batch_stats"],
+        opt_state=tx.init(student_vars["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step_fn = make_train_step(pipe, tx, mesh, cfg.parallel.data_axis)
+    scenes = stack_scenes([scene] * n_dp)
+    f2d_b = jnp.stack([f2d] * n_dp)
+    ft_b = jnp.stack([f_teacher] * n_dp)
+
+    def sync(x):
+        float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+    # warmup (compile)
+    t0 = time.time()
+    state, loss = step_fn(state, scenes, f2d_b, ft_b, jax.random.key(3))
+    sync(loss)
+    log(f"stage1 warmup (compile + step): {time.time() - t0:.1f}s")
+    n_steps = args.scenes
+    t0 = time.time()
+    for i in range(n_steps):
+        state, loss = step_fn(state, scenes, f2d_b, ft_b, jax.random.key(4 + i))
+        sync(loss)
+    dt = (time.time() - t0) / n_steps
+    sps = 1.0 / dt
+    log(f"stage1: {n_steps} steps x {n_dp} scenes in {dt * n_steps:.2f}s "
+        f"-> {dt:.3f} s/step ({sps:.3f} steps/s, {sps * n_dp:.3f} scenes/s)")
+
+    if args.profile_stages:
+        cc = cfg.contrastive
+
+        sampler = jax.jit(lambda r: sample_contrastive_pairs_hybrid(
+            r, f_teacher, scene.point_valid, coords=scene.points,
+            num_anchors=cc.num_anchors, num_macro=cc.num_macro_negatives,
+            num_micro=cc.num_micro_negatives, spatial_k=cc.spatial_knn_k))
+        pairs = sampler(jax.random.key(5))
+        sync(pairs.negative_idx)
+        ts = []
+        for i in range(5):
+            t0 = time.time()
+            sync(sampler(jax.random.key(6 + i)).negative_idx)
+            ts.append(time.time() - t0)
+        t_sampler = min(ts)
+
+        from geopurify_tpu.ops.knn import knn_search
+
+        aknn = jax.jit(lambda ai: knn_search(
+            scene.points[ai], scene.points, scene.point_valid,
+            k=cc.spatial_knn_k, query_ids=ai,
+            exclude_identical_index=True))
+        sync(aknn(pairs.anchor_idx)[1])
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            sync(aknn(pairs.anchor_idx)[1])
+            ts.append(time.time() - t0)
+        t_knn = min(ts)
+
+        def fwd_bwd(params, bstats, r, pr):
+            def loss_fn(p):
+                variables = {"params": p, "batch_stats": bstats}
+                loss, upd = pipe.stage1_loss(
+                    variables, r, scene, f2d, f_teacher, train=True, pairs=pr)
+                return loss, upd
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        fb = jax.jit(fwd_bwd)
+        sync(fb(state.params, state.batch_stats, jax.random.key(7), pairs)[0][0])
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            sync(fb(state.params, state.batch_stats,
+                    jax.random.key(7), pairs)[0][0])
+            ts.append(time.time() - t0)
+        t_fb = min(ts)
+        log(f"stage1 split: sampler {t_sampler:.3f}s (spatial kNN "
+            f"{t_knn:.3f}s, feature part {t_sampler - t_knn:.3f}s), "
+            f"student fwd+bwd {t_fb:.3f}s, "
+            f"optimizer/glue {dt - t_sampler - t_fb:.3f}s")
+
+    # vs the r3-recorded 1.58 s/step at this spec (ROADMAP; the reference
+    # publishes no Stage-1 training throughput — single unspecified GPU)
+    print(json.dumps({
+        "metric": "stage1_steps_per_sec", "value": round(sps, 4),
+        "unit": "steps/sec", "vs_baseline": round(sps * 1.58, 3),
+    }))
+    return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
+    parser.add_argument("--stage1", action="store_true",
+                        help="benchmark the Stage-1 TRAINING step instead of "
+                             "Stage-2 inference (65k-voxel spec; with "
+                             "--profile-stages prints the sampler/fwd+bwd "
+                             "split; with --smoke runs the 8-device CPU-mesh "
+                             "DP scaling point at a reduced spec)")
     parser.add_argument("--scenes", type=int, default=8)  # amortizes tunnel timing variance
     parser.add_argument("--profile-stages", action="store_true",
                         help="time lift / pool / classify separately on one "
@@ -176,6 +307,12 @@ def main():
         import os
 
         os.environ["JAX_PLATFORMS"] = "cpu"
+        if args.stage1:
+            # the stage-1 smoke IS the 8-device DP scaling point
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            )
 
     import jax
     import jax.numpy as jnp
@@ -260,6 +397,21 @@ def main():
                 cfg.xdecoder, view_batch=min(V, cap)
             ),
         )
+
+    if args.stage1:
+        if args.smoke:
+            # CPU-mesh DP WIRING point: tiny spec — the CPU conv student at
+            # M=8192 measured 258 s/step x 8 devices (the real scaling
+            # number is TPU-only; this validates the sharded step runs)
+            P, M = 4096, 2048
+            cfg = dataclasses.replace(
+                cfg,
+                contrastive=dataclasses.replace(
+                    cfg.contrastive, num_anchors=256, spatial_knn_k=16,
+                ),
+            )
+        log(f"bench --stage1: devices={jax.devices()} P={P} M={M}")
+        return run_stage1(args, cfg, P, M, smoke=args.smoke)
 
     hw = tuple(cfg.xdecoder.mask_shape)
     n_cls = len(cfg.data.all_label)

@@ -13,6 +13,8 @@ Inference-only: DropPath/Dropout are identity (the teacher is frozen).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -22,6 +24,17 @@ import jax.numpy as jnp
 from geopurify_tpu.models.layers import Mlp
 
 Dtype = Any
+
+
+def _gelu(x, fast: bool = False):
+    """Exact erf GELU, or the bf16-equivalent A&S-polynomial variant
+    (layers.gelu_poly; erf err < 1.5e-7, below bf16 resolution) when
+    ``fast`` — the throughput option for the bf16 views path."""
+    if fast:
+        from geopurify_tpu.models.layers import gelu_poly
+
+        return gelu_poly(x)
+    return jax.nn.gelu(x, approximate=False)
 
 
 def _gelu_exact(x):
@@ -81,6 +94,7 @@ class FocalModulation(nn.Module):
     focal_factor: int = 2
     scaling_modulator: bool = True
     use_postln_in_modulation: bool = False
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -96,9 +110,9 @@ class FocalModulation(nn.Module):
                 C, (k, k), padding="SAME", feature_group_count=C, use_bias=False,
                 dtype=self.dtype, name=f"focal_layers{level}",
             )(ctx)
-            ctx = _gelu_exact(ctx)
+            ctx = _gelu(ctx, self.fast_gelu)
             ctx_all = ctx_all + ctx * gates[..., level : level + 1]
-        ctx_global = _gelu_exact(jnp.mean(ctx, axis=(1, 2), keepdims=True))
+        ctx_global = _gelu(jnp.mean(ctx, axis=(1, 2), keepdims=True), self.fast_gelu)
         ctx_all = ctx_all + ctx_global * gates[..., self.focal_level :]
         if self.scaling_modulator:
             ctx_all = ctx_all / (self.focal_level + 1)
@@ -130,6 +144,7 @@ class FocalModulationBlock(nn.Module):
     use_layerscale: bool = True
     use_dw: bool = False
     layerscale_value: float = 1e-4
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -155,6 +170,7 @@ class FocalModulationBlock(nn.Module):
             self.dim, self.focal_level, self.focal_window,
             scaling_modulator=self.scaling_modulator,
             use_postln_in_modulation=self.use_postln_in_modulation,
+            fast_gelu=self.fast_gelu,
             dtype=self.dtype, name="modulation",
         )(x)
         if self.use_dw:
@@ -170,7 +186,12 @@ class FocalModulationBlock(nn.Module):
                 x = norm1(x).astype(self.dtype)
             x = shortcut + gamma_1 * x
 
-        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")
+        act = ((lambda v: _gelu(v, True)) if self.fast_gelu
+               else functools.partial(jax.nn.gelu, approximate=False))
+        mlp = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim,
+            act=act, dtype=self.dtype, name="mlp",
+        )
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         if self.use_postln:
             if self.use_dw:
@@ -198,6 +219,7 @@ class _FocalScanBody(nn.Module):
     scaling_modulator: bool
     use_layerscale: bool
     use_dw: bool
+    fast_gelu: bool
     dtype: Dtype
 
     @nn.compact
@@ -212,6 +234,7 @@ class _FocalScanBody(nn.Module):
             scaling_modulator=self.scaling_modulator,
             use_layerscale=self.use_layerscale,
             use_dw=self.use_dw,
+            fast_gelu=self.fast_gelu,
             dtype=self.dtype,
             name="block",
         )(x)
@@ -244,6 +267,7 @@ class FocalNet(nn.Module):
     # CLOSES stage i, focal_dw.py:266-270)
     use_dw: bool = False
     use_pre_norms: Sequence[bool] = (False, False, False, False)
+    fast_gelu: bool = False
     patch_size: int = 4
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dtype: Dtype = jnp.float32
@@ -275,6 +299,7 @@ class FocalNet(nn.Module):
                 scaling_modulator=self.scaling_modulator,
                 use_layerscale=self.use_layerscale,
                 use_dw=self.use_dw,
+                fast_gelu=self.fast_gelu,
                 dtype=self.dtype,
                 name=f"layers{i}_blocks",
             )(x, None)

@@ -42,6 +42,25 @@ def position_embedding_sine(
     return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)
 
 
+def gelu_poly(x):
+    """GELU with erf via the Abramowitz & Stegun 7.1.26 rational polynomial
+    (|erf err| <= 1.5e-7). Measured bf16 equivalence
+    (tests/test_fast_gelu.py): in the numerically relevant range
+    (|gelu| > 1e-3) the bf16 outputs match the exact-erf gelu except
+    rounding-boundary single ulps on <0.05% of points; the deep negative
+    tail differs only below 1e-6 absolute (the 1-(1-e) cancellation).
+    Throughput option for bf16 compute paths; the f32 parity path keeps
+    the exact erf."""
+    x32 = x.astype(jnp.float32)
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    z = jnp.abs(x32) * np.float32(1.0 / np.sqrt(2.0))
+    t = 1.0 / (1.0 + p * z)
+    e = (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-z * z)
+    erf = jnp.sign(x32) * (1.0 - e)
+    return (0.5 * x32 * (1.0 + erf)).astype(x.dtype)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int

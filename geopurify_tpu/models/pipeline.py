@@ -504,20 +504,22 @@ class GeoPurifyPipeline:
         f2d: jax.Array,        # [P, 512] lifted 2D features (stop-gradient input)
         f_teacher: jax.Array,  # [P, D] Sonata features (precomputed or live)
         train: bool = True,
+        pairs=None,            # precomputed ContrastivePairs (bench decomposition)
     ) -> Tuple[jax.Array, Any]:
         """InfoNCE distillation loss; returns (loss, new_batch_stats)."""
         cc = self.cfg.contrastive
         P = batch.points.shape[0]
         M = batch.voxel_coords.shape[0]
 
-        pairs = sample_contrastive_pairs_hybrid(
-            rng, f_teacher, batch.point_valid,
-            coords=batch.points,
-            num_anchors=cc.num_anchors,
-            num_macro=cc.num_macro_negatives,
-            num_micro=cc.num_micro_negatives,
-            spatial_k=cc.spatial_knn_k,
-        )
+        if pairs is None:
+            pairs = sample_contrastive_pairs_hybrid(
+                rng, f_teacher, batch.point_valid,
+                coords=batch.points,
+                num_anchors=cc.num_anchors,
+                num_macro=cc.num_macro_negatives,
+                num_micro=cc.num_micro_negatives,
+                spatial_k=cc.spatial_knn_k,
+            )
 
         p2v = jnp.where(batch.point_valid, batch.point2voxel, M)
         voxel_sem = segment_mean(f2d, p2v, num_segments=M)

@@ -272,6 +272,7 @@ def _make_backbone(cfg: XDecoderConfig, name: Optional[str] = None) -> nn.Module
         use_layerscale=cfg.backbone.use_layerscale,
         use_dw=(cfg.backbone.variant == "focal_dw"),
         use_pre_norms=tuple(cfg.backbone.use_pre_norms),
+        fast_gelu=cfg.backbone.fast_gelu,
         patch_size=cfg.backbone.patch_size,
         dtype=dtype,
         name=name,
