@@ -208,10 +208,10 @@ class FocalNetConfig:
     use_postln: bool = True
     use_postln_in_modulation: bool = False
     use_layerscale: bool = True
-    # bf16-equivalent polynomial GELU (models/layers.gelu_poly; erf err
-    # < 1.5e-7, below bf16 resolution) — throughput option for the bf16
-    # views path; the f32 parity path keeps the exact erf
-    fast_gelu: bool = False
+    # bf16-ulp-equivalent polynomial GELU (models/layers.gelu_poly,
+    # tests/test_fast_gelu.py) — applied on the bf16 compute path only
+    # (+15% views at V=64); f32 (parity) always uses the exact erf
+    fast_gelu: bool = True
     out_indices: Tuple[int, ...] = _tuple_field(0, 1, 2, 3)
     # "focal" (xdecoder_focall) or "focal_dw" (the SEEM-release FocalNet:
     # vision/backbone/focal_dw.py — dw residual convs, stem pad 3, optional
