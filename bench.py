@@ -197,48 +197,58 @@ def run_stage1(args, cfg, P, M, smoke: bool):
     if args.profile_stages:
         cc = cfg.contrastive
 
-        sampler = jax.jit(lambda r: sample_contrastive_pairs_hybrid(
-            r, f_teacher, scene.point_valid, coords=scene.points,
+        # every array rides as a jit ARGUMENT — closure capture bakes them
+        # into the executable as constants and blows the compile RPC
+        # (HTTP 413 through the tunnel; CLAUDE.md)
+        sampler = jax.jit(lambda r, ft, pv, pts: sample_contrastive_pairs_hybrid(
+            r, ft, pv, coords=pts,
             num_anchors=cc.num_anchors, num_macro=cc.num_macro_negatives,
-            num_micro=cc.num_micro_negatives, spatial_k=cc.spatial_knn_k))
-        pairs = sampler(jax.random.key(5))
+            num_micro=cc.num_micro_negatives, spatial_k=cc.spatial_knn_k,
+            spatial_method=cc.spatial_method,
+            spatial_radius=cc.spatial_radius))
+        s_args = (f_teacher, scene.point_valid, scene.points)
+        pairs = sampler(jax.random.key(5), *s_args)
         sync(pairs.negative_idx)
         ts = []
         for i in range(5):
             t0 = time.time()
-            sync(sampler(jax.random.key(6 + i)).negative_idx)
+            sync(sampler(jax.random.key(6 + i), *s_args).negative_idx)
             ts.append(time.time() - t0)
         t_sampler = min(ts)
 
-        from geopurify_tpu.ops.knn import knn_search
+        from geopurify_tpu.ops.knn import knn_anchors_grid, knn_search
 
-        aknn = jax.jit(lambda ai: knn_search(
-            scene.points[ai], scene.points, scene.point_valid,
-            k=cc.spatial_knn_k, query_ids=ai,
-            exclude_identical_index=True))
-        sync(aknn(pairs.anchor_idx)[1])
+        if cc.spatial_method == "grid":
+            aknn = jax.jit(lambda ai, pts, pv: knn_anchors_grid(
+                pts, pv, ai, k=cc.spatial_knn_k, radius=cc.spatial_radius))
+        else:
+            aknn = jax.jit(lambda ai, pts, pv: knn_search(
+                pts[ai], pts, pv, k=cc.spatial_knn_k, query_ids=ai,
+                exclude_identical_index=True))
+        k_args = (scene.points, scene.point_valid)
+        sync(aknn(pairs.anchor_idx, *k_args)[1])
         ts = []
         for _ in range(5):
             t0 = time.time()
-            sync(aknn(pairs.anchor_idx)[1])
+            sync(aknn(pairs.anchor_idx, *k_args)[1])
             ts.append(time.time() - t0)
         t_knn = min(ts)
 
-        def fwd_bwd(params, bstats, r, pr):
+        def fwd_bwd(params, bstats, r, pr, sc, f2, ft):
             def loss_fn(p):
                 variables = {"params": p, "batch_stats": bstats}
                 loss, upd = pipe.stage1_loss(
-                    variables, r, scene, f2d, f_teacher, train=True, pairs=pr)
+                    variables, r, sc, f2, ft, train=True, pairs=pr)
                 return loss, upd
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         fb = jax.jit(fwd_bwd)
-        sync(fb(state.params, state.batch_stats, jax.random.key(7), pairs)[0][0])
+        fb_args = (jax.random.key(7), pairs, scene, f2d, f_teacher)
+        sync(fb(state.params, state.batch_stats, *fb_args)[0][0])
         ts = []
         for _ in range(5):
             t0 = time.time()
-            sync(fb(state.params, state.batch_stats,
-                    jax.random.key(7), pairs)[0][0])
+            sync(fb(state.params, state.batch_stats, *fb_args)[0][0])
             ts.append(time.time() - t0)
         t_fb = min(ts)
         log(f"stage1 split: sampler {t_sampler:.3f}s (spatial kNN "

@@ -170,6 +170,14 @@ class ContrastiveConfig:
     num_macro_negatives: int = 48         # global least-similar
     num_micro_negatives: int = 15         # hardest among spatial kNN
     spatial_knn_k: int = 96
+    # anchors' spatial kNN: 'grid' = Hilbert-tiled bbox pruning with the
+    # certificate + full-row fallback (ops/knn.knn_anchors_grid — exact up
+    # to float ties; measured vs the brute in tests); 'brute' = chunked
+    # full-db knn_search
+    spatial_method: str = "grid"
+    # grid certificate radius in coord units (meters for ScanNet scenes);
+    # ANY value is exact — too small only routes queries into the fallback
+    spatial_radius: float = 0.3
     temperature: float = 0.07
     # Pallas-fused InfoNCE (ops/pallas_infonce.py): numerically exact
     # (grad err ~1e-10 vs XLA) but measured SLOWER on v5e at 4096x63x128

@@ -519,6 +519,8 @@ class GeoPurifyPipeline:
                 num_macro=cc.num_macro_negatives,
                 num_micro=cc.num_micro_negatives,
                 spatial_k=cc.spatial_knn_k,
+                spatial_method=cc.spatial_method,
+                spatial_radius=cc.spatial_radius,
             )
 
         p2v = jnp.where(batch.point_valid, batch.point2voxel, M)

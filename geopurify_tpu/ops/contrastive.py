@@ -37,7 +37,7 @@ def _normalize(x, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
-@partial(jax.jit, static_argnames=("num_anchors", "num_macro", "num_micro", "spatial_k", "db_chunk", "anchor_tile"))
+@partial(jax.jit, static_argnames=("num_anchors", "num_macro", "num_micro", "spatial_k", "db_chunk", "anchor_tile", "spatial_method", "spatial_radius"))
 def sample_contrastive_pairs_hybrid(
     rng: jax.Array,
     teacher_feats: jax.Array,     # [N, D]
@@ -50,6 +50,8 @@ def sample_contrastive_pairs_hybrid(
     spatial_k: int = 96,
     db_chunk: int = 8192,
     anchor_tile: int = 512,
+    spatial_method: str = "grid",
+    spatial_radius: float = 0.3,
 ) -> ContrastivePairs:
     """Either pass a precomputed full-N ``neighbor_idx`` (the reference's faiss
     pattern, affinity_module.py:1159-1165) or raw ``coords`` — in which case the
@@ -75,13 +77,24 @@ def sample_contrastive_pairs_hybrid(
     if neighbor_idx is None:
         if coords is None:
             raise ValueError("pass either neighbor_idx or coords")
-        from geopurify_tpu.ops.knn import knn_search
+        if spatial_method == "grid":
+            # Hilbert-tiled pruning (certificate-exact; ~4x the chunked
+            # brute at the 131k-point bench spec — ops/knn.knn_anchors_grid)
+            from geopurify_tpu.ops.knn import knn_anchors_grid
 
-        _, anchor_nbr_full = knn_search(
-            coords.astype(jnp.float32)[anchor_idx], coords.astype(jnp.float32),
-            valid, k=spatial_k, query_ids=anchor_idx,
-            exclude_identical_index=True, db_chunk=db_chunk,
-        )  # [A, K]
+            _, anchor_nbr_full = knn_anchors_grid(
+                coords.astype(jnp.float32), valid, anchor_idx,
+                k=spatial_k, radius=spatial_radius,
+            )
+        else:
+            from geopurify_tpu.ops.knn import knn_search
+
+            _, anchor_nbr_full = knn_search(
+                coords.astype(jnp.float32)[anchor_idx],
+                coords.astype(jnp.float32),
+                valid, k=spatial_k, query_ids=anchor_idx,
+                exclude_identical_index=True, db_chunk=db_chunk,
+            )  # [A, K]
     else:
         anchor_nbr_full = neighbor_idx[anchor_idx]
 

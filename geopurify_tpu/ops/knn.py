@@ -553,6 +553,193 @@ def knn_self_grid(
     return dists, jnp.maximum(idx, 0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "num_candidates", "query_tile", "tiles_per_call",
+                     "selector"),
+)
+def knn_anchors_grid(
+    points: jax.Array,        # [N, 3] float coords (meters; need not be integral)
+    valid: jax.Array,         # [N] bool
+    anchor_idx: jax.Array,    # [A] int32 query subset (self-excluded by id)
+    k: int,
+    radius: float = 0.3,      # certificate radius in coord units
+    num_candidates: int = 4096,
+    query_tile: int = 128,
+    tiles_per_call: int = 16,
+    selector: str = "approx",
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact anchors-only kNN over FLOAT coords — the Stage-1 sampler's
+    spatial kNN (4096 anchors over the full point cloud), restructured from
+    the O(A*N) chunked brute into knn_self_grid's Hilbert-tiled bbox
+    pruning (VERDICT r4 next #3; the brute was 0.79 s of the 2.5 s step).
+
+    Same exactness contract as knn_self_grid: a query whose k-th candidate
+    distance satisfies d_k <= radius provably saw every true neighbor
+    (candidates = the tile bbox dilated by radius); queries failing the
+    certificate — or in tiles whose candidates overflowed the budget — are
+    recomputed against the FULL row in lax.cond-gated tiles. Equals
+    ``knn_search(points[anchor_idx], points, valid, k,
+    query_ids=anchor_idx, exclude_identical_index=True)`` up to
+    equal-distance ties (measure-zero on jittered float coords).
+
+    Float coords rule out the tile-relative packed keys (d2 is fractional),
+    so selection returns candidate POSITIONS and one [G, T, k] id-gather
+    follows — at A=4096 that is ~0.4M indices, negligible."""
+    N = points.shape[0]
+    A = anchor_idx.shape[0]
+    T = query_tile
+    G = tiles_per_call
+    C = min(num_candidates, max(N, 1))
+    Cs = min(4 * C, max(N, 1))
+    n_t = -(-A // (T * G)) * G
+    Ap = n_t * T
+    from geopurify_tpu.ops.morton import hilbert_code
+
+    cf = points.astype(jnp.float32)
+    c_sq = jnp.sum(cf * cf, axis=-1)
+    r = jnp.float32(radius)
+    r2 = r * r
+    q_all0 = cf[anchor_idx]
+    a_valid = valid[anchor_idx]
+
+    # Hilbert-order the anchors over a radius-quantized grid (ordering
+    # only — distances stay exact float)
+    lo_all = jnp.min(jnp.where(valid[:, None], cf, jnp.inf), axis=0)
+    qc = jnp.clip(((q_all0 - lo_all[None]) / jnp.maximum(r, 1e-6)),
+                  0, 1023).astype(jnp.int32)
+    code = jnp.where(a_valid, hilbert_code(qc), jnp.int32(2**30))
+    perm = jnp.argsort(code)
+    perm_p = _pad_to(perm, Ap, value=max(A - 1, 0)).astype(jnp.int32)
+    qid_p = anchor_idx[perm_p]                  # [Ap] global point ids
+    qv_p = _pad_to(a_valid[perm], Ap, value=False)
+
+    def _compact(keep, src_idx, budget):
+        slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep & (slot < budget), slot, budget)
+        out = jnp.zeros((budget,), jnp.int32).at[slot].set(
+            src_idx, mode="drop", unique_indices=True
+        )
+        total = jnp.sum(keep.astype(jnp.int32))
+        return out, total
+
+    all_idx = jnp.arange(N, dtype=jnp.int32)
+
+    def tile_prep(qid, qv, sci, sc, s_ok):
+        q = cf[qid]
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        qvc = qv[:, None]
+        lo = jnp.min(jnp.where(qvc, q, jnp.inf), axis=0) - r
+        hi = jnp.max(jnp.where(qvc, q, -jnp.inf), axis=0) + r
+        in_box = jnp.all((sc >= lo[None]) & (sc <= hi[None]), axis=-1) & s_ok
+        cand_idx, total = _compact(in_box, sci, C)
+        cand_ok = jnp.arange(C) < jnp.minimum(total, C)
+        fits = total <= C
+        cd = cf[cand_idx]
+        dots = jax.lax.dot_general(
+            q, cd, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = q_sq + jnp.sum(cd * cd, axis=-1)[None, :] - 2.0 * dots
+        bad = (~cand_ok)[None, :] | (cand_idx[None, :] == qid[:, None])
+        return jnp.where(bad, _INF, d2), cand_idx, fits
+
+    def one_super(args):
+        qids, qvs = args                        # [G, T]
+        q_sup = cf[qids.reshape(-1)]
+        qv_sup = qvs.reshape(-1)[:, None]
+        s_lo = jnp.min(jnp.where(qv_sup, q_sup, jnp.inf), axis=0) - r
+        s_hi = jnp.max(jnp.where(qv_sup, q_sup, -jnp.inf), axis=0) + r
+        s_in = jnp.all((cf >= s_lo[None]) & (cf <= s_hi[None]), axis=-1) & valid
+        sci, s_total = _compact(s_in, all_idx, Cs)
+        s_ok = jnp.arange(Cs) < jnp.minimum(s_total, Cs)
+        s_fits = s_total <= Cs
+        sc_sup = cf[sci]
+
+        def pruned():
+            return jax.vmap(tile_prep, in_axes=(0, 0, None, None, None))(
+                qids, qvs, sci, sc_sup, s_ok
+            )
+
+        def full_scan():
+            return jax.vmap(tile_prep, in_axes=(0, 0, None, None, None))(
+                qids, qvs, all_idx, cf, valid
+            )
+
+        d2, cand_idx, fits = jax.lax.cond(s_fits, pruned, full_scan)
+        pd, loc = _chunked_topk_min(d2.reshape(G * T, C), k, selector=selector)
+        pd = pd.reshape(G, T, k)
+        loc = loc.reshape(G, T, k)
+        pi = jax.vmap(lambda ci, lc: ci[lc])(cand_idx, loc)
+        cert = (pd[:, :, k - 1] <= r2) & fits[:, None]
+        return pd, pi, cert | ~qvs
+
+    q_tiles = qid_p.reshape(n_t // G, G, T)
+    v_tiles = qv_p.reshape(n_t // G, G, T)
+    pd_s, pi_s, cert_s = jax.lax.map(one_super, (q_tiles, v_tiles))
+    pd_s = pd_s.reshape(Ap, k)
+    pi_s = pi_s.reshape(Ap, k)
+    cert_s = cert_s.reshape(Ap)
+
+    # pass 2: full-row recompute of certificate failures, cond-gated tiles
+    failed = ~cert_s
+    fcnt = jnp.cumsum(failed.astype(jnp.int32))
+    n_failed = fcnt[-1]
+    FT = min(1024, Ap)
+    n_ft = -(-Ap // FT)
+
+    def run_fallback(pd_s, pi_s):
+        fpos = jnp.searchsorted(
+            fcnt, jnp.arange(1, n_ft * FT + 1, dtype=jnp.int32), method="sort"
+        )
+        fpos = jnp.clip(fpos, 0, Ap - 1)
+        f_qid = qid_p[fpos]
+        f_live = jnp.arange(n_ft * FT) < n_failed
+
+        def fallback_tile(args):
+            qid, live = args
+
+            def run():
+                q = cf[qid]
+                q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+                dots = jax.lax.dot_general(
+                    q, cf, dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                d2 = q_sq + c_sq[None, :] - 2.0 * dots
+                cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                bad = (~valid)[None, :] | (cols == qid[:, None])
+                neg, arg = jax.lax.top_k(-jnp.where(bad, _INF, d2), k)
+                return -neg, arg
+
+            def skip():
+                return (jnp.full((FT, k), _INF), jnp.zeros((FT, k), jnp.int32))
+
+            return jax.lax.cond(jnp.any(live), run, skip)
+
+        fd, fi = jax.lax.map(
+            fallback_tile, (f_qid.reshape(n_ft, FT), f_live.reshape(n_ft, FT))
+        )
+        fd = fd.reshape(-1, k)[: Ap]
+        fi = fi.reshape(-1, k)[: Ap]
+        frank = jnp.maximum(fcnt - 1, 0)
+        return (
+            jnp.where(failed[:, None], fd[frank], pd_s),
+            jnp.where(failed[:, None], fi[frank], pi_s),
+        )
+
+    pd_s, pi_s = jax.lax.cond(
+        n_failed > 0, run_fallback, lambda a, b: (a, b), pd_s, pi_s
+    )
+
+    inv = jnp.zeros((A,), jnp.int32).at[perm].set(
+        jnp.arange(A, dtype=jnp.int32), unique_indices=True
+    )
+    return pd_s[inv], jnp.maximum(pi_s[inv], 0)
+
+
 @partial(jax.jit, static_argnames=("query_tile", "db_chunk"))
 def argmin_search(
     queries: jax.Array,       # [Q, D]

@@ -300,3 +300,64 @@ def test_knn_tie_breaking_id_exact(rng):
         query_ids=ids, exclude_identical_index=True, selector="topk",
     )
     np.testing.assert_array_equal(np.asarray(idx_f), oracle)
+
+
+def test_knn_anchors_grid_matches_brute():
+    """Anchors-only float-coords grid kNN (ops/knn.knn_anchors_grid, the
+    Stage-1 sampler's spatial kNN) equals the chunked brute exactly —
+    jittered float coords make ties measure-zero, so neighbor SETS must
+    coincide. A deliberately tiny radius routes most queries through the
+    certificate fallback and must stay exact."""
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.knn import knn_anchors_grid, knn_search
+
+    rng = np.random.default_rng(3)
+    N, A, k = 12000, 384, 24
+    vox = rng.integers(0, 50, (N, 3))
+    pts = (vox * 0.02 + rng.uniform(0, 0.02, (N, 3))).astype(np.float32)
+    valid = np.ones(N, bool)
+    valid[-40:] = False
+    aidx = rng.choice(N - 40, A, replace=False).astype(np.int32)
+    d_ref, i_ref = knn_search(
+        jnp.asarray(pts)[aidx], jnp.asarray(pts), jnp.asarray(valid), k=k,
+        query_ids=jnp.asarray(aidx), exclude_identical_index=True)
+    d_ref, i_ref = np.asarray(d_ref), np.asarray(i_ref)
+    for radius in (0.25, 0.05):          # 0.05 fails most certificates
+        d, i = knn_anchors_grid(
+            jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(aidx), k=k,
+            radius=radius)
+        d, i = np.asarray(d), np.asarray(i)
+        np.testing.assert_allclose(np.sort(d, 1), np.sort(d_ref, 1),
+                                   atol=1e-5)
+        assert all(set(i[r]) == set(i_ref[r]) for r in range(A)), radius
+
+
+def test_sampler_grid_matches_brute():
+    """The hybrid sampler produces IDENTICAL pairs under
+    spatial_method='grid' and 'brute' (the micro negatives are selected
+    from the same exact kNN sets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geopurify_tpu.ops.contrastive import sample_contrastive_pairs_hybrid
+
+    rng = np.random.default_rng(5)
+    N = 6000
+    vox = rng.integers(0, 40, (N, 3))
+    pts = (vox * 0.02 + rng.uniform(0, 0.02, (N, 3))).astype(np.float32)
+    feats = rng.normal(0, 1, (N, 32)).astype(np.float32)
+    valid = np.ones(N, bool)
+    valid[-30:] = False
+    out = {}
+    for method in ("grid", "brute"):
+        out[method] = sample_contrastive_pairs_hybrid(
+            jax.random.key(0), jnp.asarray(feats), jnp.asarray(valid),
+            coords=jnp.asarray(pts), num_anchors=256, num_macro=12,
+            num_micro=6, spatial_k=16, spatial_method=method,
+            spatial_radius=0.3)
+    g, b = out["grid"], out["brute"]
+    assert np.array_equal(np.asarray(g.anchor_idx), np.asarray(b.anchor_idx))
+    assert np.array_equal(np.asarray(g.positive_idx), np.asarray(b.positive_idx))
+    # micro negatives ride the kNN sets; identical sets -> identical picks
+    assert np.array_equal(np.asarray(g.negative_idx), np.asarray(b.negative_idx))
