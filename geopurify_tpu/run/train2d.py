@@ -388,6 +388,81 @@ def make_joint_seg_step(model: XDecoderSegModel, lang, tx, mesh: Mesh,
     return jax.jit(mapped)
 
 
+def make_joint_zip_step(model: XDecoderSegModel, lang, tx, mesh: Mesh,
+                        data_axis: str, num_points: int,
+                        caption_weight: float = 2.0,
+                        retrieval_weight: float = 2.0):
+    """FAITHFUL joint step (≙ build.py JointLoader zip + the model forward
+    summing per-task losses under ONE optimizer update): every step carries
+    one seg batch AND one vlp batch; total loss = seg criterion + captioning
+    CE + image-text contrastive, all through the shared trunk + lang tower."""
+    from geopurify_tpu.models.criterion import (
+        captioning_loss,
+        image_text_contrastive_loss,
+    )
+
+    def device_step(state: Train2DState, images, gt_cls, gt_masks, gt_valid,
+                    v_images, cap_ids, cap_mask, class_ids, logit_scale, rng):
+        images, gt_cls = images[0], gt_cls[0]
+        gt_masks, gt_valid = gt_masks[0], gt_valid[0]
+        v_images, cap_ids, cap_mask = v_images[0], cap_ids[0], cap_mask[0]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def loss_fn(params):
+            lvars = {"params": params["lang"]}
+            # --- seg task: class text through the shared tower ---
+            pooled = lang.apply(lvars, class_ids)
+            text = jnp.concatenate(
+                [pooled, jnp.zeros((1, pooled.shape[1]), pooled.dtype)], 0)
+            out = model.apply({"params": params["model"]}, images, text,
+                              logit_scale)
+            no_obj = params["no_object"]
+            no_obj = no_obj / jnp.maximum(jnp.linalg.norm(no_obj), 1e-8)
+            emb = out["mask_embed"]
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+            logits = jnp.concatenate(
+                [out["pred_logits"],
+                 (logit_scale * emb @ no_obj)[..., None]], axis=-1)
+            seg_losses = set_criterion(
+                logits, out["pred_masks"], gt_cls, gt_masks, gt_valid,
+                rng, num_points=num_points)
+            # --- vlp task on ITS batch ---
+            tok_emb, pooled_cap = lang.apply(
+                lvars, cap_ids, method=lang.encode_tokens)
+            vout = model.apply({"params": params["model"]}, v_images, text,
+                               logit_scale, caption_tokens=tok_emb)
+            token_table = params["lang"]["lang_encoder"]["token_embedding"]["embedding"]
+            l_cap = captioning_loss(
+                vout["pred_captionings"], token_table, cap_ids, cap_mask)
+            l_ret = image_text_contrastive_loss(
+                vout["pred_captions"][:, -1], pooled_cap,
+                params["lang"]["logit_scale"])
+            total = (seg_losses["loss"] + caption_weight * l_cap
+                     + retrieval_weight * l_ret)
+            return total, {**{k: v for k, v in seg_losses.items()
+                              if k != "loss"},
+                           "loss": total, "loss_captioning": l_cap,
+                           "loss_retrieval": l_ret}
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, data_axis)
+        losses = jax.lax.pmean(losses, data_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return Train2DState(params, opt_state, state.step + 1), losses
+
+    mapped = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P(data_axis),
+                  P(data_axis), P(data_axis), P(data_axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def run_joint(args, cfg, mesh, n_dp, key, model, logit_scale):
     """Joint task-switched 2D pretraining (VERDICT r4 next #6,
     ≙ pipeline/XDecoderPipeline.py:1-196 + the infinibatch multi-dataset
@@ -443,9 +518,67 @@ def run_joint(args, cfg, mesh, n_dp, key, model, logit_scale):
         tx = optax.MultiSteps(tx, args.grad_accum)
     state = Train2DState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
-    seg_step = make_joint_seg_step(model, lang, tx, mesh,
-                                   cfg.parallel.data_axis, args.num_points)
-    vlp_step = make_vlp_step(model, lang, tx, mesh, cfg.parallel.data_axis)
+    # --- per-task batch sources: on-disk (data/joint_loader ≙ the
+    # reference's per-dataset loaders) or synthetic fixtures ---
+    seg_iters = vlp_iters = None
+    if args.data_root:
+        from geopurify_tpu.data.seg2d import Seg2DDataset
+
+        ds = Seg2DDataset(args.data_root)
+        if ds.class_names:
+            names = list(ds.class_names)
+            n_cls_ds = len(names)
+            class_ids = jnp.asarray(tk(
+                [PROMPT_TEMPLATES[0].format(n) for n in names])[0])
+        seg_iters = [ds.batches(args.batch_size, (H, W),
+                                max_targets=args.max_targets,
+                                seed=cfg.train.manual_seed + d)
+                     for d in range(n_dp)]
+    if args.vlp_data_root:
+        from geopurify_tpu.data.joint_loader import CaptionDataset
+
+        cds = CaptionDataset(args.vlp_data_root)
+        vlp_iters = [cds.batches(args.batch_size, (H, H), tk, cap_len,
+                                 seed=cfg.train.manual_seed + d)
+                     for d in range(n_dp)]
+
+    def seg_batches():
+        if seg_iters is not None:
+            bs = [next(it) for it in seg_iters]
+        else:
+            bs = [synthetic_batch(rng_np, args.batch_size, (H, W), n_cls)
+                  for _ in range(n_dp)]
+        return tuple(jnp.stack([jnp.asarray(b[j]) for b in bs])
+                     for j in range(4))
+
+    def vlp_batches():
+        if vlp_iters is not None:
+            bs = [next(it) for it in vlp_iters]
+            imgs = jnp.stack([jnp.asarray(
+                np.pad(b[0], ((0, 0), (0, max(W - b[0].shape[1], 0)),
+                              (0, max(W - b[0].shape[2], 0)), (0, 0))
+                       )[:, :H, :W] if b[0].shape[1:3] != (H, W) else b[0])
+                for b in bs])
+            caps = jnp.stack([jnp.asarray(b[1]) for b in bs])
+            masks = jnp.stack([jnp.asarray(b[2]) for b in bs])
+            return imgs, caps, masks
+        imgs, caps, masks = [], [], []
+        for _ in range(n_dp):
+            imgs.append(jnp.asarray(rng_np.uniform(
+                0, 255, (args.batch_size, H, W, 3)).astype(np.float32)))
+            ci, cm = synthetic_captions(rng_np, args.batch_size, cap_len,
+                                        tc.vocab_size)
+            caps.append(ci)
+            masks.append(cm)
+        return jnp.stack(imgs), jnp.stack(caps), jnp.stack(masks)
+
+    if args.joint_mode == "zip":
+        zip_step = make_joint_zip_step(model, lang, tx, mesh,
+                                       cfg.parallel.data_axis, args.num_points)
+    else:
+        seg_step = make_joint_seg_step(model, lang, tx, mesh,
+                                       cfg.parallel.data_axis, args.num_points)
+        vlp_step = make_vlp_step(model, lang, tx, mesh, cfg.parallel.data_axis)
 
     w_seg, w_vlp = (float(x) for x in args.task_weights.split(":"))
     p_seg = w_seg / max(w_seg + w_vlp, 1e-9)
@@ -455,11 +588,30 @@ def run_joint(args, cfg, mesh, n_dp, key, model, logit_scale):
         os.makedirs(args.save_path, exist_ok=True)
     metrics_path = os.path.join(args.save_path, "metrics.jsonl")
     t0 = time.time()
-    counts = {"seg": 0, "vlp": 0}
+    counts = {"seg": 0, "vlp": 0, "zip": 0}
     for it in range(args.steps):
-        # per-step task routing (≙ the infinibatch loader's weighted dataset
-        # interleave); first two steps cover both tasks deterministically so
-        # short smokes exercise both compile paths
+        if args.joint_mode == "zip":
+            # ≙ JointLoader zip: one batch per task, one summed update
+            task = "zip"
+            counts[task] += 1
+            si, sc, sm, sv = seg_batches()
+            vi, vc, vm = vlp_batches()
+            key, sub = jax.random.split(key)
+            state, losses = zip_step(
+                state, si, sc, sm, sv, vi, vc, vm, class_ids, logit_scale, sub,
+            )
+            step = int(state.step)
+            if step % args.print_every == 0 or it == args.steps - 1:
+                rec = {"step": step, "task": task,
+                       **{k: float(v) for k, v in losses.items()},
+                       "lr": float(sched(step))}
+                log.info("%s", rec)
+                if is_main:
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
+            continue
+        # switch mode: per-step weighted task routing; first two steps cover
+        # both tasks deterministically so short smokes exercise both paths
         if it == 0:
             task = "seg"
         elif it == 1:
@@ -468,26 +620,15 @@ def run_joint(args, cfg, mesh, n_dp, key, model, logit_scale):
             task = "seg" if rng_np.uniform() < p_seg else "vlp"
         counts[task] += 1
         if task == "seg":
-            batches = [synthetic_batch(rng_np, args.batch_size, (H, W), n_cls)
-                       for _ in range(n_dp)]
-            stack = lambda j: jnp.stack([b[j] for b in batches])  # noqa: E731
+            si, sc, sm, sv = seg_batches()
             key, sub = jax.random.split(key)
             state, losses = seg_step(
-                state, stack(0), stack(1), stack(2), stack(3), class_ids,
-                logit_scale, sub,
+                state, si, sc, sm, sv, class_ids, logit_scale, sub,
             )
         else:
-            imgs, caps, masks = [], [], []
-            for _ in range(n_dp):
-                imgs.append(jnp.asarray(rng_np.uniform(
-                    0, 255, (args.batch_size, H, W, 3)).astype(np.float32)))
-                ci, cm = synthetic_captions(rng_np, args.batch_size, cap_len,
-                                            tc.vocab_size)
-                caps.append(ci)
-                masks.append(cm)
+            vi, vc, vm = vlp_batches()
             state, losses = vlp_step(
-                state, jnp.stack(imgs), jnp.stack(caps), jnp.stack(masks),
-                text0, logit_scale,
+                state, vi, vc, vm, text0, logit_scale,
             )
         step = int(state.step)
         if step % args.print_every == 0 or it == args.steps - 1:
@@ -710,7 +851,16 @@ def main(argv=None):
                              "spatial-prompt training via the visual "
                              "sampler (≙ coco_panoptic_interactive mapper)")
     parser.add_argument("--task-weights", default="1:1",
-                        help="joint task sampling weights seg:vlp")
+                        help="joint(switch) task sampling weights seg:vlp")
+    parser.add_argument("--joint-mode", default="zip",
+                        choices=["zip", "switch"],
+                        help="zip (default, ≙ the reference JointLoader): "
+                             "every step carries one batch per task with "
+                             "one summed update; switch: per-step weighted "
+                             "task routing")
+    parser.add_argument("--vlp-data-root", default=None,
+                        help="joint: on-disk caption dataset (images/ + "
+                             "captions.json — data/joint_loader.py)")
     parser.add_argument("--max-candidate", type=int, default=2,
                         help="interactive: prompt instances per image "
                              "(STROKE_SAMPLER.MAX_CANDIDATE)")
