@@ -42,7 +42,14 @@ def main(argv=None):
     parser.add_argument("--image", default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="96x128 synthetic image with a bright square")
-    parser.add_argument("--clicks", required=True,
+    parser.add_argument("--eval-noc", type=int, default=0,
+                        help="run the NoC evaluation protocol over N "
+                             "synthetic instances instead of the "
+                             "overlay demo (interactive_evaluation"
+                             ".py:39-77 + evaluate_interactive): "
+                             "SimpleClick-placed first click -> "
+                             "refinement -> NoC@{0.5,0.8,0.85,0.9}")
+    parser.add_argument("--clicks", default="8,8",
                         help='"y,x;y,x" positive clicks (image coordinates)')
     parser.add_argument("--neg-clicks", default="")
     parser.add_argument("--rounds", type=int, default=3)
@@ -169,6 +176,53 @@ def main(argv=None):
         return jitted(hvars, tuple(multi_scale), mask_features, text,
                       pts, valid, tags, qidx, prev,
                       jnp.zeros((L, M), jnp.int32))
+
+    if args.eval_noc:
+        # NoC protocol end-to-end (≙ interactive_evaluation.py:39-77 over
+        # the v1 evaluate_interactive loop): synthetic elliptical gt
+        # instances, the FIRST click placed by the SimpleClick rule (the
+        # deepest gt pixel via the conv distance transform), then the
+        # refinement loop's error-driven clicks; per-click IoU arrays feed
+        # the NoC@t / mIoU@iter evaluator.
+        import json
+
+        from geopurify_tpu.data.visual_sampler import _center_clicks
+        from geopurify_tpu.models.seem import interactive_refine
+        from geopurify_tpu.utils.eval2d_suite import InteractiveEvaluator
+
+        max_clicks = args.rounds
+        ev = InteractiveEvaluator(max_clicks=max_clicks, iou_iter=1)
+        g = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:Hm, 0:Wm]
+        per_sample = []
+
+        def apply_np(p, v, t, prev):
+            return head_apply(
+                jnp.asarray(p)[None], jnp.asarray(v)[None],
+                jnp.asarray(t)[None], prev,
+            )
+
+        for i in range(args.eval_noc):
+            cy = int(g.integers(Hm // 4, 3 * Hm // 4))
+            cx = int(g.integers(Wm // 4, 3 * Wm // 4))
+            ry = int(g.integers(3, max(Hm // 3, 4)))
+            rx = int(g.integers(3, max(Wm // 3, 4)))
+            gt = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) <= 1.0
+            click = int(_center_clicks(gt[None])[0])
+            init = np.zeros((Hm, Wm), bool)
+            init[divmod(click, Wm)] = True
+            _, ious = interactive_refine(
+                apply_np, gt, init, budget=S, iters=max_clicks, seed=i,
+                iou_stop=0.99,
+            )
+            arr = np.asarray(ious + [ious[-1]] * (max_clicks - len(ious)))
+            per_sample.append(arr)
+            log.info("instance %d: IoU per click %s", i, np.round(arr, 3))
+        ev.process(per_sample)
+        metrics = ev.evaluate()
+        log.info("NoC metrics: %s", metrics)
+        print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
+        return 0
 
     # seed prompt masks at stride 4 from the clicks
     pos = np.zeros((Hm, Wm), bool)

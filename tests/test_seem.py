@@ -248,3 +248,36 @@ def test_infer_interactive_cli_synthetic(tmp_path):
     ])
     import os
     assert os.path.exists(dst)
+
+
+def test_interactive_eval_noc_cli(tmp_path):
+    """`geopurify-interactive --eval-noc N` runs the full NoC protocol
+    end-to-end (≙ interactive_evaluation.py:39-77 over the v1
+    evaluate_interactive loop): SimpleClick-placed first click ->
+    error-driven refinement -> NoC@t / mIoU@iter metrics as one JSON
+    line (random weights saturate NoC at max_clicks — the protocol
+    machinery is what's pinned)."""
+    import json
+    import subprocess
+    import sys
+
+    env_args = [
+        sys.executable, "-m", "geopurify_tpu.run.infer_interactive",
+        "--synthetic", "--eval-noc", "2", "--rounds", "3", "--budget", "32",
+        "xdecoder.hidden_dim=16", "xdecoder.conv_dim=16",
+        "xdecoder.mask_dim=16", "xdecoder.num_queries=5", "xdecoder.nheads=2",
+        "xdecoder.dim_feedforward=32", "xdecoder.dec_layers=1",
+        "xdecoder.enc_layers=1", "xdecoder.dtype=float32",
+        "xdecoder.backbone.embed_dim=8", "xdecoder.backbone.depths=[1,1,1,1]",
+        "xdecoder.backbone.focal_levels=[2,2,2,2]",
+    ]
+    import os
+
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    res = subprocess.run(env_args, capture_output=True, text=True, env=env,
+                         timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    for t in (0.5, 0.8, 0.85, 0.9):
+        assert 1.0 <= rec[f"noc@{t}"] <= 3.0
+    assert 0.0 <= rec["miou@iter1"] <= 1.0
