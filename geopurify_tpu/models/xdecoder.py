@@ -135,7 +135,23 @@ class XDecoderHead(nn.Module):
                 "pos_embed_caping", nn.initializers.normal(1.0), (T, C)
             )
 
-        def prediction_heads(output: jax.Array, target_size: Tuple[int, int]):
+        # INFERENCE fast path (return_aux=False): the bicubic attn-mask
+        # resize and the mask einsum are BOTH linear, so they commute —
+        # resize(m_emb @ mf) == m_emb @ resize(mf). mf is resized to the
+        # three level sizes ONCE, and each round's attention mask is an
+        # einsum at TARGET resolution ([B,Q,336..5376]) instead of the full
+        # stride-4 [B,Q,19602] product + per-round resize (measured 6.55 +
+        # 2.9 ms/round of the 18.8 ms round at B=64). fp-reassociation only;
+        # the parity path (return_aux=True) keeps the reference-shaped
+        # order so the oracle pins compare identical computations.
+        fast_masks = not return_aux
+        if fast_masks:
+            mf_small = [
+                resize_bicubic_antialias(mf, tuple(s)) for s in sizes
+            ]
+
+        def prediction_heads(output: jax.Array, target_size: Tuple[int, int],
+                             level: int = 0, want_full: bool = True):
             dec_all = decoder_norm(output).astype(jnp.float32)      # [B,Q+T,C]
             capt = dec_all[:, Q:] @ caping_embed if T else None     # [B,T,dp]
             dec = dec_all[:, :Q]
@@ -153,12 +169,18 @@ class XDecoderHead(nn.Module):
             outputs_class = logit_scale * jnp.einsum("bqd,nd->bqn", v, text_t)
 
             m_emb = mask_mlp(dec_out.astype(self.dtype)).astype(jnp.float32)
-            outputs_mask = jnp.einsum("bqc,bhwc->bqhw", m_emb, mf)    # stride-4 masks
-
-            # next-round attention mask at the target scale
-            am = resize_bicubic_antialias(
-                outputs_mask.transpose(0, 2, 3, 1), target_size
-            ).transpose(0, 3, 1, 2)                                   # [B,Q,h,w]
+            outputs_mask = (
+                jnp.einsum("bqc,bhwc->bqhw", m_emb, mf)   # stride-4 masks
+                if (want_full or not fast_masks) else None
+            )
+            if fast_masks:
+                # commuted form: einsum directly at the target scale
+                am = jnp.einsum("bqc,bhwc->bqhw", m_emb, mf_small[level])
+            else:
+                # next-round attention mask at the target scale
+                am = resize_bicubic_antialias(
+                    outputs_mask.transpose(0, 2, 3, 1), target_size
+                ).transpose(0, 3, 1, 2)                               # [B,Q,h,w]
             am = jax.nn.sigmoid(am).reshape(B, Q, -1) < 0.5           # True=block
             # unmask rows that block everything (xdecoder.py:262)
             all_blocked = jnp.all(am, axis=-1, keepdims=True)
@@ -188,7 +210,9 @@ class XDecoderHead(nn.Module):
             )
 
         outputs_class, outputs_mask, class_embed, capt, attn_mask = (
-            prediction_heads(output, sizes[0])
+            prediction_heads(output, sizes[0], level=0,
+                             want_full=(not fast_masks)
+                             or self.dec_layers == 0)
         )
         aux_masks = [outputs_mask]
         aux_attn = [attn_mask]
@@ -208,7 +232,11 @@ class XDecoderHead(nn.Module):
                 name=f"ffn{i}",
             )(output)
             outputs_class, outputs_mask, class_embed, capt, attn_mask = (
-                prediction_heads(output, sizes[(i + 1) % num_levels])
+                prediction_heads(
+                    output, sizes[(i + 1) % num_levels],
+                    level=(i + 1) % num_levels,
+                    want_full=(not fast_masks) or i == self.dec_layers - 1,
+                )
             )
             aux_masks.append(outputs_mask)
             aux_attn.append(attn_mask)
